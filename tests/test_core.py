@@ -1,0 +1,217 @@
+"""Pure-Python core: tokenizer, trie, constraint machine, decoder,
+linearization, extraction. No SparkSession needed."""
+
+import random
+
+import pytest
+
+from genie_spark.constraints import (
+    OB,
+    DecodeState,
+    TagCodes,
+    allowed_for_prefix,
+)
+from genie_spark.decode import (
+    INVALID_LOG_PROB,
+    DeterministicScorer,
+    generate_for_text,
+    top_valid_prediction,
+)
+from genie_spark.extract import html_to_text, split_sentences
+from genie_spark.tokenizer import BOS, EOS, WordTokenizer
+from genie_spark.trie import FlatTrie, Trie, trie_from_names
+from genie_spark.triples import format_linearization, parse_linearization
+from genie_spark import synth
+
+NAMES = ["Alice Smith", "Alice Stone", "Bob", "Zurich", "J. R. Tolkien"]
+RELS = ["birthplace", "capital of", "founded by"]
+
+
+@pytest.fixture(scope="module")
+def tok():
+    return WordTokenizer(NAMES + RELS)
+
+
+def test_tokenizer_tag_contract(tok):
+    # tags encode to exactly (<, tag, >) with shared </> ids — the invariant
+    # the reference asserts (ie_prefix_constraints.py:123-125)
+    codes = [tok.encode(f" <{t}>")[1:-1] for t in ("sub", "rel", "obj", "et")]
+    assert all(len(c) == 3 for c in codes)
+    assert len({c[0] for c in codes}) == 1
+    assert len({c[2] for c in codes}) == 1
+    assert len({c[1] for c in codes}) == 4
+
+
+def test_tokenizer_roundtrip(tok):
+    ids = tok.encode("Alice Smith birthplace Zurich")
+    assert ids[0] == BOS and ids[-1] == EOS
+    assert tok.decode(ids) == "Alice Smith birthplace Zurich"
+    # tag re-joining
+    lin = " <sub> Bob <rel> birthplace <obj> Zurich <et>"
+    assert tok.decode(tok.encode(lin)) == lin.strip()
+
+
+def test_tokenizer_determinism():
+    a = WordTokenizer(NAMES)
+    b = WordTokenizer(reversed(NAMES))
+    assert a.piece2id == b.piece2id
+
+
+def test_trie_get_semantics(tok):
+    seqs = [tok.encode(n)[1:] for n in sorted(NAMES)]
+    t = Trie(seqs)
+    alice = tok.piece2id["Alice"]
+    smith = tok.piece2id["Smith"]
+    assert set(t.get([alice])) == {smith, tok.piece2id["Stone"]}
+    assert t.get([tok.piece2id["Bob"]]) == [EOS]  # complete name → EOS
+    assert t.get([smith]) == []  # not a valid start
+    assert alice in t.get([])
+
+
+def test_flat_trie_matches_nested(tok):
+    seqs = [tok.encode(n)[1:] for n in sorted(NAMES + RELS)]
+    nested, flat = Trie(seqs), FlatTrie.from_sequences(seqs)
+    rng = random.Random(7)
+    vocab = list(tok.id2piece)
+    for seq in seqs:
+        for k in range(len(seq) + 1):
+            assert sorted(nested.get(seq[:k])) == sorted(flat.get(seq[:k]))
+    for _ in range(200):
+        prefix = [rng.choice(vocab) for _ in range(rng.randrange(4))]
+        assert sorted(nested.get(prefix)) == sorted(flat.get(prefix))
+
+
+def test_flat_trie_cursor(tok):
+    flat = trie_from_names(NAMES, tok)
+    node = flat.start()
+    for piece in ["J.", "R.", "Tolkien"]:
+        node = flat.step(node, tok.piece2id[piece])
+        assert node is not None
+    assert flat.allowed(node) == [EOS]
+    assert flat.step(node, 999999) is None
+
+
+def _random_walk(tok, ent, rel, rng, max_len=60):
+    """Follow the incremental state with random allowed choices, checking it
+    against the rescan oracle at every step."""
+    codes = TagCodes(tok)
+    st = DecodeState(codes, ent, rel)
+    toks = []
+    for _ in range(max_len):
+        inc = sorted(st.allowed())
+        ora = sorted(allowed_for_prefix(toks, codes, ent, rel))
+        assert inc == ora, f"divergence at {toks}: {inc} vs {ora}"
+        if not inc:
+            break
+        t = rng.choice(inc)
+        st.push(t)
+        toks.append(t)
+    return toks, st
+
+
+def test_constraint_state_matches_rescan_oracle(tok):
+    ent = trie_from_names(NAMES, tok)
+    rel = trie_from_names(RELS, tok)
+    rng = random.Random(123)
+    for _ in range(50):
+        _random_walk(tok, ent, rel, rng)
+
+
+def test_constraint_outputs_parse(tok):
+    # any constraint-respecting walk that terminates yields a valid
+    # linearization over catalog names only
+    ent = trie_from_names(NAMES, tok)
+    rel = trie_from_names(RELS, tok)
+    rng = random.Random(5)
+    done = 0
+    for _ in range(80):
+        toks, st = _random_walk(tok, ent, rel, rng, max_len=200)
+        if not st.finished:
+            continue
+        done += 1
+        for s, r, o in parse_linearization(tok.decode(toks)):
+            assert s in NAMES and o in NAMES and r in RELS
+    assert done > 10
+
+
+def test_triples_parse_format_roundtrip():
+    triples = [("Alice Smith", "birthplace", "Zurich"), ("Bob", "capital of", "Bob")]
+    lin = format_linearization(triples)
+    assert lin == (
+        " <sub> Alice Smith <rel> birthplace <obj> Zurich <et>"
+        " <sub> Bob <rel> capital of <obj> Bob <et>"
+    )
+    assert parse_linearization(lin) == triples
+
+
+def test_triples_parse_malformed_and_dupes():
+    # trailing partial chunk dropped (len % 3 != 0)
+    assert parse_linearization(" <sub> A <rel> r <obj> B <et> <sub> C") == [("A", "r", "B")]
+    # duplicates dropped with order preserved
+    lin = format_linearization([("A", "r", "B"), ("A", "r", "B"), ("C", "r", "D")])
+    assert parse_linearization(lin) == [("A", "r", "B"), ("C", "r", "D")]
+    assert parse_linearization("") == []
+    assert parse_linearization("no tags at all") == []
+
+
+def test_decoder_emits_fact_from_text(tok):
+    ent = trie_from_names(NAMES, tok)
+    rel = trie_from_names(RELS, tok)
+    scorer = DeterministicScorer(tok)
+    beams = generate_for_text(
+        "Alice Smith birthplace Zurich.",
+        scorer, tok, TagCodes(tok), ent, rel, num_beams=2,
+    )
+    assert beams and beams[0]["log_prob"] > INVALID_LOG_PROB
+    pred = top_valid_prediction(beams)
+    triples = parse_linearization(pred)
+    assert ("Alice Smith", "birthplace", "Zurich") in triples
+
+
+def test_decoder_deterministic(tok):
+    ent = trie_from_names(NAMES, tok)
+    rel = trie_from_names(RELS, tok)
+    scorer = DeterministicScorer(tok)
+    text = "Bob founded by Alice Stone. Alice Stone birthplace Zurich."
+    a = generate_for_text(text, scorer, tok, TagCodes(tok), ent, rel)
+    b = generate_for_text(text, scorer, tok, TagCodes(tok), ent, rel)
+    assert a == b
+
+
+def test_html_to_text_roundtrip():
+    text = "Alice  Smith birthplace Zurich.\nThe weather was mild & <odd>."
+    esc = text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    html = "<html><body>" + "".join(f"<p>{p}</p>" for p in esc.split("\n")) + "</body></html>"
+    assert html_to_text(html) == text
+
+
+def test_split_sentences_semantics():
+    text = "One sentence. Two  spaced here.\n\nNext para no dot"
+    units = split_sentences(text)
+    assert units == ["One sentence. ", "Two spaced here. ", "Next para no dot "]
+    # dot inside a name: split happens after any dot+space (web-path rule)
+    assert split_sentences("J. R. Tolkien wrote.") == ["J. ", "R. ", "Tolkien wrote. "]
+
+
+def test_synth_pages_deterministic_and_extractable():
+    rows = synth.pages_local(30)
+    rows2 = synth.pages_local(30)
+    assert rows == rows2
+    for r in rows:
+        assert html_to_text(r["html"].decode("utf-8")) == r["text"]
+        assert r["url"].startswith("https://example.org/page/")
+    langs = {r["lang"] for r in rows}
+    assert "en" in langs
+    # zipf head entity appears as subject substantially more than uniform
+    head = synth.unique_entity_names(synth.make_entities())[0]
+    all_facts = [f for r in synth.pages_local(300) for f in r["gold"]]
+    frac = sum(1 for f in all_facts if f["s"] == head) / len(all_facts)
+    assert frac > 0.1
+
+
+def test_catalog_dup_names_present():
+    ents = synth.make_entities()
+    names = [e["name"] for e in ents]
+    assert len(names) != len(set(names))  # J6 dedup has work to do
+    uniq = synth.unique_entity_names(ents)
+    assert len(uniq) == len(set(uniq))
