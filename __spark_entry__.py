@@ -1,38 +1,77 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG-construction pipeline end-to-end on
+the sf0.001 ``documents`` table: documents → pages(url, warc_ts, html,
+text, lang) → lang filter → JVM-side sentence split → constrained beam
+generation (mapInPandas) → parse → canonicalize (broadcast joins) → graph
+triples. The closed-world catalog is derived deterministically from the
+corpus vocabulary (no external data).
+
+``queries()`` / ``oracle_sql()`` expose each implemented operator over the
+pre-registered testdata tables with a DuckDB-checkable oracle.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _docs_as_pages(docs: DataFrame) -> DataFrame:
+    """documents(doc_id, text, lang, source, n_chars) → the input_hint page
+    shape (url, warc_ts, html, text, lang)."""
+    return docs.select(
+        F.concat(F.lit("https://"), "source", F.lit("/doc/"), F.col("doc_id").cast("string")).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(F.concat(F.lit("<html><body><p>"), "text", F.lit("</p></body></html>")), "utf-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+def _corpus_catalogs(docs: DataFrame) -> tuple[list[str], list[str]]:
+    """Deterministic closed-world catalog from the corpus vocabulary:
+    words of length ≥ 4 are entity names, length-3 words are relations."""
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 3)
+        .distinct()
+        .collect()
+    )
+    vocab = sorted(r["w"] for r in words)
+    ents = [w for w in vocab if len(w) >= 4]
+    rels = [w for w in vocab if len(w) == 3]
+    return ents, rels
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: constrained triple extraction + canonicalization over the
+    sf0.001 documents corpus; returns the extracted-sentence DataFrame
+    (url, sent_idx, input, beams, prediction, pred_triples)."""
+    from genie_spark.pipeline import extract_pipeline
+
+    docs = _load(spark, SF_DEFAULT, "documents")
+    pages = _docs_as_pages(docs)
+    ents, rels = _corpus_catalogs(docs)
+    return extract_pipeline(spark, pages, ents, rels, lang="en", num_beams=2)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from genie_spark import entry_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return entry_queries.QUERIES
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from genie_spark import entry_queries
+
+    return entry_queries.ORACLES

@@ -1,0 +1,194 @@
+"""Entity linking / canonicalization joins and graph materialization.
+
+The reference canonicalizes by Python dict lookup
+(reference: genie/models/genie_base_pl.py:406-410 via the
+surface_form2id dict, genie/datamodule/utils/surface_forms_utils.py:278-295).
+Spark-first, each dict lookup becomes a **broadcast equi-join** against
+the (small) catalog dimension, and the triple-set dedup becomes a
+hash-partitioned ``dropDuplicates`` — with the head-entity skew the
+north_rule calls out handled explicitly (salted pre-aggregation) plus AQE
+skew-join as the adaptive backstop.
+
+Scale notes (100 TB):
+* ent/rel catalogs are ≤ a few GB (6M names) — always broadcast; the fact
+  table side never shuffles for the join itself.
+* the dedup shuffle keys on (s_id, r_id, o_id); Zipf-head subjects
+  concentrate traffic. ``dedup_triples`` therefore pre-aggregates within
+  partitions (map-side distinct via salted groupBy) before the global
+  distinct — the classic two-phase distinct that bounds any single
+  reducer's input by (#salts × #distinct), not by row count.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def dedup_catalog(catalog: DataFrame) -> DataFrame:
+    """J6 (reference genie/utils/utils.py:39-104): drop catalog entries
+    whose surface form maps to more than one id — an ambiguous name can't
+    canonicalize. groupBy + filter + semi-join, all stock."""
+    unique_names = (
+        catalog.groupBy("name").count().filter(F.col("count") == 1).select("name")
+    )
+    return catalog.join(broadcast(unique_names), "name", "inner").select(
+        catalog["id"], catalog["name"], catalog["provenance"]
+    )
+
+
+def surface_to_id(
+    triples: DataFrame,
+    ent_catalog: DataFrame,
+    rel_catalog: DataFrame,
+    how: str = "inner",
+) -> DataFrame:
+    """J1: (s, r, o) surface forms → (s_id, r_id, o_id) via three broadcast
+    joins (reference genie_base_pl.py:406-410). ``how='left'`` keeps
+    unlinkable triples with null ids (J2's no_match analog).
+
+    Input must have columns s, r, o; passes through all other columns.
+    """
+    ents = dedup_catalog(ent_catalog).select(
+        F.col("name"), F.col("id"), F.col("provenance")
+    )
+    rels = dedup_catalog(rel_catalog).select(F.col("name"), F.col("id"))
+    e_s = broadcast(ents.select(F.col("name").alias("s"), F.col("id").alias("s_id"),
+                                F.col("provenance").alias("s_provenance")))
+    e_o = broadcast(ents.select(F.col("name").alias("o"), F.col("id").alias("o_id"),
+                                F.col("provenance").alias("o_provenance")))
+    r_r = broadcast(rels.select(F.col("name").alias("r"), F.col("id").alias("r_id")))
+    return triples.join(e_s, "s", how).join(r_r, "r", how).join(e_o, "o", how)
+
+
+def id_to_surface(
+    id_triples: DataFrame,
+    ent_catalog: DataFrame,
+    rel_catalog: DataFrame,
+) -> DataFrame:
+    """J2 (reference triplet_utils.py:38-68, surface_forms_utils.py:180-232):
+    annotate id-triples with surface forms + per-position match status
+    (`title` / `label` / `no_match`). Left joins keep unmatched ids.
+
+    Input columns: s_id, r_id, o_id (+passthrough).
+    """
+    ents = ent_catalog.select("id", "name", "provenance")
+    rels = rel_catalog.select("id", "name")
+
+    def status(prov):
+        return (
+            F.when(prov.isNull(), F.lit("no_match"))
+            .when(prov == "en_title", F.lit("title"))
+            .otherwise(F.lit("label"))
+        )
+
+    out = id_triples
+    for pos in ("s", "o"):
+        dim = broadcast(
+            ents.select(
+                F.col("id").alias(f"{pos}_id"),
+                F.col("name").alias(pos),
+                F.col("provenance").alias(f"_{pos}_prov"),
+            )
+        )
+        out = out.join(dim, f"{pos}_id", "left").withColumn(
+            f"{pos}_status", status(F.col(f"_{pos}_prov"))
+        ).drop(f"_{pos}_prov")
+    dim_r = broadcast(
+        rels.select(F.col("id").alias("r_id"), F.col("name").alias("r"))
+    )
+    out = out.join(dim_r, "r_id", "left").withColumn(
+        "r_status", F.when(F.col("r").isNull(), "no_match").otherwise("title")
+    )
+    # roll-up per triple (reference surface_forms_utils.py:207-213): the
+    # weakest position status wins (no_match > label > title)
+    return out.withColumn(
+        "triple_status",
+        F.when(
+            (F.col("s_status") == "no_match")
+            | (F.col("r_status") == "no_match")
+            | (F.col("o_status") == "no_match"),
+            "no_match",
+        )
+        .when((F.col("s_status") == "label") | (F.col("o_status") == "label"), "label")
+        .otherwise("title"),
+    )
+
+
+def dedup_triples(
+    triples: DataFrame,
+    keys=("s_id", "r_id", "o_id"),
+    salt_buckets: int = 0,
+) -> DataFrame:
+    """Global distinct over (s,r,o) with explicit skew handling.
+
+    With ``salt_buckets=0``: plain ``dropDuplicates`` — Spark already does
+    partial (map-side) distinct before the shuffle, and AQE splits skewed
+    reduce partitions. With ``salt_buckets=N``: the two-phase salted form
+    the north_rule asks to demonstrate — phase 1 dedups within
+    (salt, keys) groups where salt spreads each hot key over N reducers;
+    phase 2 dedups the (now ≤ N × distinct) survivors.
+    """
+    keys = list(keys)
+    if salt_buckets <= 1:
+        return triples.dropDuplicates(keys)
+    salted = triples.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.spark_partition_id()), F.lit(salt_buckets))
+    )
+    phase1 = salted.dropDuplicates(keys + ["_salt"]).drop("_salt")
+    return phase1.dropDuplicates(keys)
+
+
+def materialize_graph(
+    extracted: DataFrame,
+    ent_catalog: DataFrame,
+    rel_catalog: DataFrame,
+    salt_buckets: int = 0,
+) -> DataFrame:
+    """Full downstream stage: exploded predictions → linked id triples →
+    global dedup → graph rows (subj, pred, obj, subj_name, pred_name,
+    obj_name, n_sources, first_url).
+
+    ``extracted`` is the output of the generation stage: one row per
+    sentence with ``pred_triples: array<struct<s,r,o>>`` and ``url``.
+    Provenance aggregates (n_sources, first_url) replace the reference's
+    per-rank JSONL lineage (genie_base_pl.py:275-297) with a single
+    shuffle-sharing groupBy.
+    """
+    flat = extracted.select(
+        "url", F.explode_outer("pred_triples").alias("t")
+    ).filter(F.col("t").isNotNull()).select("url", "t.s", "t.r", "t.o")
+    linked = surface_to_id(flat, ent_catalog, rel_catalog, how="inner")
+    # one shuffle does both dedup and provenance aggregation
+    grouped = linked.groupBy("s_id", "r_id", "o_id").agg(
+        F.first("s", ignorenulls=True).alias("subj_name"),
+        F.first("r", ignorenulls=True).alias("pred_name"),
+        F.first("o", ignorenulls=True).alias("obj_name"),
+        F.countDistinct("url").alias("n_sources"),
+        F.min("url").alias("first_url"),
+    )
+    return grouped.select(
+        F.col("s_id").alias("subj"),
+        F.col("r_id").alias("pred"),
+        F.col("o_id").alias("obj"),
+        "subj_name", "pred_name", "obj_name", "n_sources", "first_url",
+    )
+
+
+def write_graph(
+    graph: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: Optional[str] = "pred",
+) -> None:
+    """Materialize the graph table. Iceberg in production
+    (``writeTo(...).append()`` with snapshot lineage); Parquet directory
+    layout locally with identical partitioning (by predicate — bounded
+    cardinality, prunes predicate-filtered reads)."""
+    w = graph.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.parquet(path)

@@ -64,6 +64,9 @@ class DeterministicScorer:
     POS_DECAY = 0.05
     EOS_READY_BONUS = 8.0
     EOS_EARLY_PENALTY = -8.0
+    # before the first triple completes, stopping is near-forbidden — the
+    # model's job is to emit at least one fact when any is extractable
+    EOS_NO_TRIPLE_PENALTY = -24.0
 
     def __init__(self, tokenizer: WordTokenizer):
         self.tok = tokenizer
@@ -88,18 +91,34 @@ class DeterministicScorer:
                     doc_seq.append(tid)
                     break
         doc_hash = zlib.crc32(text.encode("utf-8"))
-        return doc_seq, frozenset(doc_seq), doc_hash
+        # token → sorted positions; turns every "first occurrence ≥ ptr"
+        # scan from O(doc) into O(log doc)
+        positions: dict = {}
+        for i, t in enumerate(doc_seq):
+            positions.setdefault(t, []).append(i)
+        return doc_seq, positions, doc_hash
 
-    def _pointer(self, doc_seq: Sequence[int], tokens: Sequence[int]) -> int:
+    @staticmethod
+    def _next_at(positions: dict, tok: int, ptr: int) -> int:
+        """First position of tok at or after ptr, else -1."""
+        from bisect import bisect_left
+
+        pos = positions.get(tok)
+        if not pos:
+            return -1
+        j = bisect_left(pos, ptr)
+        return pos[j] if j < len(pos) else -1
+
+    def _pointer(self, ctx, tokens: Sequence[int]) -> int:
         """Greedy monotone alignment of generated content tokens to the doc."""
+        _, positions, _ = ctx
         ptr = 0
         for t in tokens:
             if t in self.structural or t == EOS_ID:
                 continue
-            for i in range(ptr, len(doc_seq)):
-                if doc_seq[i] == t:
-                    ptr = i + 1
-                    break
+            hit = self._next_at(positions, t, ptr)
+            if hit >= 0:
+                ptr = hit + 1
         return ptr
 
     def score(
@@ -109,30 +128,30 @@ class DeterministicScorer:
         state: DecodeState,
         allowed: Sequence[int],
     ) -> List[float]:
-        doc_seq, doc_set, doc_hash = ctx
+        doc_seq, positions, doc_hash = ctx
         step = len(tokens)
         codes = state.codes
-        ptr = self._pointer(doc_seq, tokens)
+        ptr = self._pointer(ctx, tokens)
         exhausted = ptr >= len(doc_seq)
         out = []
         for t in allowed:
             # stable tiebreak noise in [0, 0.1)
             logit = (zlib.crc32(b"%d|%d|%d" % (doc_hash, step, t)) % 1024) / 10240.0
             if t == codes.eos:
-                # stop once the doc's copyable content is consumed
-                logit += self.EOS_READY_BONUS if exhausted else self.EOS_EARLY_PENALTY
+                # stop once the doc's copyable content is consumed — but
+                # never before at least one complete triple is out
+                if state.triples_done == 0:
+                    logit += self.EOS_NO_TRIPLE_PENALTY
+                else:
+                    logit += self.EOS_READY_BONUS if exhausted else self.EOS_EARLY_PENALTY
             elif t == codes.lt and state.status == OB:
                 # open another triple while copyable content remains
                 logit += 0.0 if exhausted else self.EOS_READY_BONUS - 2.0
             elif t not in self.structural:
-                hit = -1
-                for i in range(ptr, len(doc_seq)):
-                    if doc_seq[i] == t:
-                        hit = i
-                        break
+                hit = self._next_at(positions, t, ptr)
                 if hit >= 0:
                     logit += self.COPY_BONUS - self.POS_DECAY * (hit - ptr)
-                elif t in doc_set:
+                elif positions.get(t):
                     logit += self.WEAK_BONUS
             out.append(logit)
         return out

@@ -1,0 +1,275 @@
+"""Triple-set evaluation metrics as DataFrame aggregations.
+
+The reference implements micro P/R/F1 as three torchmetrics counters
+all-reduced over DDP ranks (reference: genie/metrics/triplet_set_f1.py,
+triplet_set_precision.py, triplet_set_recall.py) and the macro / bucket /
+zero-shot evaluators as Python loops over the full prediction list
+(genie/utils/evaluators.py:20-263). In Spark every one of these is a
+groupBy + sum — partial aggregation, shuffle of a handful of counters,
+final merge — i.e. the metric computation is O(rows/cores) with a
+few-KB shuffle regardless of dataset size.
+
+Input convention: an eval DataFrame with one row per sample and two
+array<struct<s,r,o>> columns (``pred`` and ``target``). Per-sample
+intersection counts come from ``array_intersect`` on the normalized key
+form — no join, no shuffle, whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .triples import triple_key_col
+
+
+def _counts(
+    df: DataFrame, pred: str = "pred", target: str = "target"
+) -> DataFrame:
+    """Per-sample n_correct / n_pred / n_target (reference
+    triplet_set_f1.py:14-20). Set semantics via array_distinct on the
+    flattened s␞r␞o key (struct equality is exact, but the flat key also
+    feeds DuckDB-oracle-comparable queries)."""
+    p = F.array_distinct(triple_key_col(F.col(pred)))
+    t = F.array_distinct(triple_key_col(F.col(target)))
+    return df.withColumn("n_correct", F.size(F.array_intersect(p, t))).withColumn(
+        "n_pred", F.size(p)
+    ).withColumn("n_target", F.size(t))
+
+
+def _prf(correct: Column, pred: Column, target: Column):
+    """Zero-division semantics of the reference (triplet_set_recall.py:48-52,
+    triplet_set_precision.py / triplet_set_f1.py compute): an empty
+    denominator yields 0.0, and F1 is 0.0 when P+R == 0."""
+    precision = F.when(pred == 0, 0.0).otherwise(correct / pred)
+    recall = F.when(target == 0, 0.0).otherwise(correct / target)
+    f1 = F.when(
+        (precision + recall) == 0, 0.0
+    ).otherwise(2 * precision * recall / (precision + recall))
+    return precision, recall, f1
+
+
+def micro_metrics(
+    df: DataFrame, pred: str = "pred", target: str = "target"
+) -> DataFrame:
+    """A1 — global micro precision / recall / F1: one row
+    (precision, recall, f1, n_correct, n_pred, n_target)."""
+    agg = _counts(df, pred, target).agg(
+        F.sum("n_correct").alias("n_correct"),
+        F.sum("n_pred").alias("n_pred"),
+        F.sum("n_target").alias("n_target"),
+    )
+    p, r, f1 = _prf(F.col("n_correct"), F.col("n_pred"), F.col("n_target"))
+    return agg.select(
+        p.alias("precision"), r.alias("recall"), f1.alias("f1"),
+        "n_correct", "n_pred", "n_target",
+    )
+
+
+def _per_relation_counts(
+    df: DataFrame, pred: str = "pred", target: str = "target"
+) -> DataFrame:
+    """Per-relation micro counts: restrict both sets to each relation that
+    appears in either side of a sample, then count (reference
+    MacroMetricsEvaluator, evaluators.py:65-147). explode → groupBy."""
+    keyed = df.select(
+        F.array_distinct(triple_key_col(F.col(pred))).alias("p"),
+        F.array_distinct(triple_key_col(F.col(target))).alias("t"),
+    ).withColumn(
+        "rel",
+        F.explode(
+            F.array_distinct(
+                F.concat(
+                    F.transform(F.col("p"), lambda k: F.split_part(k, F.lit("␞"), F.lit(2))),
+                    F.transform(F.col("t"), lambda k: F.split_part(k, F.lit("␞"), F.lit(2))),
+                )
+            )
+        ),
+    )
+    rel_of = lambda k: F.split_part(k, F.lit("␞"), F.lit(2))  # noqa: E731
+    pr = F.filter(F.col("p"), lambda k: rel_of(k) == F.col("rel"))
+    tr = F.filter(F.col("t"), lambda k: rel_of(k) == F.col("rel"))
+    return keyed.select(
+        "rel",
+        F.size(F.array_intersect(pr, tr)).alias("n_correct"),
+        F.size(pr).alias("n_pred"),
+        F.size(tr).alias("n_target"),
+    ).groupBy("rel").agg(
+        F.sum("n_correct").alias("n_correct"),
+        F.sum("n_pred").alias("n_pred"),
+        F.sum("n_target").alias("n_target"),
+    )
+
+
+def macro_metrics(
+    df: DataFrame, pred: str = "pred", target: str = "target"
+) -> DataFrame:
+    """A2 — per-relation micro scores + unweighted macro mean
+    (evaluation.py:67-78). Returns one row: (macro_precision,
+    macro_recall, macro_f1, n_relations)."""
+    per_rel = _per_relation_counts(df, pred, target)
+    p, r, f1 = _prf(F.col("n_correct"), F.col("n_pred"), F.col("n_target"))
+    scored = per_rel.select(
+        "rel", p.alias("precision"), r.alias("recall"), f1.alias("f1")
+    )
+    return scored.agg(
+        F.avg("precision").alias("macro_precision"),
+        F.avg("recall").alias("macro_recall"),
+        F.avg("f1").alias("macro_f1"),
+        F.count("*").alias("n_relations"),
+    )
+
+
+def per_relation_metrics(
+    df: DataFrame, pred: str = "pred", target: str = "target"
+) -> DataFrame:
+    """Per-relation micro P/R/F1 table (the rows A2 averages)."""
+    per_rel = _per_relation_counts(df, pred, target)
+    p, r, f1 = _prf(F.col("n_correct"), F.col("n_pred"), F.col("n_target"))
+    return per_rel.select(
+        "rel", p.alias("precision"), r.alias("recall"), f1.alias("f1"),
+        "n_correct", "n_pred", "n_target",
+    )
+
+
+def bucket_metrics(
+    df: DataFrame,
+    train_rel_counts: DataFrame,
+    pred: str = "pred",
+    target: str = "target",
+) -> DataFrame:
+    """A3 — micro metrics per log2-bucket of each relation's train-set
+    occurrence count (reference BucketEvaluator, evaluators.py:153-203;
+    bucket id = floor(log2(count)), plot_helpers.py:50-56). Relations
+    absent from training fall in bucket -1.
+
+    ``train_rel_counts``: DataFrame(rel, count) — typically
+    ``train.select(explode(...)).groupBy(rel).count()`` (A6).
+    """
+    per_rel = _per_relation_counts(df, pred, target)
+    buckets = train_rel_counts.select(
+        F.col("rel"),
+        F.floor(F.log2(F.col("count"))).cast("long").alias("bucket"),
+    )
+    joined = per_rel.join(F.broadcast(buckets), "rel", "left").fillna(
+        {"bucket": -1}
+    )
+    agg = joined.groupBy("bucket").agg(
+        F.sum("n_correct").alias("n_correct"),
+        F.sum("n_pred").alias("n_pred"),
+        F.sum("n_target").alias("n_target"),
+        F.count("*").alias("n_relations"),
+    )
+    p, r, f1 = _prf(F.col("n_correct"), F.col("n_pred"), F.col("n_target"))
+    return agg.select(
+        "bucket", p.alias("precision"), r.alias("recall"), f1.alias("f1"),
+        "n_relations", "n_correct", "n_pred", "n_target",
+    )
+
+
+def zero_shot_metrics(
+    df: DataFrame,
+    rel_groups: DataFrame,
+    pred: str = "pred",
+    target: str = "target",
+) -> DataFrame:
+    """A4 — micro metrics per relation group (reference
+    MicroMetricsZSEvaluator, evaluators.py:206-263: groups like
+    dropped / ignored / seen). ``rel_groups``: DataFrame(rel, group);
+    relations missing from the mapping score under group 'seen'."""
+    per_rel = _per_relation_counts(df, pred, target)
+    joined = per_rel.join(F.broadcast(rel_groups), "rel", "left").fillna(
+        {"group": "seen"}
+    )
+    agg = joined.groupBy("group").agg(
+        F.sum("n_correct").alias("n_correct"),
+        F.sum("n_pred").alias("n_pred"),
+        F.sum("n_target").alias("n_target"),
+    )
+    p, r, f1 = _prf(F.col("n_correct"), F.col("n_pred"), F.col("n_target"))
+    return agg.select(
+        "group", p.alias("precision"), r.alias("recall"), f1.alias("f1"),
+        "n_correct", "n_pred", "n_target",
+    )
+
+
+def bootstrap_micro(
+    df: DataFrame,
+    n_runs: int = 50,
+    id_col: str = "id",
+    pred: str = "pred",
+    target: str = "target",
+) -> DataFrame:
+    """A5 — bootstrap CI over samples (reference get_bootstrap_score,
+    evaluation.py:12-26, 50 resamples). One-pass deterministic
+    poissonization: each (sample, run) gets weight ~ Poisson(1) derived
+    from xxhash64(id, run) — no Python RNG, no repeated scans, identical
+    across parallelism levels. Returns (metric, mean, std)."""
+    counts = _counts(df, pred, target).select(id_col, "n_correct", "n_pred", "n_target")
+    runs = counts.crossJoin(
+        F.broadcast(
+            counts.sparkSession.range(n_runs).select(F.col("id").alias("run"))
+        )
+    )
+    # uniform in [0,1) from the hash, then inverse-CDF Poisson(1) via
+    # stepwise thresholds (k ≤ 4 covers 99.6% of mass; tail clamps to 5)
+    u = (F.pmod(F.xxhash64(F.col(id_col), F.col("run")), F.lit(1_000_000))) / 1_000_000.0
+    import math
+
+    cdf, acc = [], 0.0
+    for k in range(5):
+        acc += math.exp(-1.0) / math.factorial(k)
+        cdf.append(acc)
+    w = F.when(u < cdf[0], 0)
+    for k in range(1, 5):
+        w = w.when(u < cdf[k], k)
+    w = w.otherwise(5)
+    per_run = runs.withColumn("w", w).groupBy("run").agg(
+        F.sum(F.col("n_correct") * F.col("w")).alias("c"),
+        F.sum(F.col("n_pred") * F.col("w")).alias("p"),
+        F.sum(F.col("n_target") * F.col("w")).alias("t"),
+    )
+    p, r, f1 = _prf(F.col("c"), F.col("p"), F.col("t"))
+    scored = per_run.select(p.alias("precision"), r.alias("recall"), f1.alias("f1"))
+    rows = []
+    for m in ("precision", "recall", "f1"):
+        rows.append(
+            scored.agg(
+                F.lit(m).alias("metric"),
+                F.avg(m).alias("mean"),
+                F.stddev_pop(m).alias("std"),
+            )
+        )
+    out = rows[0]
+    for r_ in rows[1:]:
+        out = out.unionByName(r_)
+    return out
+
+
+def relation_occurrences(
+    df: DataFrame, triples_col: str = "target"
+) -> DataFrame:
+    """A6 — relation occurrence counts (reference
+    KiltDataset.get_rel_occurrence_stats, datasets.py:78-90)."""
+    return (
+        df.select(F.explode(F.col(triples_col)).alias("t"))
+        .select(F.col("t.r").alias("rel"))
+        .groupBy("rel")
+        .count()
+    )
+
+
+def relation_coverage(
+    df: DataFrame, pred: str = "pred", target: str = "target"
+) -> DataFrame:
+    """A8 — distinct target relations never predicted (reference
+    evaluators.py:31-37): left-anti join of distinct sets."""
+    trg = df.select(F.explode(F.col(target)).alias("t")).select(
+        F.col("t.r").alias("rel")
+    ).distinct()
+    prd = df.select(F.explode(F.col(pred)).alias("t")).select(
+        F.col("t.r").alias("rel")
+    ).distinct()
+    return trg.join(prd, "rel", "left_anti")

@@ -1,0 +1,169 @@
+"""Metric aggregations vs hand-computed values (reference semantics:
+genie/metrics/*, genie/utils/evaluators.py)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, LongType, StringType, StructField, StructType,
+)
+
+from genie_spark.kilt import (
+    drop_ignored_relations,
+    filter_matching_status,
+    filter_relations_drop,
+    filter_relations_keep,
+)
+from genie_spark.metrics import (
+    bootstrap_micro,
+    bucket_metrics,
+    macro_metrics,
+    micro_metrics,
+    per_relation_metrics,
+    relation_coverage,
+    relation_occurrences,
+    zero_shot_metrics,
+)
+
+TRIPLE = StructType(
+    [StructField("s", StringType()), StructField("r", StringType()), StructField("o", StringType())]
+)
+SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("pred", ArrayType(TRIPLE)),
+        StructField("target", ArrayType(TRIPLE)),
+    ]
+)
+
+
+def t(*parts):
+    return tuple(parts)
+
+
+@pytest.fixture(scope="module")
+def eval_df(spark):
+    rows = [
+        # sample 1: pred {A,B}, target {A,C} → correct 1
+        (1, [t("s1", "ra", "o1"), t("s2", "rb", "o2")], [t("s1", "ra", "o1"), t("s3", "rc", "o3")]),
+        # sample 2: exact match incl. duplicate pred collapsing
+        (2, [t("s4", "ra", "o4"), t("s4", "ra", "o4")], [t("s4", "ra", "o4")]),
+        # sample 3: empty pred, nonempty target
+        (3, [], [t("s5", "rb", "o5")]),
+        # sample 4: both empty
+        (4, [], []),
+    ]
+    return spark.createDataFrame(rows, SCHEMA).cache()
+
+
+def test_micro_metrics(spark, eval_df):
+    row = micro_metrics(eval_df).collect()[0]
+    # correct=2, pred=3, target=4
+    assert row["n_correct"] == 2 and row["n_pred"] == 3 and row["n_target"] == 4
+    assert row["precision"] == pytest.approx(2 / 3)
+    assert row["recall"] == pytest.approx(0.5)
+    p, r = 2 / 3, 0.5
+    assert row["f1"] == pytest.approx(2 * p * r / (p + r))
+
+
+def test_micro_zero_division(spark):
+    # reference semantics: empty denominator → 0.0 (triplet_set_recall.py:48-52)
+    df = spark.createDataFrame([(1, [], [])], SCHEMA)
+    row = micro_metrics(df).collect()[0]
+    assert row["precision"] == 0.0 and row["recall"] == 0.0 and row["f1"] == 0.0
+    df2 = spark.createDataFrame([(1, [t("a", "r", "b")], [])], SCHEMA)
+    row2 = micro_metrics(df2).collect()[0]
+    assert row2["precision"] == 0.0 and row2["recall"] == 0.0 and row2["f1"] == 0.0
+
+
+def test_per_relation_and_macro(spark, eval_df):
+    per = {r["rel"]: r for r in per_relation_metrics(eval_df).collect()}
+    # ra: correct 2 (s1,s4), pred 2, target 2 → P=R=F1=1
+    assert per["ra"]["precision"] == 1.0 and per["ra"]["recall"] == 1.0
+    # rb: pred 2 (s2,s5-pred? no: sample3 pred empty) → pred {s2-rb}, target {s5-rb}, correct 0
+    assert per["rb"]["n_pred"] == 1 and per["rb"]["n_target"] == 1 and per["rb"]["n_correct"] == 0
+    # rc: pred 0, target 1 → P=0 (other side nonempty), R=0
+    assert per["rc"]["precision"] == 0.0 and per["rc"]["recall"] == 0.0
+    macro = macro_metrics(eval_df).collect()[0]
+    assert macro["n_relations"] == 3
+    assert macro["macro_f1"] == pytest.approx((1.0 + 0.0 + 0.0) / 3)
+
+
+def test_bucket_metrics(spark, eval_df):
+    train = spark.createDataFrame(
+        [("ra", 8), ("rb", 2)], ["rel", "count"]
+    )  # ra → bucket 3, rb → bucket 1, rc unseen → -1
+    rows = {r["bucket"]: r for r in bucket_metrics(eval_df, train).collect()}
+    assert set(rows) == {3, 1, -1}
+    assert rows[3]["precision"] == 1.0
+    assert rows[-1]["n_target"] == 1 and rows[-1]["recall"] == 0.0
+
+
+def test_zero_shot_metrics(spark, eval_df):
+    groups = spark.createDataFrame(
+        [("ra", "seen"), ("rc", "dropped")], ["rel", "group"]
+    )  # rb missing → defaults to seen
+    rows = {r["group"]: r for r in zero_shot_metrics(eval_df, groups).collect()}
+    assert set(rows) == {"seen", "dropped"}
+    assert rows["dropped"]["n_target"] == 1 and rows["dropped"]["n_pred"] == 0
+    assert rows["seen"]["n_correct"] == 2
+
+
+def test_bootstrap_micro_deterministic(spark, eval_df):
+    a = {r["metric"]: (r["mean"], r["std"]) for r in bootstrap_micro(eval_df, n_runs=20).collect()}
+    b = {r["metric"]: (r["mean"], r["std"]) for r in bootstrap_micro(eval_df, n_runs=20).collect()}
+    assert a == b
+    assert set(a) == {"precision", "recall", "f1"}
+    for m, (mean, std) in a.items():
+        assert 0.0 <= mean <= 1.0 and std >= 0.0 and not math.isnan(std)
+
+
+def test_relation_occurrences_and_coverage(spark, eval_df):
+    occ = {r["rel"]: r["count"] for r in relation_occurrences(eval_df, "target").collect()}
+    assert occ == {"ra": 2, "rb": 1, "rc": 1}
+    cov = sorted(r["rel"] for r in relation_coverage(eval_df).collect())
+    assert cov == ["rc"]  # rc in targets, never predicted; rb IS predicted
+
+
+# ---------------------------------------------------------------------------
+# KILT filters
+# ---------------------------------------------------------------------------
+
+KILT_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("instance_matching_status", StringType()),
+        StructField("surface_triples", ArrayType(TRIPLE)),
+        StructField("target", StringType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def kilt_df(spark):
+    rows = [
+        (1, "title", [t("a", "r1", "b")], ""),
+        (2, "label", [t("a", "r2", "b")], ""),
+        (3, "no_match", [t("a", "r1", "b"), t("c", "r3", "d")], ""),
+        (4, "title", [t("a", "r3", "b")], ""),
+    ]
+    return spark.createDataFrame(rows, KILT_SCHEMA).cache()
+
+
+def test_filter_matching_status(spark, kilt_df):
+    assert {r["id"] for r in filter_matching_status(kilt_df).collect()} == {1, 4}
+    both = filter_matching_status(kilt_df, ("title", "label"))
+    assert {r["id"] for r in both.collect()} == {1, 2, 4}
+
+
+def test_filter_relations_drop_keep(spark, kilt_df):
+    assert {r["id"] for r in filter_relations_drop(kilt_df, ["r3"]).collect()} == {1, 2}
+    assert {r["id"] for r in filter_relations_keep(kilt_df, ["r1", "r3"]).collect()} == {1, 3, 4}
+
+
+def test_drop_ignored_relations_relinearizes(spark, kilt_df):
+    out = {r["id"]: r for r in drop_ignored_relations(kilt_df, ["r3"]).collect()}
+    assert set(out) == {1, 2, 3}  # sample 4 became empty → dropped (F5)
+    assert [tuple(x) for x in out[3]["surface_triples"]] == [("a", "r1", "b")]
+    assert out[3]["target"] == " <sub> a <rel> r1 <obj> b <et>"

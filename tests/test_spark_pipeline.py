@@ -1,0 +1,223 @@
+"""Spark-layer tests: extraction parity vs the pure-Python oracle,
+canonicalization joins, dedup, graph materialize, checkpoint resume."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from genie_spark import synth
+from genie_spark.canonicalize import (
+    dedup_catalog,
+    dedup_triples,
+    materialize_graph,
+    surface_to_id,
+    id_to_surface,
+)
+from genie_spark.constraints import TagCodes
+from genie_spark.decode import DeterministicScorer, generate_for_text, top_valid_prediction
+from genie_spark.extract import split_sentences, sentences_df, html_to_text, html_to_text_col
+from genie_spark.pipeline import GenieExtractor, extract_pipeline
+from genie_spark.tokenizer import WordTokenizer
+from genie_spark.trie import trie_from_names
+from genie_spark.triples import parse_linearization, format_linearization, parse_triples_col
+
+N_PAGES = 40
+
+
+@pytest.fixture(scope="module")
+def catalogs():
+    ents = synth.unique_entity_names(synth.make_entities())
+    rels = sorted(synth.RELATIONS)
+    return ents, rels
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return synth.pages_df(spark, N_PAGES).cache()
+
+
+def test_pages_df_matches_local(spark, pages):
+    rows = {r["url"]: r for r in pages.collect()}
+    local = synth.pages_local(N_PAGES)
+    assert len(rows) == len(local)
+    for lr in local:
+        sr = rows[lr["url"]]
+        assert bytes(sr["html"]) == lr["html"]
+        assert sr["text"] == lr["text"]
+        assert sr["lang"] == lr["lang"]
+
+
+def test_sentences_df_byte_identical(spark, pages):
+    """The JVM-side sentence splitter must agree byte-for-byte with the
+    pure-Python twin (the per-url invariant)."""
+    got = {
+        (r["url"], r["sent_idx"]): r["input"]
+        for r in sentences_df(pages).select("url", "sent_idx", "input").collect()
+    }
+    for lr in synth.pages_local(N_PAGES):
+        for i, s in enumerate(split_sentences(lr["text"])):
+            assert got[(lr["url"], i)] == s
+    n_local = sum(len(split_sentences(r["text"])) for r in synth.pages_local(N_PAGES))
+    assert len(got) == n_local
+
+
+def test_html_to_text_col_matches_python(spark, pages):
+    df = pages.select("url", "text", html_to_text_col(F.col("html")).alias("derived"))
+    for r in df.collect():
+        assert r["derived"] == r["text"], r["url"]
+
+
+def test_parse_triples_col_matches_python(spark):
+    lins = [
+        format_linearization([("Alice Smith", "birthplace", "Zurich")]),
+        format_linearization([("A", "r", "B"), ("A", "r", "B"), ("C", "q", "D")]),
+        " <sub> A <rel> r <obj> B <et> <sub> C",  # trailing partial chunk
+        "",
+        "no tags at all",
+    ]
+    df = spark.createDataFrame([(s,) for s in lins], ["lin"]).withColumn(
+        "triples", parse_triples_col(F.col("lin"))
+    )
+    for r in df.collect():
+        got = [(t["s"], t["r"], t["o"]) for t in r["triples"]]
+        assert got == parse_linearization(r["lin"])
+
+
+def test_pipeline_matches_driver_oracle(spark, pages, catalogs):
+    """Flagship parity: the distributed pipeline's predictions must be
+    byte-identical to the single-process reference decoder run over the
+    same sentences (SURVEY.md §5.2 golden test)."""
+    ents, rels = catalogs
+    out = extract_pipeline(spark, pages, ents, rels, num_beams=2).cache()
+    got = {(r["url"], r["sent_idx"]): r for r in out.collect()}
+
+    tok = WordTokenizer(ents + rels)
+    codes = TagCodes(tok)
+    ent_t, rel_t = trie_from_names(ents, tok), trie_from_names(rels, tok)
+    scorer = DeterministicScorer(tok)
+    n_checked = 0
+    for lr in synth.pages_local(N_PAGES):
+        if lr["lang"] != "en":
+            assert all(u != lr["url"] for (u, _) in got)
+            continue
+        for i, sent in enumerate(split_sentences(lr["text"])):
+            beams = generate_for_text(sent, scorer, tok, codes, ent_t, rel_t, num_beams=2)
+            r = got[(lr["url"], i)]
+            assert r["input"] == sent
+            assert r["prediction"] == top_valid_prediction(beams)
+            assert [(b["text"], b["log_prob"]) for b in r["beams"]] == [
+                (b["text"], b["log_prob"]) for b in beams
+            ]
+            parsed = parse_linearization(r["prediction"] or "")
+            assert [(t["s"], t["r"], t["o"]) for t in r["pred_triples"]] == parsed
+            n_checked += 1
+    assert n_checked > 20
+
+
+def test_pipeline_partition_invariance(spark, pages, catalogs):
+    """Same rows regardless of parallelism — the two-cluster-size
+    determinism invariant at sandbox scale."""
+    ents, rels = catalogs
+    a = extract_pipeline(spark, pages.repartition(1), ents, rels).select(
+        "url", "sent_idx", "prediction"
+    )
+    b = extract_pipeline(spark, pages.repartition(13), ents, rels).select(
+        "url", "sent_idx", "prediction"
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_extraction_recovers_gold_facts(spark, pages, catalogs):
+    """Quality gate at sandbox scale: the deterministic scorer must recover
+    the majority of embedded gold facts (P/R vs gold; the ≥0.95 agreement
+    target is vs the reference decoder = the driver oracle, which parity
+    tests cover exactly)."""
+    ents, rels = catalogs
+    out = extract_pipeline(spark, pages, ents, rels)
+    pred = set()
+    for r in out.collect():
+        for t in r["pred_triples"]:
+            pred.add((r["url"], t["s"], t["r"], t["o"]))
+    gold = set()
+    for lr in synth.pages_local(N_PAGES):
+        if lr["lang"] != "en":
+            continue
+        for g in lr["gold"]:
+            gold.add((lr["url"], g["s"], g["r"], g["o"]))
+    assert gold, "fixture must embed facts"
+    recall = len(pred & gold) / len(gold)
+    precision = len(pred & gold) / max(len(pred), 1)
+    assert recall > 0.6, f"recall {recall:.2f} too low: decoder regressed"
+    assert precision > 0.5, f"precision {precision:.2f} too low"
+
+
+# ---------------------------------------------------------------------------
+# canonicalization
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_catalog_drops_ambiguous(spark):
+    ents, _ = synth.catalogs_df(spark)
+    clean = dedup_catalog(ents)
+    names = [r["name"] for r in clean.collect()]
+    assert len(names) == len(set(names))
+    dupes = {synth._CITIES[0], synth._ORGS[0]}
+    assert not dupes & set(names)
+
+
+def test_surface_to_id_and_back(spark):
+    ents_df, rels_df = synth.catalogs_df(spark)
+    triples = spark.createDataFrame(
+        [
+            ("u1", "Alan Aachen", "birthplace", "Lausanne"),
+            ("u2", "Nope Nobody", "birthplace", "Lausanne"),  # unlinkable
+            ("u3", "Alan Aachen", "not a relation", "Lausanne"),
+        ],
+        ["url", "s", "r", "o"],
+    )
+    inner = surface_to_id(triples, ents_df, rels_df, how="inner")
+    rows = inner.collect()
+    assert len(rows) == 1 and rows[0]["url"] == "u1"
+    assert rows[0]["s_id"].startswith("Q") and rows[0]["r_id"].startswith("P")
+
+    left = surface_to_id(triples, ents_df, rels_df, how="left")
+    by_url = {r["url"]: r for r in left.collect()}
+    assert by_url["u2"]["s_id"] is None and by_url["u2"]["o_id"] is not None
+    assert by_url["u3"]["r_id"] is None
+
+    back = id_to_surface(
+        inner.select("s_id", "r_id", "o_id"), ents_df, rels_df
+    ).collect()[0]
+    assert back["s"] == "Alan Aachen" and back["o"] == "Lausanne"
+    assert back["triple_status"] in ("title", "label")
+
+
+def test_id_to_surface_no_match_status(spark):
+    ents_df, rels_df = synth.catalogs_df(spark)
+    df = spark.createDataFrame([("Q1", "P1", "QX999")], ["s_id", "r_id", "o_id"])
+    row = id_to_surface(df, ents_df, rels_df).collect()[0]
+    assert row["o_status"] == "no_match" and row["triple_status"] == "no_match"
+
+
+def test_dedup_triples_salted_equals_plain(spark):
+    rows = [("Q1", "P1", f"Q{i % 7}") for i in range(500)] + [
+        ("Q2", "P2", "Q3")
+    ] * 50
+    df = spark.createDataFrame(rows, ["s_id", "r_id", "o_id"]).repartition(8)
+    plain = sorted(map(tuple, dedup_triples(df).collect()))
+    salted = sorted(map(tuple, dedup_triples(df, salt_buckets=4).collect()))
+    assert plain == salted
+    assert len(plain) == 8
+
+
+def test_materialize_graph(spark, pages, catalogs):
+    ents, rels = catalogs
+    ents_df, rels_df = synth.catalogs_df(spark)
+    extracted = extract_pipeline(spark, pages, ents, rels)
+    graph = materialize_graph(extracted, ents_df, rels_df).cache()
+    rows = graph.collect()
+    assert rows
+    keys = [(r["subj"], r["pred"], r["obj"]) for r in rows]
+    assert len(keys) == len(set(keys))  # global dedup held
+    for r in rows:
+        assert r["subj"].startswith("Q") and r["pred"].startswith("P")
+        assert r["n_sources"] >= 1 and r["first_url"].startswith("https://")
