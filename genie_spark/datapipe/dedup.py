@@ -1,0 +1,326 @@
+"""Document deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design. Exact dedup is one hash-groupBy (map-side partial agg, tiny
+shuffle of (hash, min_id) pairs). MinHash signatures are computed entirely
+row-local with higher-order functions — zero shuffle until the LSH
+band-explode, whose shuffle volume is (#docs × #bands) short rows, not
+document text. Candidate verification touches only bucket-colliding pairs
+(the whole point of LSH: at 10^12 docs an all-pairs comparison is 10^24
+and the band-bucket join is ~linear). SimHash follows the same pattern
+with a bit-signature and band-equality blocking. All hashing uses the
+DuckDB-reproducible :mod:`hashes` primitives; production swaps xxhash64.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashes import h60, h60_salted
+
+
+def words_col(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def shingles_col(text: Column, k: int = 3) -> Column:
+    """Word k-shingles as an array<string> — row-local, no shuffle.
+    Docs shorter than k words yield a single whole-text shingle so every
+    doc participates in dedup."""
+    w = words_col(text)
+    n = F.size(w)
+    make = F.transform(
+        F.sequence(F.lit(1), n - F.lit(k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+    )
+    return F.when(n >= k, F.array_distinct(make)).otherwise(F.array(F.concat_ws(" ", w)))
+
+
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: md5 the text, keep the smallest id per hash. Returns
+    (text_hash, keep_id, n_dups). One shuffle on the 128-bit hash."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def minhash_signature_col(sh: Column, num_hashes: int = 16) -> Column:
+    """array<string> shingles → array<bigint> MinHash signature.
+    Row-local: num_hashes × |shingles| h60 evaluations inside codegen,
+    no explode, no shuffle."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda j: F.array_min(F.transform(sh, lambda s: h60_salted(s, j))),
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    return docs.select(
+        F.col(id_col),
+        minhash_signature_col(shingles_col(F.col(text_col), k), num_hashes).alias("sig"),
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Banded LSH: docs sharing any full band collide. Output (id_a, id_b)
+    with id_a < id_b, distinct. Shuffle keys are (band, band_hash) — short
+    rows; hot buckets (boilerplate-heavy corpora) are handled by AQE skew
+    join at scale."""
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bkey"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bkey")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col(f"b.band"))
+            & (F.col(f"a.bkey") == F.col(f"b.bkey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-dup pipeline: signatures → banded candidates →
+    signature-estimated Jaccard ≥ threshold. Returns
+    (id_a, id_b, est_jaccard)."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, text_col, id_col, k, num_hashes).cache()
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (
+        cands.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.size(
+                F.filter(
+                    F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                    lambda m: m,
+                )
+            )
+            / F.lit(float(num_hashes)),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+    )
+    return est
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard for pairs sharing ≥1 shingle: explode distinct
+    shingles → self-equi-join on shingle → |A∩B| per pair → Jaccard.
+    The shingle join is the scalable blocking (only co-shingled pairs ever
+    meet); at web scale drop ultra-common shingles first (df cut) to bound
+    the hottest key — here dataset-small, handled by AQE."""
+    sh = docs.select(
+        F.col(id_col), F.explode(shingles_col(F.col(text_col), k)).alias("shingle")
+    ).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        common.join(na, "id_a").join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+SIMHASH_BITS = 16
+
+
+def simhash_col(text: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Per-doc SimHash over word tokens: bit i of the signature is the sign
+    of Σ_tokens (±1 by bit i of h60(token)). Row-local HOF aggregate —
+    no explode, no shuffle. Bit positions are unrolled at plan-build time
+    (shift amounts must be literals in Spark)."""
+    w = words_col(text)
+
+    def bit_signs(t: Column) -> Column:
+        h = h60(t)
+        return F.array(
+            *[
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+                .otherwise(F.lit(-1))
+                .cast("long")
+                for i in range(bits)
+            ]
+        )
+
+    sums = F.aggregate(
+        w,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, t: F.zip_with(acc, bit_signs(t), lambda a_, d: a_ + d),
+    )
+    # sums_i > 0 → add 2^i; pow stays exact (bits ≤ 32 « double mantissa)
+    return F.aggregate(
+        F.zip_with(
+            sums,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda s, i: F.when(
+                s > 0, F.pow(F.lit(2.0), i.cast("double")).cast("long")
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def simhash_table(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = SIMHASH_BITS
+) -> DataFrame:
+    return docs.select(F.col(id_col), simhash_col(F.col(text_col), bits).alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dups: pigeonhole blocking (hamming ≤ max_hamming with
+    `bands` > max_hamming blocks ⇒ at least one block identical) then the
+    exact hamming check via bit_count(xor). Returns (id_a, id_b, hamming)."""
+    assert bands > max_hamming, "pigeonhole requires bands > max_hamming"
+    sh = simhash_table(docs, text_col, id_col, bits)
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    banded = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.shiftright(F.col("simhash"), b * band_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("bkey"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.bkey")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: Optional[str] = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup: within-block all-pairs cosine ≥ threshold.
+    ``block_col`` is the blocking key (a cluster/LSH bucket column); at
+    web scale feed this from :func:`genie_spark.datapipe.similarity.
+    hyperplane_bucket` so the self-join never goes quadratic globally."""
+    v = F.col(vec_col)
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x))
+    base = emb.select(
+        F.col(id_col),
+        (F.col(block_col) if block_col else F.lit(0)).alias("_blk"),
+        v.alias("_v"),
+        norm.alias("_n"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a._v"), F.col("b._v"), lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a._blk") == F.col("b._blk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(dot / (F.col("a._n") * F.col("b._n")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,14 +1,883 @@
 """Driver-contract query registry: Spark queries + DuckDB oracle SQL.
 
-Populated operator by operator as SURVEY.md §2 coverage lands; each entry
-here is the correctness gate for one implemented operator.
+One entry per implemented operator family (SURVEY.md §2 + the
+training-data pipeline ops). Each Spark callable takes (spark, sf_dir)
+and must produce EXACTLY the rows of its ORACLES[...] DuckDB SQL on the
+same parquet tables (order-insensitive value-hash): identical column
+names, integer columns cast to bigint, floats rounded to 6 via the same
+formulas, and all hashing through the cross-engine ``h60`` primitive.
+
+Queries without an oracle entry (constrained generation, multimodal
+feature extraction) get the driver's rows-only check; their exactness is
+covered by the pytest parity suites instead (Spark vs pure-Python oracle,
+tests/test_spark_pipeline.py).
 """
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Dict
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .metrics import POISSON1_CDF
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: Dict[str, str] = {}
+
+
+def _register(name: str, oracle: str = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# shared derivations: triple sets from lineitem (sample = order;
+# relation = l_returnflag; object = part). target = shipped before 1996,
+# pred = quantity > 25 — two deterministic, overlapping triple sets.
+# ---------------------------------------------------------------------------
+
+_CUT = "1996-01-01"
+_QTY = 25
+
+_TRIPLES_SQL = f"""
+  trg AS (SELECT DISTINCT l_orderkey, l_returnflag, l_partkey FROM lineitem
+          WHERE l_shipdate < TIMESTAMP '{_CUT}'),
+  prd AS (SELECT DISTINCT l_orderkey, l_returnflag, l_partkey FROM lineitem
+          WHERE l_quantity > {_QTY})
+"""
+
+
+def _pred_target_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per order: pred/target as array<struct<s,r,o>> (exercises
+    the real metrics module input shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    def sets(cond, name):
+        return (
+            li.filter(cond)
+            .select(
+                "l_orderkey",
+                F.struct(
+                    F.col("l_orderkey").cast("string").alias("s"),
+                    F.col("l_returnflag").alias("r"),
+                    F.col("l_partkey").cast("string").alias("o"),
+                ).alias("t"),
+            )
+            .groupBy("l_orderkey")
+            .agg(F.array_distinct(F.collect_list("t")).alias(name))
+        )
+    trg = sets(F.col("l_shipdate") < _CUT, "target")
+    prd = sets(F.col("l_quantity") > _QTY, "pred")
+    empty = F.array().cast("array<struct<s:string,r:string,o:string>>")
+    return (
+        trg.join(prd, "l_orderkey", "full")
+        .select(
+            F.col("l_orderkey").alias("id"),
+            F.coalesce("pred", empty).alias("pred"),
+            F.coalesce("target", empty).alias("target"),
+        )
+    )
+
+
+_PRF_SQL = """
+  c AS (SELECT count(*) AS n FROM trg JOIN prd USING (l_orderkey, l_returnflag, l_partkey)),
+  tots AS (SELECT (SELECT n FROM c) AS n_correct,
+                  (SELECT count(*) FROM prd) AS n_pred,
+                  (SELECT count(*) FROM trg) AS n_target)
+"""
+
+
+# -- A1: micro precision/recall/F1 ------------------------------------------
+
+@_register(
+    "micro_prf",
+    f"""
+WITH {_TRIPLES_SQL}, {_PRF_SQL}
+SELECT round(CASE WHEN n_pred = 0 THEN 0.0 ELSE n_correct::DOUBLE / n_pred END, 6) AS precision,
+       round(CASE WHEN n_target = 0 THEN 0.0 ELSE n_correct::DOUBLE / n_target END, 6) AS recall,
+       round(CASE WHEN (CASE WHEN n_pred = 0 THEN 0.0 ELSE n_correct::DOUBLE / n_pred END)
+                     + (CASE WHEN n_target = 0 THEN 0.0 ELSE n_correct::DOUBLE / n_target END) = 0
+             THEN 0.0
+             ELSE 2 * (CASE WHEN n_pred = 0 THEN 0.0 ELSE n_correct::DOUBLE / n_pred END)
+                    * (CASE WHEN n_target = 0 THEN 0.0 ELSE n_correct::DOUBLE / n_target END)
+                  / ((CASE WHEN n_pred = 0 THEN 0.0 ELSE n_correct::DOUBLE / n_pred END)
+                     + (CASE WHEN n_target = 0 THEN 0.0 ELSE n_correct::DOUBLE / n_target END)) END, 6) AS f1,
+       n_correct::BIGINT AS n_correct, n_pred::BIGINT AS n_pred, n_target::BIGINT AS n_target
+FROM tots
+""",
+)
+def micro_prf(spark, sf_dir):
+    from .metrics import micro_metrics
+
+    df = micro_metrics(_pred_target_df(spark, sf_dir))
+    return df.select(
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+        F.col("n_correct").cast("bigint").alias("n_correct"),
+        F.col("n_pred").cast("bigint").alias("n_pred"),
+        F.col("n_target").cast("bigint").alias("n_target"),
+    )
+
+
+# -- A2: per-relation (macro) metrics ----------------------------------------
+
+_PER_REL_SQL = f"""
+WITH {_TRIPLES_SQL},
+rels AS (SELECT l_returnflag FROM trg UNION SELECT l_returnflag FROM prd),
+cnt AS (
+  SELECT r.l_returnflag AS rel,
+         (SELECT count(*) FROM trg t JOIN prd p USING (l_orderkey, l_returnflag, l_partkey)
+          WHERE t.l_returnflag = r.l_returnflag) AS n_correct,
+         (SELECT count(*) FROM prd WHERE l_returnflag = r.l_returnflag) AS n_pred,
+         (SELECT count(*) FROM trg WHERE l_returnflag = r.l_returnflag) AS n_target
+  FROM rels r
+),
+scored AS (
+  SELECT rel,
+         CASE WHEN n_pred = 0 THEN 0.0 ELSE n_correct::DOUBLE / n_pred END AS p,
+         CASE WHEN n_target = 0 THEN 0.0 ELSE n_correct::DOUBLE / n_target END AS r2,
+         n_correct, n_pred, n_target
+  FROM cnt
+)
+"""
+
+
+@_register(
+    "macro_by_relation",
+    _PER_REL_SQL
+    + """
+SELECT rel, round(p, 6) AS precision, round(r2, 6) AS recall,
+       round(CASE WHEN p + r2 = 0 THEN 0.0 ELSE 2 * p * r2 / (p + r2) END, 6) AS f1,
+       n_correct::BIGINT AS n_correct, n_pred::BIGINT AS n_pred, n_target::BIGINT AS n_target
+FROM scored
+""",
+)
+def macro_by_relation(spark, sf_dir):
+    from .metrics import per_relation_metrics
+
+    df = per_relation_metrics(_pred_target_df(spark, sf_dir))
+    return df.select(
+        "rel",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+        F.col("n_correct").cast("bigint").alias("n_correct"),
+        F.col("n_pred").cast("bigint").alias("n_pred"),
+        F.col("n_target").cast("bigint").alias("n_target"),
+    )
+
+
+# -- A3: bucketed metrics -----------------------------------------------------
+
+@_register(
+    "bucket_metrics",
+    _PER_REL_SQL.replace("\nSELECT rel,", "\nSELECT rel,", 1)
+    + f""",
+train AS (SELECT l_returnflag AS rel, count(*) AS cnt FROM lineitem
+          WHERE l_linenumber = 1 GROUP BY 1),
+bucketed AS (
+  SELECT coalesce(floor(log2(t.cnt))::BIGINT, -1) AS bucket,
+         s.n_correct, s.n_pred, s.n_target
+  FROM scored s LEFT JOIN train t ON s.rel = t.rel
+),
+agg AS (
+  SELECT bucket, sum(n_correct) AS n_correct, sum(n_pred) AS n_pred,
+         sum(n_target) AS n_target, count(*) AS n_relations
+  FROM bucketed GROUP BY 1
+)
+SELECT bucket,
+       round(CASE WHEN n_pred = 0 THEN 0.0 ELSE n_correct::DOUBLE / n_pred END, 6) AS precision,
+       round(CASE WHEN n_target = 0 THEN 0.0 ELSE n_correct::DOUBLE / n_target END, 6) AS recall,
+       n_relations::BIGINT AS n_relations,
+       n_correct::BIGINT AS n_correct, n_pred::BIGINT AS n_pred, n_target::BIGINT AS n_target
+FROM agg
+""",
+)
+def bucket_metrics_q(spark, sf_dir):
+    from .metrics import bucket_metrics
+
+    li = _t(spark, sf_dir, "lineitem")
+    train = (
+        li.filter(F.col("l_linenumber") == 1)
+        .groupBy(F.col("l_returnflag").alias("rel"))
+        .count()
+    )
+    df = bucket_metrics(_pred_target_df(spark, sf_dir), train)
+    return df.select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.col("n_relations").cast("bigint").alias("n_relations"),
+        F.col("n_correct").cast("bigint").alias("n_correct"),
+        F.col("n_pred").cast("bigint").alias("n_pred"),
+        F.col("n_target").cast("bigint").alias("n_target"),
+    )
+
+
+# -- A4: zero-shot relation-group metrics ------------------------------------
+
+_ZS_GROUPS = [("A", "seen"), ("N", "ignored"), ("R", "dropped")]
+
+
+@_register(
+    "zero_shot_groups",
+    _PER_REL_SQL
+    + f""",
+gmap AS (SELECT * FROM (VALUES {', '.join(f"('{r}','{g}')" for r, g in _ZS_GROUPS)}) AS v(rel, grp)),
+agg AS (
+  SELECT coalesce(g.grp, 'seen') AS "group",
+         sum(s.n_correct) AS n_correct, sum(s.n_pred) AS n_pred, sum(s.n_target) AS n_target
+  FROM scored s LEFT JOIN gmap g ON s.rel = g.rel GROUP BY 1
+)
+SELECT "group",
+       round(CASE WHEN n_pred = 0 THEN 0.0 ELSE n_correct::DOUBLE / n_pred END, 6) AS precision,
+       round(CASE WHEN n_target = 0 THEN 0.0 ELSE n_correct::DOUBLE / n_target END, 6) AS recall,
+       n_correct::BIGINT AS n_correct, n_pred::BIGINT AS n_pred, n_target::BIGINT AS n_target
+FROM agg
+""",
+)
+def zero_shot_groups(spark, sf_dir):
+    from .metrics import zero_shot_metrics
+
+    groups = spark.createDataFrame(_ZS_GROUPS, ["rel", "group"])
+    df = zero_shot_metrics(_pred_target_df(spark, sf_dir), groups)
+    return df.select(
+        "group",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.col("n_correct").cast("bigint").alias("n_correct"),
+        F.col("n_pred").cast("bigint").alias("n_pred"),
+        F.col("n_target").cast("bigint").alias("n_target"),
+    )
+
+
+# -- A5: deterministic bootstrap ----------------------------------------------
+
+_N_BOOT = 20
+
+
+@_register(
+    "bootstrap_micro",
+    f"""
+WITH {_TRIPLES_SQL},
+per_order AS (
+  SELECT o.l_orderkey,
+         coalesce(c.n, 0) AS n_correct, coalesce(p.n, 0) AS n_pred, coalesce(t.n, 0) AS n_target
+  FROM (SELECT l_orderkey FROM trg UNION SELECT l_orderkey FROM prd) o
+  LEFT JOIN (SELECT l_orderkey, count(*) n FROM trg JOIN prd USING (l_orderkey, l_returnflag, l_partkey) GROUP BY 1) c USING (l_orderkey)
+  LEFT JOIN (SELECT l_orderkey, count(*) n FROM prd GROUP BY 1) p USING (l_orderkey)
+  LEFT JOIN (SELECT l_orderkey, count(*) n FROM trg GROUP BY 1) t USING (l_orderkey)
+),
+runs AS (SELECT unnest(generate_series(0, {_N_BOOT - 1})) AS run),
+weighted AS (
+  SELECT r.run, po.n_correct, po.n_pred, po.n_target,
+         (('0x' || substr(md5(r.run::VARCHAR || chr(1) || po.l_orderkey::VARCHAR), 1, 15))::UBIGINT::BIGINT % 1000000) / 1000000.0 AS u
+  FROM per_order po CROSS JOIN runs r
+),
+w AS (
+  SELECT run, n_correct, n_pred, n_target,
+         CASE WHEN u < {POISSON1_CDF[0]!r} THEN 0
+              WHEN u < {POISSON1_CDF[1]!r} THEN 1
+              WHEN u < {POISSON1_CDF[2]!r} THEN 2
+              WHEN u < {POISSON1_CDF[3]!r} THEN 3
+              WHEN u < {POISSON1_CDF[4]!r} THEN 4
+              ELSE 5 END AS wt
+  FROM weighted
+),
+per_run AS (
+  SELECT run, sum(n_correct * wt) AS c, sum(n_pred * wt) AS p, sum(n_target * wt) AS t
+  FROM w GROUP BY 1
+),
+scored AS (
+  SELECT CASE WHEN p = 0 THEN 0.0 ELSE c::DOUBLE / p END AS precision,
+         CASE WHEN t = 0 THEN 0.0 ELSE c::DOUBLE / t END AS recall,
+         CASE WHEN (CASE WHEN p = 0 THEN 0.0 ELSE c::DOUBLE / p END)
+                 + (CASE WHEN t = 0 THEN 0.0 ELSE c::DOUBLE / t END) = 0 THEN 0.0
+              ELSE 2 * (CASE WHEN p = 0 THEN 0.0 ELSE c::DOUBLE / p END)
+                     * (CASE WHEN t = 0 THEN 0.0 ELSE c::DOUBLE / t END)
+                   / ((CASE WHEN p = 0 THEN 0.0 ELSE c::DOUBLE / p END)
+                      + (CASE WHEN t = 0 THEN 0.0 ELSE c::DOUBLE / t END)) END AS f1
+  FROM per_run
+)
+SELECT 'precision' AS metric, round(avg(precision), 6) AS mean, round(stddev_pop(precision), 6) AS std FROM scored
+UNION ALL
+SELECT 'recall', round(avg(recall), 6), round(stddev_pop(recall), 6) FROM scored
+UNION ALL
+SELECT 'f1', round(avg(f1), 6), round(stddev_pop(f1), 6) FROM scored
+""",
+)
+def bootstrap_micro_q(spark, sf_dir):
+    from .metrics import bootstrap_micro
+
+    df = bootstrap_micro(
+        _pred_target_df(spark, sf_dir), n_runs=_N_BOOT, hash_mode="md5"
+    )
+    return df.select(
+        "metric", F.round("mean", 6).alias("mean"), F.round("std", 6).alias("std")
+    )
+
+
+# -- A6/A7: occurrence + status tallies ---------------------------------------
+
+@_register(
+    "relation_occurrence",
+    "SELECT event_type AS rel, count(*)::BIGINT AS count FROM events GROUP BY 1",
+)
+def relation_occurrence(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("rel"))
+        .agg(F.count("*").cast("bigint").alias("count"))
+    )
+
+
+@_register(
+    "status_tally",
+    "SELECT o_orderstatus AS status, count(*)::BIGINT AS count FROM orders GROUP BY 1",
+)
+def status_tally(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(F.count("*").cast("bigint").alias("count"))
+    )
+
+
+# -- A8/SO2: coverage via anti-join -------------------------------------------
+
+@_register(
+    "relation_coverage",
+    f"""
+WITH {_TRIPLES_SQL}
+SELECT l_returnflag AS rel FROM trg
+EXCEPT
+SELECT l_returnflag AS rel FROM prd
+""",
+)
+def relation_coverage_q(spark, sf_dir):
+    from .metrics import relation_coverage
+
+    return relation_coverage(_pred_target_df(spark, sf_dir))
+
+
+# -- W1/W2: top-k per group ----------------------------------------------------
+
+@_register(
+    "topk_per_group",
+    """
+SELECT user_id, event_id, value FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def topk_per_group(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "value")
+    )
+
+
+# -- J1-analog: broadcast canonicalization join chain --------------------------
+
+@_register(
+    "canonicalize_join",
+    """
+SELECT r.r_name, count(*)::BIGINT AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1
+""",
+)
+def canonicalize_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+    )
+
+
+# -- J6: dimension dedup --------------------------------------------------------
+
+@_register(
+    "dedup_dimension",
+    """
+WITH uniq AS (SELECT p_name FROM part GROUP BY 1 HAVING count(*) = 1)
+SELECT p.p_partkey AS id, p.p_name AS name
+FROM part p JOIN uniq u ON p.p_name = u.p_name
+""",
+)
+def dedup_dimension(spark, sf_dir):
+    from .canonicalize import dedup_catalog
+
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"),
+        F.col("p_name").alias("name"),
+        F.lit("en_title").alias("provenance"),
+    )
+    return dedup_catalog(part).select("id", "name")
+
+
+# -- X1/X2: linearization round-trip --------------------------------------------
+
+@_register(
+    "linearize_roundtrip",
+    """
+WITH tr AS (SELECT DISTINCT l_orderkey,
+                   l_orderkey::VARCHAR AS s, l_returnflag AS r, l_partkey::VARCHAR AS o
+            FROM lineitem),
+lin AS (SELECT l_orderkey,
+               string_agg(' <sub> ' || s || ' <rel> ' || r || ' <obj> ' || o || ' <et>', ''
+                          ORDER BY s, r, o) AS lin,
+               count(*) AS n
+        FROM tr GROUP BY 1)
+SELECT l_orderkey, n::BIGINT AS n_parsed, md5(lin) AS lin_md5 FROM lin
+""",
+)
+def linearize_roundtrip(spark, sf_dir):
+    from .triples import format_triples_col, parse_triples_col
+
+    li = _t(spark, sf_dir, "lineitem")
+    triples = (
+        li.select(
+            "l_orderkey",
+            F.struct(
+                F.col("l_orderkey").cast("string").alias("s"),
+                F.col("l_returnflag").alias("r"),
+                F.col("l_partkey").cast("string").alias("o"),
+            ).alias("t"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.array_distinct(F.collect_list("t"))).alias("triples"))
+    )
+    lin = triples.withColumn("lin", format_triples_col(F.col("triples")))
+    parsed = lin.withColumn("parsed", parse_triples_col(F.col("lin")))
+    return parsed.select(
+        "l_orderkey",
+        F.size("parsed").cast("bigint").alias("n_parsed"),
+        F.md5("lin").alias("lin_md5"),
+    )
+
+
+# -- X3: sentence splitting (reference REBEL semantics) --------------------------
+
+@_register(
+    "sentence_split",
+    """
+WITH seeded AS (
+  SELECT doc_id, replace(text, ' the ', '. the ') AS text FROM documents
+),
+paras AS (
+  SELECT doc_id, p, pidx
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS p,
+               generate_subscripts(string_split(text, chr(10)), 1) AS pidx
+        FROM seeded)
+  WHERE length(p) > 0
+),
+sents AS (
+  SELECT doc_id, pidx, s, sidx
+  FROM (SELECT doc_id, pidx,
+               unnest(string_split(replace(p, '. ', '.' || chr(1)), chr(1))) AS s,
+               generate_subscripts(string_split(replace(p, '. ', '.' || chr(1)), chr(1)), 1) AS sidx
+        FROM paras)
+  WHERE trim(s) <> ''
+),
+ordered AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pidx, sidx) - 1 AS sent_idx,
+         regexp_replace(s || ' ', '\\s{2,}', ' ', 'g') AS sent
+  FROM sents
+)
+SELECT doc_id, sent_idx::BIGINT AS sent_idx, md5(sent) AS sent_md5 FROM ordered
+""",
+)
+def sentence_split(spark, sf_dir):
+    from .extract import sentences_df
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.replace(F.col("text"), F.lit(" the "), F.lit(". the ")).alias("text")
+    )
+    out = sentences_df(docs)
+    return out.select(
+        "doc_id",
+        F.col("sent_idx").cast("bigint").alias("sent_idx"),
+        F.md5("input").alias("sent_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline operators (documents / embeddings tables)
+# ---------------------------------------------------------------------------
+
+# DuckDB twin of h60 (see datapipe/hashes.py)
+def _h60_sql(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 15))::UBIGINT::BIGINT)"
+
+
+# shared shingle CTE (word 3-shingles, distinct per doc; docs shorter than
+# 3 words contribute the whole text — matches shingles_col semantics)
+_SHINGLES_SQL = """
+  w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS ord
+        FROM documents),
+  nw AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1),
+  sh AS (
+    SELECT DISTINCT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS shingle
+    FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+             JOIN w c ON a.doc_id = c.doc_id AND c.ord = a.ord + 2
+    UNION
+    SELECT d.doc_id, d.text FROM documents d JOIN nw ON d.doc_id = nw.doc_id AND nw.n < 3
+  )
+"""
+
+
+@_register(
+    "dedup_exact",
+    """
+SELECT md5(text) AS text_hash, min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS n_dups
+FROM documents GROUP BY 1
+""",
+)
+def dedup_exact(spark, sf_dir):
+    from .datapipe.dedup import exact_dedup
+
+    out = exact_dedup(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "text_hash",
+        F.col("keep_id").cast("bigint").alias("keep_id"),
+        F.col("n_dups").cast("bigint").alias("n_dups"),
+    )
+
+
+_MINHASH_N = 16
+_MINHASH_BANDS = 4
+_MINHASH_T = 0.5
+
+
+@_register(
+    "dedup_minhash_lsh",
+    f"""
+WITH {_SHINGLES_SQL},
+hj AS (SELECT unnest(generate_series(0, {_MINHASH_N - 1})) AS j),
+mh AS (
+  SELECT s.doc_id, hj.j,
+         min({_h60_sql("hj.j::VARCHAR || chr(1) || s.shingle")}) AS mv
+  FROM sh s CROSS JOIN hj GROUP BY 1, 2
+),
+sig AS (SELECT doc_id, list(mv ORDER BY j) AS sig FROM mh GROUP BY 1),
+banded AS (
+  SELECT doc_id, b.band,
+         md5(array_to_string(sig[b.band * {_MINHASH_N // _MINHASH_BANDS} + 1 :
+                                 (b.band + 1) * {_MINHASH_N // _MINHASH_BANDS}], ',')) AS bkey
+  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {_MINHASH_BANDS - 1})) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.id_a, c.id_b,
+         len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2]))::DOUBLE / {_MINHASH_N} AS ej
+  FROM cand c JOIN sig sa ON c.id_a = sa.doc_id JOIN sig sb ON c.id_b = sb.doc_id
+)
+SELECT id_a, id_b, round(ej, 6) AS est_jaccard FROM est WHERE ej >= {_MINHASH_T}
+""",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    from .datapipe.dedup import minhash_jaccard_pairs
+
+    return minhash_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=_MINHASH_N,
+        bands=_MINHASH_BANDS,
+        threshold=_MINHASH_T,
+    )
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    f"""
+WITH {_SHINGLES_SQL},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nc
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(nc::DOUBLE / (sa.n + sb.n - nc), 6) AS jaccard
+FROM common JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+WHERE nc::DOUBLE / (sa.n + sb.n - nc) >= 0.5
+""",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    from .datapipe.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN ({_h60_sql('word')} >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(bits)
+    )
+    val = " + ".join(f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits))
+    return f"""
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+sums AS (
+  SELECT doc_id,
+         {sums}
+  FROM w GROUP BY 1
+)
+SELECT doc_id, ({val})::BIGINT AS simhash FROM sums
+"""
+
+
+@_register("dedup_simhash", _simhash_sql(16))
+def dedup_simhash(spark, sf_dir):
+    from .datapipe.dedup import simhash_table
+
+    return simhash_table(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "embedding_neardup",
+    """
+WITH base AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> x::DOUBLE) AS v,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS n
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) / (a.n * b.n), 6) AS cosine
+FROM base a JOIN base b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) / (a.n * b.n) >= 0.3
+""",
+)
+def embedding_neardup(spark, sf_dir):
+    from .datapipe.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3
+    )
+
+
+# -- similarity search ----------------------------------------------------------
+
+# fixed 64-dim literal query vector (independent of sf so the oracle SQL
+# is a constant string)
+ANN_QUERY = [
+    (1.0 if i % 3 == 0 else (0.5 if i % 3 == 1 else -0.25)) for i in range(64)
+]
+_ANN_K = 10
+
+
+def _ann_oracle():
+    from .datapipe.similarity import brute_force_topk_sql
+
+    return brute_force_topk_sql(ANN_QUERY, _ANN_K)
+
+
+@_register("ann_cosine_topk", None)
+def ann_cosine_topk(spark, sf_dir):
+    from .datapipe.similarity import brute_force_topk
+
+    return brute_force_topk(_t(spark, sf_dir, "embeddings"), ANN_QUERY, k=_ANN_K)
+
+
+@_register("ann_lsh_topk", None)
+def ann_lsh_topk(spark, sf_dir):
+    from .datapipe.similarity import lsh_topk
+
+    return lsh_topk(_t(spark, sf_dir, "embeddings"), ANN_QUERY, k=_ANN_K, n_planes=4)
+
+
+def _install_ann_oracles():
+    from .datapipe.similarity import brute_force_topk_sql, lsh_topk_sql
+
+    ORACLES["ann_cosine_topk"] = brute_force_topk_sql(ANN_QUERY, _ANN_K)
+    ORACLES["ann_lsh_topk"] = lsh_topk_sql(ANN_QUERY, _ANN_K, 4, 64)
+
+
+_install_ann_oracles()
+
+
+# -- text analysis ----------------------------------------------------------------
+
+def _stop_sql(lang: str) -> str:
+    from .datapipe.textstats import STOPWORDS
+
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+@_register(
+    "lang_id",
+    f"""
+WITH s AS (
+  SELECT doc_id,
+         string_split_regex(lower(text), '\\s+') AS ws
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         round(len(list_filter(ws, x -> list_contains({_stop_sql('de')}, x)))::DOUBLE / greatest(len(ws), 1), 6) AS score_de,
+         round(len(list_filter(ws, x -> list_contains({_stop_sql('en')}, x)))::DOUBLE / greatest(len(ws), 1), 6) AS score_en,
+         round(len(list_filter(ws, x -> list_contains({_stop_sql('es')}, x)))::DOUBLE / greatest(len(ws), 1), 6) AS score_es,
+         round(len(list_filter(ws, x -> list_contains({_stop_sql('fr')}, x)))::DOUBLE / greatest(len(ws), 1), 6) AS score_fr
+  FROM s
+)
+SELECT doc_id, score_de, score_en, score_es, score_fr,
+       CASE WHEN greatest(score_de, score_en, score_es, score_fr) <= 0 THEN 'unknown'
+            WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
+            WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+            WHEN score_es >= score_fr THEN 'es'
+            ELSE 'fr' END AS lang_guess
+FROM scored
+""",
+)
+def lang_id_q(spark, sf_dir):
+    from .datapipe.textstats import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "quality_score",
+    """
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n_chars_m,
+         len(string_split_regex(text, '\\s+')) AS n_words,
+         round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
+               / greatest(length(text), 1), 6) AS punct_ratio,
+         round(len(list_filter(list_transform(string_split_regex(text, '\\s+'), x -> lower(x)),
+                               x -> list_contains(['the','and','of','a','to','in','is','that','for','with'], x)))::DOUBLE
+               / greatest(len(string_split_regex(text, '\\s+')), 1), 6) AS stopword_ratio,
+         round(length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+               / greatest(len(string_split_regex(text, '\\s+')), 1), 6) AS mean_word_len
+  FROM documents
+)
+SELECT doc_id, n_chars_m::BIGINT AS n_chars_m, n_words::BIGINT AS n_words,
+       punct_ratio, stopword_ratio, mean_word_len,
+       round((CASE WHEN n_words >= 20 THEN 0.25 ELSE n_words / 80.0 END)
+             + (CASE WHEN punct_ratio <= 0.1 THEN 0.25 ELSE greatest(0.0, 0.25 - punct_ratio) END)
+             + least(stopword_ratio * 3.0, 0.25)
+             + (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10 THEN 0.25 ELSE 0.0 END), 6) AS quality_score
+FROM f
+""",
+)
+def quality_score_q(spark, sf_dir):
+    from .datapipe.textstats import quality_features
+
+    out = quality_features(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_chars_m").cast("bigint").alias("n_chars_m"),
+        F.col("n_words").cast("bigint").alias("n_words"),
+        "punct_ratio", "stopword_ratio", "mean_word_len", "quality_score",
+    )
+
+
+@_register(
+    "token_count",
+    """
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+'))::BIGINT AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS re_tokens
+FROM documents
+""",
+)
+def token_count_q(spark, sf_dir):
+    from .datapipe.textstats import token_counts
+
+    out = token_counts(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("ws_tokens").cast("bigint").alias("ws_tokens"),
+        F.col("re_tokens").cast("bigint").alias("re_tokens"),
+    )
+
+
+@_register(
+    "fingerprint",
+    f"""
+WITH {_SHINGLES_SQL},
+h AS (SELECT doc_id, {_h60_sql('shingle')} AS hv FROM sh)
+SELECT h.doc_id,
+       min(hv)::BIGINT AS fp_min, max(hv)::BIGINT AS fp_max,
+       min(md5(d.text)) AS fp_md5
+FROM h JOIN documents d ON h.doc_id = d.doc_id
+GROUP BY 1
+""",
+)
+def fingerprint_q(spark, sf_dir):
+    from .datapipe.textstats import fingerprints
+
+    out = fingerprints(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("fp_min").cast("bigint").alias("fp_min"),
+        F.col("fp_max").cast("bigint").alias("fp_max"),
+        "fp_md5",
+    )
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible operators → rows-only driver check; exactness is
+# covered by the pytest parity suites (Spark vs pure-Python oracle).
+# ---------------------------------------------------------------------------
+
+
+@_register("graph_extract_triples")
+def graph_extract_triples(spark, sf_dir):
+    """Flagship constrained generation + canonicalization over the
+    documents corpus (rows-only check; parity in tests/)."""
+    import __spark_entry__ as entry_mod
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = entry_mod._docs_as_pages(docs)
+    ents, rels = entry_mod._corpus_catalogs(docs)
+    from .pipeline import extract_pipeline
+
+    out = extract_pipeline(spark, pages, ents, rels, lang="en", num_beams=2)
+    return out.select(
+        "url", "sent_idx", "prediction",
+        F.explode_outer("pred_triples").alias("t"),
+    ).select("url", "sent_idx", "t.s", "t.r", "t.o")
+
+
+@_register("multimodal_features")
+def multimodal_features(spark, sf_dir):
+    """Binary-column media plumbing with the deterministic fake encoder
+    (real decode stubbed; rows-only check)."""
+    from .datapipe.multimodal import extract_features, media_from_docs
+
+    media = media_from_docs(_t(spark, sf_dir, "documents"))
+    feats = extract_features(media, deterministic_fake=True)
+    return feats.select(
+        "media_id", "media_type",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+    )

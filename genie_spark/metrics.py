@@ -195,33 +195,49 @@ def zero_shot_metrics(
     )
 
 
+import math as _math
+
+# Poisson(1) inverse-CDF thresholds for the one-pass bootstrap (k ≤ 4
+# covers 99.6% of mass; the tail clamps to 5). Module-level so the DuckDB
+# oracle SQL can inline the exact same literals.
+POISSON1_CDF = []
+_acc = 0.0
+for _k in range(5):
+    _acc += _math.exp(-1.0) / _math.factorial(_k)
+    POISSON1_CDF.append(_acc)
+
+
 def bootstrap_micro(
     df: DataFrame,
     n_runs: int = 50,
     id_col: str = "id",
     pred: str = "pred",
     target: str = "target",
+    hash_mode: str = "xxhash",
 ) -> DataFrame:
     """A5 — bootstrap CI over samples (reference get_bootstrap_score,
     evaluation.py:12-26, 50 resamples). One-pass deterministic
     poissonization: each (sample, run) gets weight ~ Poisson(1) derived
-    from xxhash64(id, run) — no Python RNG, no repeated scans, identical
-    across parallelism levels. Returns (metric, mean, std)."""
+    from a hash of (id, run) — no Python RNG, no repeated scans, identical
+    across parallelism levels. Returns (metric, mean, std).
+
+    hash_mode='xxhash' is the production path (JVM intrinsic);
+    'md5' derives the uniform from the DuckDB-reproducible h60 so the
+    whole query is oracle-checkable."""
     counts = _counts(df, pred, target).select(id_col, "n_correct", "n_pred", "n_target")
     runs = counts.crossJoin(
         F.broadcast(
             counts.sparkSession.range(n_runs).select(F.col("id").alias("run"))
         )
     )
-    # uniform in [0,1) from the hash, then inverse-CDF Poisson(1) via
-    # stepwise thresholds (k ≤ 4 covers 99.6% of mass; tail clamps to 5)
-    u = (F.pmod(F.xxhash64(F.col(id_col), F.col("run")), F.lit(1_000_000))) / 1_000_000.0
-    import math
+    if hash_mode == "md5":
+        from .datapipe.hashes import h60_salted
 
-    cdf, acc = [], 0.0
-    for k in range(5):
-        acc += math.exp(-1.0) / math.factorial(k)
-        cdf.append(acc)
+        h = h60_salted(F.col(id_col).cast("string"), F.col("run"))
+    else:
+        h = F.xxhash64(F.col(id_col), F.col("run"))
+    u = F.pmod(h, F.lit(1_000_000)) / 1_000_000.0
+    cdf = POISSON1_CDF
     w = F.when(u < cdf[0], 0)
     for k in range(1, 5):
         w = w.when(u < cdf[k], k)

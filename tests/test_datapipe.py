@@ -1,0 +1,108 @@
+"""Datapipe operator unit tests (value-level parity lives in
+test_oracle_parity.py — these cover properties and the non-SQL paths)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from genie_spark.datapipe.dedup import (
+    exact_dedup,
+    minhash_jaccard_pairs,
+    ngram_jaccard_pairs,
+    simhash_table,
+)
+from genie_spark.datapipe.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    media_from_docs,
+    resize_images,
+)
+from genie_spark.datapipe.similarity import brute_force_topk, lsh_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "alpha beta gamma delta epsilon zeta eta iota"),   # near-dup of 0
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup of 0
+        (3, "one two three four five six seven eight nine"),
+        (4, "totally different words everywhere here now ok yes"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"]).cache()
+
+
+def test_exact_dedup_groups(spark, docs):
+    out = {r["keep_id"]: r["n_dups"] for r in exact_dedup(docs).collect()}
+    assert out[0] == 2  # docs 0 and 2 collapse, keeper is min id
+    assert 2 not in out
+    assert out[1] == 1 and out[3] == 1
+
+
+def test_ngram_jaccard_finds_neardup(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert (0, 2) in pairs and pairs[(0, 2)] == 1.0
+    assert (0, 1) in pairs and 0.3 <= pairs[(0, 1)] < 1.0
+    assert (3, 4) not in pairs
+
+
+def test_minhash_lsh_finds_neardup(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (0, 2) in pairs  # exact dup always collides
+    assert (3, 4) not in pairs
+
+
+def test_simhash_identical_for_dup(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash_table(docs).collect()}
+    assert sh[0] == sh[2]
+    assert 0 <= sh[0] < 2**16
+    assert sh[0] != sh[4]
+
+
+def test_brute_force_vs_lsh_topk(spark):
+    import random
+
+    rng = random.Random(9)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(200)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = rows[7][1]  # query near vector 7
+    brute = brute_force_topk(emb, q, k=5)
+    assert [r["vec_id"] for r in brute.collect()][0] == 7
+    lsh = lsh_topk(emb, q, k=5, n_planes=3)
+    got = [r["vec_id"] for r in lsh.collect()]
+    assert got and got[0] == 7  # the query's own bucket contains it
+
+
+def test_multimodal_stub_raises_without_fake(spark, docs):
+    media = media_from_docs(
+        docs.withColumn("n_chars", F.length("text"))
+    )
+    with pytest.raises(Exception) as ei:
+        extract_features(media, deterministic_fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or "real media decode" in str(ei.value)
+
+
+def test_multimodal_fake_features_deterministic(spark, docs):
+    media = media_from_docs(docs.withColumn("n_chars", F.length("text"))).cache()
+    a = sorted(map(tuple, extract_features(media, deterministic_fake=True).collect()))
+    b = sorted(map(tuple, extract_features(media.repartition(3), deterministic_fake=True).collect()))
+    assert a == b
+    for row in a:
+        feats = row[3]
+        assert len(feats) == 8 and all(0.0 <= x < 1.0 for x in feats)
+    # byte-identical payloads (docs 0 and 2) → identical features
+    by_id = {r[0]: r[3] for r in a}
+    assert by_id[0] == by_id[2]
+
+
+def test_resize_and_frame_plans(spark, docs):
+    media = media_from_docs(docs.withColumn("n_chars", F.length("text")))
+    rs = resize_images(media, max_side=100).collect()
+    for r in rs:
+        assert max(r["out_width"], r["out_height"]) <= 100
+        assert r["out_width"] <= r["width"] and r["out_height"] <= r["height"]
+    fr = frame_sample_plan(media, every_ms=100)
+    rows = fr.collect()
+    if rows:
+        one = [r for r in rows if r["media_id"] == rows[0]["media_id"]]
+        ts = sorted(r["frame_ts_ms"] for r in one)
+        assert ts[0] == 0 and all(b - a == 100 for a, b in zip(ts, ts[1:]))
