@@ -1,0 +1,215 @@
+#!/usr/bin/env python
+"""Benchmark harness for the genie_spark engine.
+
+Default mode (what the driver runs per-round):
+    python bench.py
+runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32) and prints
+ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": ..., "docs_per_sec": ...}
+
+Scaling mode (two-cluster-size evidence per BASELINE.json north_rule —
+sandbox protocol: same job at local[8] vs local[32]):
+    python bench.py --scaling
+spawns one subprocess per parallelism level (a fresh JVM per master
+setting), each running the replicated generation job, and prints a JSON
+line with throughput at both levels and efficiency = (T_N / T_4N) / 4.
+
+Single-level worker (used by --scaling; also handy standalone):
+    python bench.py --gen-only --cpus 8 --replicate 40
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DEFAULT = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS_DEFAULT = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("genie-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(2 * cpus, 16)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+
+
+def _sink(df) -> None:
+    """Force full materialization without driver collect. A plain count()
+    would let Catalyst prune projection-only compute (e.g. signature
+    columns); the noop sink evaluates every output column."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _gen_job(spark, sf_dir: str, replicate: int):
+    """The flagship constrained-generation pipeline over the documents
+    corpus, optionally replicated x`replicate` to give the scaling run
+    enough compute to dominate scheduling overhead. Returns (df, n_docs)."""
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+
+    from genie_spark.pipeline import extract_pipeline
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    if replicate > 1:
+        docs = docs.withColumn(
+            "rep", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1)))
+        ).withColumn(
+            "doc_id", F.col("doc_id") * replicate + F.col("rep")
+        ).drop("rep")
+    n_docs = docs.count()
+    pages = entry_mod._docs_as_pages(docs)
+    base = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    ents, rels = entry_mod._corpus_catalogs(base)
+    out = extract_pipeline(
+        spark, pages, ents, rels, lang="en", num_beams=2, partitions=0
+    )
+    return out, n_docs
+
+
+# headline relational/datapipe queries (subset of entry_queries.QUERIES
+# chosen to cover each operator family; names match queries()).
+HEADLINE = [
+    "micro_prf",
+    "macro_by_relation",
+    "bucket_metrics",
+    "bootstrap_micro",
+    "canonicalize_join",
+    "topk_per_group",
+    "sentence_split",
+    "linearize_roundtrip",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "lang_id",
+    "quality_score",
+    "token_count",
+    "fingerprint",
+]
+
+
+def run_default(sf_dir: str, cpus: int) -> dict:
+    import __spark_entry__ as entry_mod
+
+    spark = _spark(cpus)
+    queries = entry_mod.queries()
+    timings: dict[str, float] = {}
+
+    # flagship: constrained generation end-to-end (docs/sec headline)
+    t0 = time.time()
+    out, n_docs = _gen_job(spark, sf_dir, replicate=1)
+    _sink(out)
+    gen_s = time.time() - t0
+    timings["graph_extract_triples"] = round(gen_s, 3)
+
+    # this sandbox is a shared host (~5% CPU steal, multi-10s co-tenant
+    # episodes observed); min-of-2 per query reports the least-interference
+    # measurement
+    for name in HEADLINE:
+        fn = queries[name]
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            _sink(fn(spark, sf_dir))
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "genie_spark headline suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "docs_per_sec": round(n_docs / gen_s, 1),
+        "n_docs": n_docs,
+    }
+    spark.stop()
+    return result
+
+
+def run_gen_only(sf_dir: str, cpus: int, replicate: int) -> dict:
+    spark = _spark(cpus)
+    # warm the JVM + python workers on a small slice so the timed run
+    # measures steady-state throughput, not process startup
+    warm, _ = _gen_job(spark, sf_dir, replicate=1)
+    _sink(warm.limit(200))
+    t0 = time.time()
+    out, n_docs = _gen_job(spark, sf_dir, replicate=replicate)
+    _sink(out)
+    dt = time.time() - t0
+    spark.stop()
+    return {
+        "cpus": cpus,
+        "seconds": round(dt, 3),
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / dt, 1),
+    }
+
+
+def run_scaling(sf_dir: str, replicate: int, lo: int = 8, hi: int = 32) -> dict:
+    levels = {}
+    for cpus in (lo, hi):
+        proc = subprocess.run(
+            [
+                sys.executable, os.path.abspath(__file__),
+                "--gen-only", "--cpus", str(cpus),
+                "--replicate", str(replicate), "--sf-dir", sf_dir,
+            ],
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        levels[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
+    speedup = levels[lo]["seconds"] / levels[hi]["seconds"]
+    return {
+        "metric": f"generation throughput scaling local[{lo}] -> local[{hi}]",
+        "value": round(speedup / (hi / lo), 4),
+        "unit": "efficiency",
+        "sf": sf_dir,
+        "replicate": replicate,
+        "levels": levels,
+        "speedup": round(speedup, 3),
+        "efficiency": round(speedup / (hi / lo), 4),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=SF_DEFAULT)
+    ap.add_argument("--cpus", type=int, default=CPUS_DEFAULT)
+    ap.add_argument("--gen-only", action="store_true")
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--replicate", type=int, default=40)
+    args = ap.parse_args()
+
+    if args.scaling:
+        result = run_scaling(args.sf_dir, args.replicate)
+    elif args.gen_only:
+        result = run_gen_only(args.sf_dir, args.cpus, args.replicate)
+    else:
+        result = run_default(args.sf_dir, args.cpus)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

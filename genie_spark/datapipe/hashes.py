@@ -41,3 +41,52 @@ def h60_sql(expr: str) -> str:
 
 def h60_salted_sql(expr: str, salt_expr: str) -> str:
     return h60_sql(f"({salt_expr})::varchar || chr(1) || ({expr})")
+
+
+# ---------------------------------------------------------------------------
+# MinHash permutation family: ONE base hash per input, then num_hashes
+# derived values — pure 64-bit-safe arithmetic (identical in Spark and
+# DuckDB), ~16× fewer md5 evaluations than hashing per (j, input) pair.
+#
+# Construction: split the 60-bit base hash into 30-bit halves (hi, lo) and
+# mix each through a wrapping affine map mod the Mersenne prime 2^31-1:
+#     v1 = (a·hi + c) mod M31,   v2 = (b·lo + c) mod M31
+#     perm = v1·2^31 + v2
+# The mod MUST wrap to scramble ordering (a·hi ≈ 2^58 ≫ M31 wraps ~2^27
+# times); a first attempt with modulus 2^61-1 never wrapped, leaving all
+# "permutations" order-correlated with the base hash and inflating LSH
+# collisions ~40×. Products stay < 2^59, sums < 2^62 — inside signed 64.
+# ---------------------------------------------------------------------------
+
+MINHASH_M31 = (1 << 31) - 1  # Mersenne prime 2^31-1
+_LO_MASK = (1 << 30) - 1
+
+
+def minhash_params(num_hashes: int):
+    """Deterministic (a, b, c) per hash function, derived from md5 so both
+    engines (and any rebuild) agree without an RNG."""
+    import hashlib
+
+    out = []
+    for j in range(num_hashes):
+        def d(tag):
+            return int(hashlib.md5(f"mh-{tag}-{j}".encode()).hexdigest()[:7], 16) | 1
+        out.append((d("a"), d("b"), d("c")))
+    return out
+
+
+def minhash_perm(h: Column, a: int, b: int, c: int) -> Column:
+    """One wrapped-affine permutation of a 60-bit base hash (Column form)."""
+    hi = F.shiftright(h, 30)
+    lo = h.bitwiseAND(F.lit(_LO_MASK))
+    v1 = F.pmod(F.lit(a) * hi + F.lit(c), F.lit(MINHASH_M31))
+    v2 = F.pmod(F.lit(b) * lo + F.lit(c), F.lit(MINHASH_M31))
+    return v1 * F.lit(1 << 31) + v2
+
+
+def minhash_perm_sql(h_expr: str, a: int, b: int, c: int) -> str:
+    """DuckDB twin of :func:`minhash_perm`."""
+    return (
+        f"((({a} * (({h_expr}) >> 30) + {c}) % {MINHASH_M31}) * {1 << 31}"
+        f" + (({b} * (({h_expr}) & {_LO_MASK}) + {c}) % {MINHASH_M31}))"
+    )

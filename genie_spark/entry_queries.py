@@ -480,6 +480,158 @@ def linearize_roundtrip(spark, sf_dir):
     )
 
 
+# -- P1/F1/F2/F4/F5: KILT dataset-load filter pipeline ----------------------------
+
+_KILT_DROP = "R"    # F2: drop the whole sample if any triple has this relation
+_KILT_IGNORE = "N"  # F4: remove individual triples with this relation
+
+
+@_register(
+    "kilt_filters",
+    f"""
+WITH tr AS (SELECT DISTINCT l_orderkey,
+                   l_orderkey::VARCHAR AS s, l_returnflag AS r, l_partkey::VARCHAR AS o
+            FROM lineitem),
+samples AS (
+  SELECT t.l_orderkey AS id,
+         CASE o.o_orderstatus WHEN 'F' THEN 'title' WHEN 'O' THEN 'label' ELSE 'none' END AS status,
+         t.s, t.r, t.o
+  FROM tr t JOIN orders o ON t.l_orderkey = o.o_orderkey
+),
+f1 AS (SELECT * FROM samples WHERE status IN ('title', 'label')),
+f2 AS (SELECT * FROM f1 WHERE id NOT IN (SELECT id FROM f1 WHERE r = '{_KILT_DROP}')),
+f4 AS (SELECT * FROM f2 WHERE r <> '{_KILT_IGNORE}'),
+lin AS (SELECT id,
+               count(*) AS n_triples,
+               string_agg(' <sub> ' || s || ' <rel> ' || r || ' <obj> ' || o || ' <et>', ''
+                          ORDER BY s, r, o) AS target
+        FROM f4 GROUP BY 1)
+SELECT id, n_triples::BIGINT AS n_triples, md5(target) AS target_md5 FROM lin
+""",
+)
+def kilt_filters(spark, sf_dir):
+    """F1 matching-status filter → F2 relations-drop → F4 per-triple ignore
+    + re-linearize → F5 empty-target drop (reference datasets.py:92-201),
+    over a KILT-shaped table derived from lineitem/orders."""
+    from .kilt import (
+        drop_ignored_relations,
+        filter_matching_status,
+        filter_relations_drop,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    samples = (
+        li.select(
+            "l_orderkey",
+            F.struct(
+                F.col("l_orderkey").cast("string").alias("s"),
+                F.col("l_returnflag").alias("r"),
+                F.col("l_partkey").cast("string").alias("o"),
+            ).alias("t"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.array_distinct(F.collect_list("t"))).alias("surface_triples"))
+        .join(orders, F.col("l_orderkey") == orders["o_orderkey"])
+        .select(
+            F.col("l_orderkey").alias("id"),
+            F.when(F.col("o_orderstatus") == "F", "title")
+            .when(F.col("o_orderstatus") == "O", "label")
+            .otherwise("none")
+            .alias("instance_matching_status"),
+            "surface_triples",
+        )
+        .withColumn("target", F.lit(""))
+    )
+    out = filter_matching_status(samples, allowed=("title", "label"))
+    out = filter_relations_drop(out, [_KILT_DROP])
+    out = drop_ignored_relations(out, [_KILT_IGNORE])
+    return out.select(
+        "id",
+        F.size("surface_triples").cast("bigint").alias("n_triples"),
+        F.md5("target").alias("target_md5"),
+    )
+
+
+# -- J2: id→surface annotation with match statuses --------------------------------
+
+@_register(
+    "annotate_id_triples",
+    """
+WITH idt AS (
+  SELECT DISTINCT 'S' || l_suppkey::VARCHAR AS s_id,
+         'P' || l_linenumber::VARCHAR AS r_id,
+         'T' || l_partkey::VARCHAR AS o_id
+  FROM lineitem
+),
+ents AS (
+  SELECT 'S' || s_suppkey::VARCHAR AS id, s_name AS name, 'en_title' AS provenance FROM supplier
+  UNION ALL
+  SELECT 'T' || p_partkey::VARCHAR, p_name, 'en_label' FROM part
+),
+rels AS (SELECT 'P' || n_nationkey::VARCHAR AS id, n_name AS name FROM nation WHERE n_nationkey BETWEEN 1 AND 5),
+ann AS (
+  SELECT i.s_id, i.r_id, i.o_id,
+         es.name AS s, CASE WHEN es.name IS NULL THEN 'no_match'
+                            WHEN es.provenance = 'en_title' THEN 'title' ELSE 'label' END AS s_status,
+         eo.name AS o, CASE WHEN eo.name IS NULL THEN 'no_match'
+                            WHEN eo.provenance = 'en_title' THEN 'title' ELSE 'label' END AS o_status,
+         r.name AS r, CASE WHEN r.name IS NULL THEN 'no_match' ELSE 'title' END AS r_status
+  FROM idt i LEFT JOIN ents es ON i.s_id = es.id
+             LEFT JOIN ents eo ON i.o_id = eo.id
+             LEFT JOIN rels r ON i.r_id = r.id
+)
+SELECT s_id, r_id, o_id, coalesce(s, '') AS s, coalesce(r, '') AS r, coalesce(o, '') AS o,
+       s_status, r_status, o_status,
+       CASE WHEN s_status = 'no_match' OR r_status = 'no_match' OR o_status = 'no_match' THEN 'no_match'
+            WHEN s_status = 'label' OR o_status = 'label' THEN 'label'
+            ELSE 'title' END AS triple_status
+FROM ann
+""",
+)
+def annotate_id_triples(spark, sf_dir):
+    """J2 broadcast annotation join (reference triplet_utils.py:38-68,
+    surface_forms_utils.py:180-232): gold id-triples → surface forms with
+    per-position and rolled-up match statuses."""
+    from .canonicalize import id_to_surface
+
+    li = _t(spark, sf_dir, "lineitem")
+    idt = li.select(
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("s_id"),
+        F.concat(F.lit("P"), F.col("l_linenumber").cast("string")).alias("r_id"),
+        F.concat(F.lit("T"), F.col("l_partkey").cast("string")).alias("o_id"),
+    ).distinct()
+    supplier = _t(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("id"),
+        F.col("s_name").alias("name"),
+        F.lit("en_title").alias("provenance"),
+    )
+    part = _t(spark, sf_dir, "part").select(
+        F.concat(F.lit("T"), F.col("p_partkey").cast("string")).alias("id"),
+        F.col("p_name").alias("name"),
+        F.lit("en_label").alias("provenance"),
+    )
+    ents = supplier.unionByName(part)
+    rels = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_nationkey").between(1, 5))
+        .select(
+            F.concat(F.lit("P"), F.col("n_nationkey").cast("string")).alias("id"),
+            F.col("n_name").alias("name"),
+        )
+    )
+    out = id_to_surface(idt, ents, rels)
+    # null-free output: unmatched names surface as '' (status columns carry
+    # the no_match signal) so cross-engine row hashing never sees NULL
+    return out.select(
+        "s_id", "r_id", "o_id",
+        F.coalesce("s", F.lit("")).alias("s"),
+        F.coalesce("r", F.lit("")).alias("r"),
+        F.coalesce("o", F.lit("")).alias("o"),
+        "s_status", "r_status", "o_status", "triple_status",
+    )
+
+
 # -- X3: sentence splitting (reference REBEL semantics) --------------------------
 
 @_register(
@@ -575,15 +727,25 @@ _MINHASH_BANDS = 4
 _MINHASH_T = 0.5
 
 
-@_register(
-    "dedup_minhash_lsh",
-    f"""
+def _minhash_params_sql() -> str:
+    from .datapipe.hashes import minhash_params
+
+    vals = ", ".join(
+        f"({j}, {a}, {b}, {c})"
+        for j, (a, b, c) in enumerate(minhash_params(_MINHASH_N))
+    )
+    return f"(VALUES {vals}) AS v(j, a, b, c)"
+
+
+_MINHASH_ORACLE = f"""
 WITH {_SHINGLES_SQL},
-hj AS (SELECT unnest(generate_series(0, {_MINHASH_N - 1})) AS j),
+hbase AS (SELECT doc_id, {_h60_sql("shingle")} AS h FROM sh),
+params AS (SELECT * FROM {{params}}),
 mh AS (
-  SELECT s.doc_id, hj.j,
-         min({_h60_sql("hj.j::VARCHAR || chr(1) || s.shingle")}) AS mv
-  FROM sh s CROSS JOIN hj GROUP BY 1, 2
+  SELECT doc_id, j,
+         min(((a * (h >> 30) + c) % 2147483647) * 2147483648
+             + ((b * (h & 1073741823) + c) % 2147483647)) AS mv
+  FROM hbase CROSS JOIN params GROUP BY 1, 2
 ),
 sig AS (SELECT doc_id, list(mv ORDER BY j) AS sig FROM mh GROUP BY 1),
 banded AS (
@@ -602,8 +764,10 @@ est AS (
   FROM cand c JOIN sig sa ON c.id_a = sa.doc_id JOIN sig sb ON c.id_b = sb.doc_id
 )
 SELECT id_a, id_b, round(ej, 6) AS est_jaccard FROM est WHERE ej >= {_MINHASH_T}
-""",
-)
+"""
+
+
+@_register("dedup_minhash_lsh", None)
 def dedup_minhash_lsh(spark, sf_dir):
     from .datapipe.dedup import minhash_jaccard_pairs
 
@@ -613,6 +777,9 @@ def dedup_minhash_lsh(spark, sf_dir):
         bands=_MINHASH_BANDS,
         threshold=_MINHASH_T,
     )
+
+
+ORACLES["dedup_minhash_lsh"] = _MINHASH_ORACLE.format(params=_minhash_params_sql())
 
 
 @_register(

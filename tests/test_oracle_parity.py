@@ -41,7 +41,7 @@ def _norm(v):
 def _rows(df_cols, rows):
     order = sorted(range(len(df_cols)), key=lambda i: df_cols[i])
     return sorted(
-        tuple(_norm(r[i]) for i in order) for r in rows
+        (tuple(_norm(r[i]) for i in order) for r in rows), key=repr
     )
 
 
