@@ -50,6 +50,7 @@ class Beam:
     tokens: List[int]
     state: DecodeState
     log_prob: float = 0.0  # length-normalized, set at finalization
+    ptr: int = 0  # scorer alignment cursor, advanced incrementally per push
 
 
 class DeterministicScorer:
@@ -109,16 +110,23 @@ class DeterministicScorer:
         j = bisect_left(pos, ptr)
         return pos[j] if j < len(pos) else -1
 
-    def _pointer(self, ctx, tokens: Sequence[int]) -> int:
-        """Greedy monotone alignment of generated content tokens to the doc."""
+    def advance(self, ctx, ptr: int, token: int) -> int:
+        """One step of the greedy monotone doc alignment — the left fold
+        beam_search threads through each beam incrementally (O(1) amortized
+        per step vs re-scanning the whole prefix per score call, the
+        reference's O(len²) shape, ie_prefix_constraints.py:149-155)."""
+        if token in self.structural or token == EOS_ID:
+            return ptr
         _, positions, _ = ctx
+        hit = self._next_at(positions, token, ptr)
+        return hit + 1 if hit >= 0 else ptr
+
+    def _pointer(self, ctx, tokens: Sequence[int]) -> int:
+        """Full-prefix fold of :meth:`advance` (kept as the test oracle for
+        the incremental cursor)."""
         ptr = 0
         for t in tokens:
-            if t in self.structural or t == EOS_ID:
-                continue
-            hit = self._next_at(positions, t, ptr)
-            if hit >= 0:
-                ptr = hit + 1
+            ptr = self.advance(ctx, ptr, t)
         return ptr
 
     def score(
@@ -127,11 +135,13 @@ class DeterministicScorer:
         tokens: Sequence[int],
         state: DecodeState,
         allowed: Sequence[int],
+        ptr: Optional[int] = None,
     ) -> List[float]:
         doc_seq, positions, doc_hash = ctx
         step = len(tokens)
         codes = state.codes
-        ptr = self._pointer(ctx, tokens)
+        if ptr is None:
+            ptr = self._pointer(ctx, tokens)
         exhausted = ptr >= len(doc_seq)
         out = []
         for t in allowed:
@@ -189,7 +199,10 @@ class HFSeq2SeqScorer:  # pragma: no cover - needs torch/transformers
         with torch.no_grad():
             return self.model.get_encoder()(**enc)
 
-    def score(self, ctx, tokens, state, allowed):
+    def advance(self, ctx, ptr, token):
+        return ptr  # no alignment cursor; the transformer attends itself
+
+    def score(self, ctx, tokens, state, allowed, ptr=None):
         import torch
 
         ids = torch.tensor([[self.tokenizer.eos_token_id, *tokens]], device=self.device)
@@ -225,7 +238,9 @@ def beam_search(
             allowed = b.state.allowed()
             if not allowed:
                 continue
-            lps = _log_softmax(scorer.score(ctx, b.tokens, b.state, allowed))
+            lps = _log_softmax(
+                scorer.score(ctx, b.tokens, b.state, allowed, ptr=b.ptr)
+            )
             for tok, lp in zip(allowed, lps):
                 cands.append((b.score + lp, tok, bi))
         if not cands:
@@ -236,7 +251,9 @@ def beam_search(
             b = live[bi]
             st = b.state.clone()
             st.push(tok)
-            nb = Beam(score, b.tokens + [tok], st)
+            nb = Beam(
+                score, b.tokens + [tok], st, ptr=scorer.advance(ctx, b.ptr, tok)
+            )
             if st.finished:
                 finished.append(nb)
             elif len(new_live) < num_beams:

@@ -215,3 +215,24 @@ def test_catalog_dup_names_present():
     assert len(names) != len(set(names))  # J6 dedup has work to do
     uniq = synth.unique_entity_names(ents)
     assert len(uniq) == len(set(uniq))
+
+
+def test_incremental_pointer_matches_fold(tok):
+    """The per-beam alignment cursor (advance) must equal the full-prefix
+    fold (_pointer) on every prefix of a decoded sequence."""
+    ents = ["Alice Smith", "Zurich", "Bob"]
+    rels = ["birthplace"]
+    t = WordTokenizer(ents + rels)
+    codes = TagCodes(t)
+    ent_t, rel_t = trie_from_names(ents, t), trie_from_names(rels, t)
+    sc = DeterministicScorer(t)
+    text = "Alice Smith was born in Zurich. Bob knows Alice Smith."
+    ctx = sc.context(text)
+    seq = t.encode(
+        " <sub> Alice Smith <rel> birthplace <obj> Zurich <et>"
+    )
+    ptr = 0
+    for i, tok_id in enumerate(seq):
+        assert ptr == sc._pointer(ctx, seq[:i])
+        ptr = sc.advance(ctx, ptr, tok_id)
+    assert ptr == sc._pointer(ctx, seq)

@@ -1,0 +1,114 @@
+"""Source/sink operators (SURVEY §2.1) on tiny temp files."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from genie_spark.sources import (
+    read_catalog,
+    read_kilt,
+    read_paired_text,
+    read_relation_set,
+    route_wikidata_dump,
+    write_jsonl,
+    WIKIDATA_DUMP_SCHEMA,
+)
+
+
+def _write_lines(path, lines):
+    with open(path, "w") as f:
+        for l in lines:
+            f.write(l + "\n")
+
+
+def test_read_kilt_schema_and_rows(spark, tmp_path):
+    rows = [
+        {
+            "id": "a",
+            "input": "Alice lives in Zurich.",
+            "target": " <sub> Alice <rel> residence <obj> Zurich <et>",
+            "surface_triples": [{"s": "Alice", "r": "residence", "o": "Zurich"}],
+            "id_triples": [{"s": "Q1", "r": "P2", "o": "Q3"}],
+            "instance_matching_status": "title",
+        },
+        {"id": "b", "input": "x", "target": "", "surface_triples": [],
+         "id_triples": [], "instance_matching_status": "label"},
+    ]
+    p = tmp_path / "kilt.jsonl"
+    _write_lines(p, [json.dumps(r) for r in rows])
+    df = read_kilt(spark, str(p))
+    got = {r["id"]: r for r in df.collect()}
+    assert got["a"]["surface_triples"][0]["o"] == "Zurich"
+    assert got["b"]["instance_matching_status"] == "label"
+    assert df.schema["surface_triples"].dataType.elementType["r"].dataType.typeName() == "string"
+
+
+def test_write_jsonl_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([("a", 1), ("b", 2)], ["id", "v"])
+    out = str(tmp_path / "out")
+    write_jsonl(df, out)
+    back = spark.read.json(out)
+    assert sorted((r["id"], r["v"]) for r in back.collect()) == [("a", 1), ("b", 2)]
+
+
+def test_read_paired_text_alignment(spark, tmp_path):
+    src = tmp_path / "test.source"
+    trg = tmp_path / "test.target"
+    _write_lines(src, [f"sentence {i}" for i in range(50)])
+    _write_lines(trg, [f"target {i}" for i in range(50)])
+    df = read_paired_text(spark, str(src), str(trg))
+    rows = {r["line_id"]: (r["src"], r["trg"]) for r in df.collect()}
+    assert len(rows) == 50
+    for i in range(50):
+        assert rows[i] == (f"sentence {i}", f"target {i}")
+
+
+def test_route_wikidata_dump(spark, tmp_path):
+    recs = [
+        {"id": "Q1", "labels": {"en": {"value": "Alice"}},
+         "sitelinks": {"enwiki": {"title": "Alice"}}},
+        {"id": "Q2", "labels": {"en": {"value": "NoSitelink"}}},  # dropped
+        {"id": "P5", "labels": {"en": {"value": "author"}},
+         "aliases": {"en": [{"value": "written by"}]}},
+    ]
+    p = tmp_path / "dump.jsonl"
+    _write_lines(p, [json.dumps(r) for r in recs])
+    dump = spark.read.schema(WIKIDATA_DUMP_SCHEMA).json(str(p))
+    ents, rels = route_wikidata_dump(dump)
+    assert [r["id"] for r in ents.collect()] == ["Q1"]
+    rel_rows = rels.collect()
+    assert [r["id"] for r in rel_rows] == ["P5"]
+    assert rel_rows[0]["aliases"] == ["written by"]
+
+
+def test_read_relation_set(spark, tmp_path):
+    p = tmp_path / "rels.jsonl"
+    _write_lines(p, [json.dumps({"relation": n}) for n in ["author", "place"]])
+    assert read_relation_set(spark, str(p)) == {"author", "place"}
+
+
+def test_read_catalog_provenance_and_uniqueness(spark, tmp_path):
+    p = tmp_path / "cat.jsonl"
+    _write_lines(
+        p,
+        [
+            json.dumps({"wikidata_id": "Q1", "information": {"en_title": "Alice"}}),
+            json.dumps({"wikidata_id": "Q2", "information": {"en_label": "bob"}}),
+        ],
+    )
+    dim = read_catalog(spark, str(p))
+    got = {r["id"]: (r["name"], r["provenance"]) for r in dim.collect()}
+    assert got == {"Q1": ("Alice", "en_title"), "Q2": ("bob", "en_label")}
+
+    dup = tmp_path / "dup.jsonl"
+    _write_lines(
+        dup,
+        [
+            json.dumps({"wikidata_id": "Q1", "information": {"en_title": "A"}}),
+            json.dumps({"wikidata_id": "Q1", "information": {"en_title": "B"}}),
+        ],
+    )
+    with pytest.raises(ValueError, match="duplicate catalog id"):
+        read_catalog(spark, str(dup))

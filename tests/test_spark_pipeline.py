@@ -150,6 +150,50 @@ def test_extraction_recovers_gold_facts(spark, pages, catalogs):
     assert precision > 0.5, f"precision {precision:.2f} too low"
 
 
+def test_pr_agreement_with_reference_decoder(spark, pages, catalogs):
+    """North-rule acceptance, computed as the north rule states it: micro
+    P/R of the Spark pipeline's emitted triples vs the reference decoder's
+    emitted triples must be ≥ 0.95 (BASELINE.json metric). The pipeline is
+    deterministic so this lands at exactly 1.0; the assertion is the
+    contract, the equality tests above explain why it holds."""
+    from genie_spark.metrics import micro_metrics
+
+    ents, rels = catalogs
+    out = extract_pipeline(spark, pages, ents, rels, num_beams=2)
+    spark_rows = {
+        (r["url"], r["sent_idx"]): [(t["s"], t["r"], t["o"]) for t in r["pred_triples"]]
+        for r in out.collect()
+    }
+
+    tok = WordTokenizer(ents + rels)
+    codes = TagCodes(tok)
+    ent_t, rel_t = trie_from_names(ents, tok), trie_from_names(rels, tok)
+    scorer = DeterministicScorer(tok)
+    rows = []
+    for lr in synth.pages_local(N_PAGES):
+        if lr["lang"] != "en":
+            continue
+        for i, sent in enumerate(split_sentences(lr["text"])):
+            beams = generate_for_text(sent, scorer, tok, codes, ent_t, rel_t, num_beams=2)
+            ref = parse_linearization(top_valid_prediction(beams) or "")
+            rows.append(
+                (
+                    f"{lr['url']}#{i}",
+                    spark_rows[(lr["url"], i)],
+                    [tuple(t) for t in ref],
+                )
+            )
+    df = spark.createDataFrame(
+        rows,
+        "id string, pred array<struct<s:string,r:string,o:string>>, "
+        "target array<struct<s:string,r:string,o:string>>",
+    )
+    m = micro_metrics(df).collect()[0]
+    assert m["precision"] >= 0.95, m
+    assert m["recall"] >= 0.95, m
+    assert m["n_target"] > 0
+
+
 # ---------------------------------------------------------------------------
 # canonicalization
 # ---------------------------------------------------------------------------
