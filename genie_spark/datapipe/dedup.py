@@ -202,11 +202,15 @@ def simhash_col(text: Column, bits: int = SIMHASH_BITS) -> Column:
     """Per-doc SimHash over word tokens: bit i of the signature is the sign
     of Σ_tokens (±1 by bit i of h60(token)). Row-local HOF aggregate —
     no explode, no shuffle. Bit positions are unrolled at plan-build time
-    (shift amounts must be literals in Spark)."""
-    w = words_col(text)
+    (shift amounts must be literals in Spark).
 
-    def bit_signs(t: Column) -> Column:
-        h = h60(t)
+    Each token is md5-hashed ONCE into an array, then the per-bit ±1 fold
+    runs over the integer hashes — the earlier form re-evaluated h60 inside
+    every bit lambda (16 md5s per token; HOF lambdas get no common-
+    subexpression elimination)."""
+    hs = F.transform(words_col(text), lambda t: h60(t))
+
+    def bit_signs(h: Column) -> Column:
         return F.array(
             *[
                 F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
@@ -217,9 +221,9 @@ def simhash_col(text: Column, bits: int = SIMHASH_BITS) -> Column:
         )
 
     sums = F.aggregate(
-        w,
+        hs,
         F.array_repeat(F.lit(0).cast("long"), bits),
-        lambda acc, t: F.zip_with(acc, bit_signs(t), lambda a_, d: a_ + d),
+        lambda acc, h: F.zip_with(acc, bit_signs(h), lambda a_, d: a_ + d),
     )
     # sums_i > 0 → add 2^i; pow stays exact (bits ≤ 32 « double mantissa)
     return F.aggregate(

@@ -1,0 +1,94 @@
+"""Continuous-crawl mode: Structured Streaming over the same operators.
+
+The reference is batch-only (SURVEY §2.9) and the north_rule asks for
+resumable batch, which checkpoint.py provides. This module is the
+incremental-ingest counterpart for a crawl that keeps appending page files:
+``readStream`` on the input directory → the SAME GenieExtractor transform →
+``foreachBatch`` into the graph writer. Streaming reuses every batch
+operator unchanged — mapInPandas, broadcast tries, canonicalization joins —
+because none of them are stateful across rows.
+
+Exactly-once: the streaming checkpoint (source offsets) plus the idempotent
+per-batch parquet append keyed by batch_id gives effective
+exactly-once for this sink (a replayed batch overwrites its own directory,
+never double-appends) — the same idea as checkpoint.py's chunk lineage,
+driven by Spark's offset log instead of a data-hash chunking.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .pipeline import GenieExtractor
+from .extract import sentences_df
+
+PAGE_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+
+def read_page_stream(
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """Streaming scan of a directory of page parquet files. Schema must be
+    explicit (streaming sources don't infer)."""
+    reader = spark.readStream.schema(PAGE_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_dir)
+
+
+def stream_extract(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    ent_names: List[str],
+    rel_names: List[str],
+    lang: Optional[str] = "en",
+    num_beams: int = 2,
+    available_now: bool = True,
+):
+    """Start (and with ``available_now`` run to completion) the streaming
+    extraction: one micro-batch per file group, each batch going through
+    the identical generation + parse path as the batch pipeline, landing
+    under ``output_dir/data/batch=<id>/`` with the streaming checkpoint in
+    ``output_dir/_checkpoint`` (restart-safe: processed files are never
+    re-read; an interrupted batch is replayed into the same directory).
+    """
+    extractor = GenieExtractor(spark, ent_names, rel_names, num_beams=num_beams)
+    pages = read_page_stream(spark, input_dir)
+    if lang is not None:
+        pages = pages.filter(F.col("lang") == lang)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sents = sentences_df(batch_df, text_col="text").select(
+            "url", "warc_ts", "sent_idx", "input"
+        )
+        out = extractor.transform(sents)
+        # idempotent per-batch commit: replay of batch_id overwrites its own
+        # directory rather than appending a duplicate
+        out.write.mode("overwrite").parquet(
+            os.path.join(output_dir, "data", f"batch={batch_id}")
+        )
+
+    writer = (
+        pages.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", os.path.join(output_dir, "_checkpoint"))
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
+def read_stream_output(spark: SparkSession, output_dir: str) -> DataFrame:
+    return spark.read.option("basePath", os.path.join(output_dir, "data")).parquet(
+        os.path.join(output_dir, "data", "batch=*")
+    )
