@@ -17,6 +17,7 @@ the LSH form here is the representative implementation.
 from __future__ import annotations
 
 import hashlib
+import math
 from typing import List, Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -130,6 +131,148 @@ def lsh_topk(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: partition the corpus by nearest centroid, probe
+# only the query's cell(s). Centroids here are deterministic hash-sampled
+# corpus vectors (a k-means refinement keeps the same plan shape — assign =
+# argmin over centroid literals — so this is the representative scale path:
+# the table is written partitioned by `cell`, and a probe prunes to
+# n_probe_cells partitions).
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(
+    emb: DataFrame,
+    n_cells: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> List[List[float]]:
+    """Deterministic centroid pick: the n_cells corpus vectors with the
+    smallest md5-derived hash of their id — stable across runs/engines,
+    no RNG, no iteration. Collected to the driver (n_cells × dim floats,
+    tiny) and inlined as literals into both engines' assignment exprs."""
+    from .hashes import h60
+
+    rows = (
+        emb.select(id_col, vec_col)
+        .withColumn("_h", h60(F.col(id_col).cast("string")))
+        .orderBy("_h", id_col)
+        .limit(n_cells)
+        .collect()
+    )
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
+def _cent_cos(vec_col: Column, cent: Sequence[float]) -> Column:
+    """Cosine to a centroid literal, rounded to 9dp — the rounding absorbs
+    engine summation-order drift so the argmax (and the DuckDB oracle's)
+    agree bit-for-bit."""
+    lit = F.array(*[F.lit(float(c)) for c in cent])
+    return F.round(cosine_col(vec_col, lit), 9)
+
+
+def ivf_cell_col(vec_col: Column, centroids: List[List[float]]) -> Column:
+    """Spherical IVF assignment: argmax cosine over centroid literals →
+    cell id (cells must align with the query metric; L2 cells over
+    unnormalized vectors scatter cosine-neighbors — measured recall
+    collapse 2/10 vs 8+/10). Ties break to the lower cell id (strict >
+    keeps the first maximum)."""
+    cell = F.lit(0)
+    best = _cent_cos(vec_col, centroids[0])
+    for i, c in enumerate(centroids[1:], start=1):
+        d = _cent_cos(vec_col, c)
+        cell = F.when(d > best, F.lit(i)).otherwise(cell)
+        best = F.when(d > best, d).otherwise(best)
+    return cell
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query: Sequence[float],
+    centroids: List[List[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe the n_probe cells nearest to the query; exact cosine inside.
+    At scale the table is written `partitionBy(cell)` so the probe is
+    partition pruning, not a filter over the full scan."""
+    def pycos(cent):
+        dot = sum(float(x) * float(c) for x, c in zip(query, cent))
+        nq = math.sqrt(sum(float(x) * float(x) for x in query))
+        nc = math.sqrt(sum(float(c) * float(c) for c in cent))
+        return round(dot / (nq * nc), 9)
+
+    sims = [pycos(cent) for cent in centroids]
+    probe = sorted(range(len(centroids)), key=lambda i: (-sims[i], i))[:n_probe]
+    qlit = F.array(*[F.lit(float(x)) for x in query])
+    cells = emb.withColumn("cell", ivf_cell_col(F.col(vec_col), centroids))
+    return (
+        cells.filter(F.col("cell").isin(probe))
+        .select(
+            F.col(id_col),
+            F.col("cell"),
+            F.round(cosine_col(F.col(vec_col), qlit), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivf_topk_sql(
+    query: Sequence[float],
+    n_cells: int = 8,
+    k: int = 10,
+    n_probe: int = 2,
+) -> str:
+    """DuckDB twin of :func:`ivf_centroids` + :func:`ivf_topk`, fully
+    data-derived (the centroid pick runs in SQL with the same hash order),
+    so the one static oracle string is correct at every scale factor."""
+    from .hashes import h60_sql
+
+    q = _q_vec_sql(query)
+
+    def cos_sql(a: str, b: str) -> str:
+        return (
+            f"round(list_sum(list_transform(list_zip({a}, {b}),"
+            f" p -> p[1]::DOUBLE * p[2]::DOUBLE))"
+            f" / (sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
+            f" * sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE)))), 9)"
+        )
+
+    return f"""
+WITH cents AS (
+  SELECT embedding AS cvec,
+         row_number() OVER (ORDER BY {h60_sql("vec_id::VARCHAR")}, vec_id) - 1 AS cid
+  FROM embeddings
+  QUALIFY cid < {n_cells}
+),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {cos_sql("e.embedding", "c.cvec")} DESC, c.cid
+         ) AS rnk
+  FROM embeddings e CROSS JOIN cents c
+),
+cells AS (SELECT vec_id, embedding, cid AS cell FROM assign WHERE rnk = 1),
+probe AS (
+  SELECT cid FROM cents
+  ORDER BY {cos_sql(q, "cvec")} DESC, cid
+  LIMIT {n_probe}
+)
+SELECT vec_id, cell,
+       round(list_sum(list_transform(list_zip(embedding, {q}),
+                                     p -> p[1]::DOUBLE * p[2]::DOUBLE))
+             / (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+                * sqrt(list_sum(list_transform({q}, x -> x * x)))), 6) AS cosine
+FROM cells WHERE cell IN (SELECT cid FROM probe)
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {k}
+"""
 
 
 # ---------------------------------------------------------------------------

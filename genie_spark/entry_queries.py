@@ -906,11 +906,34 @@ def ann_lsh_topk(spark, sf_dir):
     return lsh_topk(_t(spark, sf_dir, "embeddings"), ANN_QUERY, k=_ANN_K, n_planes=4)
 
 
+_IVF_CELLS = 8
+_IVF_PROBE = 2
+
+
+@_register("ann_ivf_topk", None)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF scale path: deterministic hash-sampled centroids, probe the
+    n_probe nearest cells, exact cosine inside (at scale the table is
+    written partitionBy(cell) → the probe is partition pruning)."""
+    from .datapipe.similarity import ivf_centroids, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(emb, n_cells=_IVF_CELLS)
+    return ivf_topk(emb, ANN_QUERY, cents, k=_ANN_K, n_probe=_IVF_PROBE)
+
+
 def _install_ann_oracles():
-    from .datapipe.similarity import brute_force_topk_sql, lsh_topk_sql
+    from .datapipe.similarity import (
+        brute_force_topk_sql,
+        ivf_topk_sql,
+        lsh_topk_sql,
+    )
 
     ORACLES["ann_cosine_topk"] = brute_force_topk_sql(ANN_QUERY, _ANN_K)
     ORACLES["ann_lsh_topk"] = lsh_topk_sql(ANN_QUERY, _ANN_K, 4, 64)
+    ORACLES["ann_ivf_topk"] = ivf_topk_sql(
+        ANN_QUERY, n_cells=_IVF_CELLS, k=_ANN_K, n_probe=_IVF_PROBE
+    )
 
 
 _install_ann_oracles()

@@ -106,3 +106,42 @@ def test_resize_and_frame_plans(spark, docs):
         one = [r for r in rows if r["media_id"] == rows[0]["media_id"]]
         ts = sorted(r["frame_ts_ms"] for r in one)
         assert ts[0] == 0 and all(b - a == 100 for a, b in zip(ts, ts[1:]))
+
+
+def test_ivf_topk_recall_vs_brute(spark):
+    """IVF with a 2-cell probe over 8 cells must recover most of the exact
+    top-k when the corpus actually clusters (on unstructured noise — like
+    the synthetic embeddings table, mean pairwise cosine ≈ 0 — ANY coarse
+    quantizer degenerates to n_probe/n_cells recall, so the test builds
+    clustered vectors: 8 prototypes + deterministic per-vector jitter)."""
+    import math
+
+    from genie_spark.datapipe.similarity import (
+        brute_force_topk,
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    dim, n_protos, per = 16, 8, 40
+
+    def proto(p):
+        return [math.sin(0.7 * p + 1.3 * d) for d in range(dim)]
+
+    rows = []
+    for p in range(n_protos):
+        base = proto(p)
+        for j in range(per):
+            jitter = [0.15 * math.sin(2.1 * j + 0.9 * d + p) for d in range(dim)]
+            rows.append((p * per + j, p, [b + e for b, e in zip(base, jitter)]))
+    emb = spark.createDataFrame(rows, "vec_id int, label int, embedding array<float>")
+
+    q = [x + 0.05 for x in proto(3)]  # near prototype 3
+    brute = {r["vec_id"]: r["cosine"] for r in brute_force_topk(emb, q, k=10).collect()}
+    cents = ivf_centroids(emb, n_cells=8)
+    assert len(cents) == 8
+    ivf = {r["vec_id"]: r["cosine"] for r in ivf_topk(emb, q, cents, k=10, n_probe=2).collect()}
+    assert len(ivf) == 10
+    hits = set(ivf) & set(brute)
+    assert len(hits) >= 8, f"IVF recall too low on clustered data: {len(hits)}/10"
+    for vid in hits:
+        assert ivf[vid] == brute[vid]
