@@ -63,6 +63,23 @@ def _append_lineage(out_path: str, record: dict) -> None:
     os.replace(tmp, fname)  # atomic: a chunk is done iff its record exists
 
 
+def _clean_uncommitted(out_path: str, todo_chunks) -> None:
+    """Drop data for chunks with NO lineage record — a crash between the
+    data append and the lineage write leaves orphaned partition files that
+    a naive resume would duplicate (observed: kill -TERM mid-run left
+    chunk=4,5 data without lineage; re-run re-emitted them → 254 rows for
+    a 193-row corpus). The lineage record is the commit point; anything
+    outside it is rolled back here. On Iceberg the same rollback is a
+    snapshot expire of the uncommitted append."""
+    import shutil
+
+    data = os.path.join(out_path, "data")
+    for c in todo_chunks:
+        part_dir = os.path.join(data, f"chunk={c}")
+        if os.path.exists(part_dir):
+            shutil.rmtree(part_dir)
+
+
 def run_checkpointed(
     spark: SparkSession,
     pages: DataFrame,
@@ -83,6 +100,7 @@ def run_checkpointed(
     chunked = with_chunk(pages, key=key, n_chunks=n_chunks)
     done = set(completed_chunks(spark, out_path))
     todo = [c for c in range(n_chunks) if c not in done]
+    _clean_uncommitted(out_path, todo)
     processed: List[int] = []
     for i in range(0, len(todo), chunks_per_job):
         group = todo[i : i + chunks_per_job]

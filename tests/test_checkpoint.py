@@ -92,3 +92,30 @@ def test_third_run_is_noop(spark, process, tmp_path):
     pages = synth.pages_df(spark, N_PAGES).cache()
     run_checkpointed(spark, pages, process, out, n_chunks=N_CHUNKS, chunks_per_job=3)
     assert run_checkpointed(spark, pages, process, out, n_chunks=N_CHUNKS) == []
+
+
+def test_orphaned_data_rolled_back_on_resume(spark, process, tmp_path):
+    """A crash BETWEEN the data append and the lineage write leaves
+    partition files with no commit record; resume must roll them back,
+    not duplicate them (regression: observed 254 rows for a 193-row corpus
+    after a SIGTERM mid-run)."""
+    import os
+
+    out = str(tmp_path / "graph_out")
+    pages = synth.pages_df(spark, N_PAGES).cache()
+
+    # simulate the crash: write one chunk's data WITHOUT its lineage record
+    chunked = with_chunk(pages, n_chunks=N_CHUNKS)
+    orphan = process(chunked.filter(F.col("chunk") == 0))
+    orphan.write.mode("append").partitionBy("chunk").parquet(
+        os.path.join(out, "data")
+    )
+    assert completed_chunks(spark, out) == []  # no commit record
+
+    run_checkpointed(
+        spark, pages, process, out, n_chunks=N_CHUNKS, chunks_per_job=N_CHUNKS
+    )
+    got = spark.read.parquet(os.path.join(out, "data"))
+    n = got.count()
+    n_distinct = got.select("url", "sent_idx").distinct().count()
+    assert n == n_distinct, f"orphaned chunk data duplicated: {n} vs {n_distinct}"
