@@ -112,3 +112,21 @@ def test_read_catalog_provenance_and_uniqueness(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="duplicate catalog id"):
         read_catalog(spark, str(dup))
+
+
+def test_iceberg_fallback_paths(spark, tmp_path):
+    """Without the Iceberg runtime (this sandbox), write_table/read_table
+    must take the parquet fallback with identical layout."""
+    from genie_spark.iceberg import iceberg_available, read_table, write_table
+
+    assert iceberg_available(spark) is False  # sandbox has no runtime jar
+    df = spark.createDataFrame([("a", "P1"), ("b", "P2")], ["subj", "pred"])
+    out = str(tmp_path / "graph")
+    kind = write_table(df, "genie.graph", out, mode="overwrite", partition_by="pred")
+    assert kind == "parquet"
+    back = read_table(spark, "genie.graph", out)
+    assert sorted((r["subj"], r["pred"]) for r in back.collect()) == [
+        ("a", "P1"), ("b", "P2"),
+    ]
+    import os
+    assert os.path.isdir(os.path.join(out, "pred=P1"))  # same partition layout
