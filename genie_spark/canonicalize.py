@@ -183,12 +183,19 @@ def write_graph(
     path: str,
     mode: str = "append",
     partition_by: Optional[str] = "pred",
-) -> None:
-    """Materialize the graph table. Iceberg in production
-    (``writeTo(...).append()`` with snapshot lineage); Parquet directory
-    layout locally with identical partitioning (by predicate — bounded
-    cardinality, prunes predicate-filtered reads)."""
-    w = graph.write.mode(mode)
-    if partition_by:
-        w = w.partitionBy(partition_by)
-    w.parquet(path)
+    table: Optional[str] = None,
+) -> str:
+    """Materialize the graph table. With an Iceberg runtime and ``table``
+    identifier: snapshot-committed ``writeTo`` (see iceberg.py); otherwise
+    a Parquet directory with identical partitioning (by predicate —
+    bounded cardinality, prunes predicate-filtered reads). Returns the
+    sink kind actually used ('iceberg' | 'parquet')."""
+    from .iceberg import write_table
+
+    return write_table(
+        graph,
+        table or "genie.graph",
+        path,
+        mode=mode,
+        partition_by=partition_by,
+    )
