@@ -80,20 +80,25 @@ def parse_triples_col(col: Column, dedup: bool = True) -> Column:
 
 
 def format_triples_col(col: Column) -> Column:
-    """Column[array<struct<s,r,o>>] → Column[string] linearization."""
-    return F.aggregate(
-        col,
-        F.lit(""),
-        lambda acc, t: F.concat(
-            acc,
-            F.lit(" <sub> "),
-            F.trim(t["s"]),
-            F.lit(" <rel> "),
-            F.trim(t["r"]),
-            F.lit(" <obj> "),
-            F.trim(t["o"]),
-            F.lit(" <et>"),
+    """Column[array<struct<s,r,o>>] → Column[string] linearization.
+
+    transform + array_join, not an aggregate fold: the fold re-copies the
+    accumulated string every step (O(n²) bytes per row for wide triple
+    sets); this form renders each triple once and concatenates once."""
+    return F.array_join(
+        F.transform(
+            col,
+            lambda t: F.concat(
+                F.lit(" <sub> "),
+                F.trim(t["s"]),
+                F.lit(" <rel> "),
+                F.trim(t["r"]),
+                F.lit(" <obj> "),
+                F.trim(t["o"]),
+                F.lit(" <et>"),
+            ),
         ),
+        "",
     )
 
 
