@@ -109,9 +109,12 @@ def _extractor(spark, sf_dir: str):
 HEADLINE = [
     "micro_prf",
     "macro_by_relation",
+    "macro_mean",
     "bucket_metrics",
     "bootstrap_micro",
     "canonicalize_join",
+    "annotate_id_triples",
+    "kilt_filters",
     "topk_per_group",
     "sentence_split",
     "linearize_roundtrip",
@@ -120,6 +123,7 @@ HEADLINE = [
     "dedup_simhash",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "lang_id",
     "quality_score",
     "token_count",
