@@ -162,6 +162,13 @@ def materialize_graph(
         "url", F.explode_outer("pred_triples").alias("t")
     ).filter(F.col("t").isNotNull()).select("url", "t.s", "t.r", "t.o")
     linked = surface_to_id(flat, ent_catalog, rel_catalog, how="inner")
+    if salt_buckets > 1:
+        # explicit skew pre-reduction: dedup (triple, url) pairs under a
+        # salt first, so the final hot-key reducer sees at most the
+        # distinct-url count per triple, not the raw mention count
+        linked = dedup_triples(
+            linked, keys=("s_id", "r_id", "o_id", "url"), salt_buckets=salt_buckets
+        )
     # one shuffle does both dedup and provenance aggregation
     grouped = linked.groupBy("s_id", "r_id", "o_id").agg(
         F.first("s", ignorenulls=True).alias("subj_name"),

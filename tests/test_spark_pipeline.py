@@ -265,3 +265,15 @@ def test_materialize_graph(spark, pages, catalogs):
     for r in rows:
         assert r["subj"].startswith("Q") and r["pred"].startswith("P")
         assert r["n_sources"] >= 1 and r["first_url"].startswith("https://")
+
+
+def test_materialize_graph_salted_equals_plain(spark, pages, catalogs):
+    """salt_buckets must change the shuffle shape, never the rows."""
+    ents, rels = catalogs
+    ents_cat, rels_cat = synth.catalogs_df(spark)
+    out = extract_pipeline(spark, pages, ents, rels).cache()
+    a = sorted(map(tuple, materialize_graph(out, ents_cat, rels_cat).collect()))
+    b = sorted(
+        map(tuple, materialize_graph(out, ents_cat, rels_cat, salt_buckets=8).collect())
+    )
+    assert a == b and len(a) > 0
