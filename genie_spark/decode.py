@@ -143,10 +143,14 @@ class DeterministicScorer:
         if ptr is None:
             ptr = self._pointer(ctx, tokens)
         exhausted = ptr >= len(doc_seq)
+        # crc32(prefix + suffix) == crc32(suffix, crc32(prefix)): hash the
+        # per-step prefix once, continue per candidate — same bits, one
+        # format+crc per candidate instead of the whole key
+        prefix_crc = zlib.crc32(b"%d|%d|" % (doc_hash, step))
         out = []
         for t in allowed:
             # stable tiebreak noise in [0, 0.1)
-            logit = (zlib.crc32(b"%d|%d|%d" % (doc_hash, step, t)) % 1024) / 10240.0
+            logit = (zlib.crc32(b"%d" % t, prefix_crc) % 1024) / 10240.0
             if t == codes.eos:
                 # stop once the doc's copyable content is consumed — but
                 # never before at least one complete triple is out
