@@ -164,15 +164,30 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.5,
+    max_df: Optional[int] = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for pairs sharing ≥1 shingle: explode distinct
     shingles → self-equi-join on shingle → |A∩B| per pair → Jaccard.
     The shingle join is the scalable blocking (only co-shingled pairs ever
-    meet); at web scale drop ultra-common shingles first (df cut) to bound
-    the hottest key — here dataset-small, handled by AQE."""
+    meet), but its pair count is quadratic in per-shingle document
+    frequency: a boilerplate shingle shared by 10^6 docs alone makes 10^12
+    join rows. ``max_df`` is the web-scale guard — shingles appearing in
+    more than ``max_df`` documents are dropped (stopword semantics: they
+    leave both the intersection AND the per-doc set sizes) via a df
+    groupBy + left-semi join before the self-join, so the hottest key
+    contributes at most max_df·(max_df−1)/2 pairs. ``max_df=None``
+    preserves the exact-Jaccard semantics for small corpora."""
     sh = docs.select(
         F.col(id_col), F.explode(shingles_col(F.col(text_col), k)).alias("shingle")
     ).distinct()
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (

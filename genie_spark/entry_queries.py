@@ -829,6 +829,38 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
+_NGRAM_MAX_DF = 3
+
+
+@_register(
+    "dedup_ngram_jaccard_dfcut",
+    f"""
+WITH {_SHINGLES_SQL},
+rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= {_NGRAM_MAX_DF}),
+shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nc
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(nc::DOUBLE / (sa.n + sb.n - nc), 6) AS jaccard
+FROM common JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+WHERE nc::DOUBLE / (sa.n + sb.n - nc) >= 0.5
+""",
+)
+def dedup_ngram_jaccard_dfcut(spark, sf_dir):
+    """Web-scale variant: shingles in > max_df docs are dropped before the
+    self-join (stopword semantics), bounding the hottest join key at
+    max_df·(max_df−1)/2 pairs regardless of corpus size."""
+    from .datapipe.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5, max_df=_NGRAM_MAX_DF
+    )
+
+
 def _simhash_sql(bits: int = 16) -> str:
     sums = ",\n         ".join(
         f"sum(CASE WHEN ({_h60_sql('word')} >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"

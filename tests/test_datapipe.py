@@ -45,6 +45,29 @@ def test_ngram_jaccard_finds_neardup(spark, docs):
     assert (3, 4) not in pairs
 
 
+def test_ngram_jaccard_dfcut_bounds_hot_shingle(spark):
+    """A boilerplate shingle shared by every doc makes the self-join
+    quadratic; max_df must drop it so pair counts stay bounded while
+    genuinely-similar pairs (sharing rare shingles) survive."""
+    boiler = "click here to subscribe"
+    n = 40
+    rows = [(i, f"{boiler} unique{i} filler{i} tail{i}") for i in range(n)]
+    # one genuine near-dup pair sharing rare shingles beyond the boilerplate
+    rows += [(100, f"{boiler} special snowflake content here"),
+             (101, f"{boiler} special snowflake content there")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    uncut = ngram_jaccard_pairs(docs, threshold=0.0)
+    cut = ngram_jaccard_pairs(docs, threshold=0.0, max_df=5)
+    n_uncut = uncut.count()
+    n_cut = cut.count()
+    assert n_uncut >= (n * (n - 1)) // 2  # boilerplate makes all-pairs
+    assert n_cut <= 5 * 4 // 2 * 10      # bounded by max_df per shingle
+    assert n_cut < n_uncut
+    pairs = {(r["id_a"], r["id_b"]) for r in cut.collect()}
+    assert (100, 101) in pairs  # rare-shingle near-dup survives the cut
+
+
 def test_minhash_lsh_finds_neardup(spark, docs):
     pairs = {(r["id_a"], r["id_b"]) for r in minhash_jaccard_pairs(docs, threshold=0.5).collect()}
     assert (0, 2) in pairs  # exact dup always collides
