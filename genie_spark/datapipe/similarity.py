@@ -9,9 +9,13 @@ the scan cost drops by ~2^b while recall stays high for near-duplicate
 search. Hyperplane coefficients are seeded literals generated once (same
 constants inlined into the DuckDB oracle → bit-identical buckets).
 
-An IVF variant at production scale would k-means the corpus and bucket by
-nearest centroid — same plan shape (bucket column + per-bucket scan), so
-the LSH form here is the representative implementation.
+The IVF path splits index-build from probe: `materialize_ivf_cells`
+assigns each vector its nearest-centroid cell once and writes the corpus
+`partitionBy("cell")`; `ivf_topk_pruned` then reads only the probed cells
+via partition pruning — per-query cost is O(corpus / n_cells · n_probe),
+with the O(corpus) assignment amortized over every query against the
+index (a k-means refinement would change only the centroid list, not the
+plan shape).
 """
 
 from __future__ import annotations
@@ -177,15 +181,75 @@ def ivf_cell_col(vec_col: Column, centroids: List[List[float]]) -> Column:
     """Spherical IVF assignment: argmax cosine over centroid literals →
     cell id (cells must align with the query metric; L2 cells over
     unnormalized vectors scatter cosine-neighbors — measured recall
-    collapse 2/10 vs 8+/10). Ties break to the lower cell id (strict >
-    keeps the first maximum)."""
-    cell = F.lit(0)
-    best = _cent_cos(vec_col, centroids[0])
-    for i, c in enumerate(centroids[1:], start=1):
-        d = _cent_cos(vec_col, c)
-        cell = F.when(d > best, F.lit(i)).otherwise(cell)
-        best = F.when(d > best, d).otherwise(best)
-    return cell
+    collapse 2/10 vs 8+/10). The n_cells cosines are computed ONCE each
+    into a single array and argmax'd via array_position(·, array_max(·)),
+    instead of the chained-F.when form whose plan carried every cosine
+    twice (once for cell, once for best) and nested ~2·n_cells exprs —
+    the source of the multi-MiB task binaries flagged in round 1.
+    array_position returns the FIRST maximum → ties break to the lower
+    cell id (same semantics as the reference strict->keep-first fold)."""
+    cos_arr = F.array(*[_cent_cos(vec_col, c) for c in centroids])
+    return (F.array_position(cos_arr, F.array_max(cos_arr)) - 1).cast("int")
+
+
+def ivf_probe_cells(
+    query: Sequence[float], centroids: List[List[float]], n_probe: int = 2
+) -> List[int]:
+    """Driver-side (n_cells is tiny): the n_probe cell ids whose centroids
+    are cosine-nearest the query, ties to the lower id — same 9dp rounding
+    as the Column-side assignment."""
+    def pycos(cent):
+        dot = sum(float(x) * float(c) for x, c in zip(query, cent))
+        nq = math.sqrt(sum(float(x) * float(x) for x in query))
+        nc = math.sqrt(sum(float(c) * float(c) for c in cent))
+        return round(dot / (nq * nc), 9)
+
+    sims = [pycos(cent) for cent in centroids]
+    return sorted(range(len(centroids)), key=lambda i: (-sims[i], i))[:n_probe]
+
+
+def materialize_ivf_cells(
+    emb: DataFrame,
+    centroids: List[List[float]],
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Assign every vector its cell ONCE and persist `partitionBy("cell")`
+    — the index-build step of IVF. Probes against the written table are
+    partition pruning (PartitionFilters on `cell`), not a full scan that
+    re-evaluates n_cells cosines per row per query. At 100 TB this is the
+    difference between an O(corpus) assignment amortized over all queries
+    and paying it on every single probe."""
+    emb.withColumn("cell", ivf_cell_col(F.col(vec_col), centroids)).write.partitionBy(
+        "cell"
+    ).mode("overwrite").parquet(path)
+
+
+def ivf_topk_pruned(
+    spark,
+    path: str,
+    query: Sequence[float],
+    centroids: List[List[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe a materialized cell table: `cell IN probe` on the partition
+    column prunes to n_probe directories; exact cosine inside."""
+    probe = ivf_probe_cells(query, centroids, n_probe)
+    qlit = F.array(*[F.lit(float(x)) for x in query])
+    cells = spark.read.parquet(path)
+    return (
+        cells.filter(F.col("cell").isin(probe))
+        .select(
+            F.col(id_col),
+            F.col("cell").cast("int").alias("cell"),
+            F.round(cosine_col(F.col(vec_col), qlit), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
 
 
 def ivf_topk(
@@ -197,17 +261,11 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Probe the n_probe cells nearest to the query; exact cosine inside.
-    At scale the table is written `partitionBy(cell)` so the probe is
-    partition pruning, not a filter over the full scan."""
-    def pycos(cent):
-        dot = sum(float(x) * float(c) for x, c in zip(query, cent))
-        nq = math.sqrt(sum(float(x) * float(x) for x in query))
-        nc = math.sqrt(sum(float(c) * float(c) for c in cent))
-        return round(dot / (nq * nc), 9)
-
-    sims = [pycos(cent) for cent in centroids]
-    probe = sorted(range(len(centroids)), key=lambda i: (-sims[i], i))[:n_probe]
+    """Index-free IVF probe (assignment inline): correct but re-derives
+    the cell per row — use :func:`materialize_ivf_cells` +
+    :func:`ivf_topk_pruned` everywhere the table is probed more than
+    once."""
+    probe = ivf_probe_cells(query, centroids, n_probe)
     qlit = F.array(*[F.lit(float(x)) for x in query])
     cells = emb.withColumn("cell", ivf_cell_col(F.col(vec_col), centroids))
     return (

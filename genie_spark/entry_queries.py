@@ -942,16 +942,38 @@ _IVF_CELLS = 8
 _IVF_PROBE = 2
 
 
-@_register("ann_ivf_topk", None)
-def ann_ivf_topk(spark, sf_dir):
-    """IVF scale path: deterministic hash-sampled centroids, probe the
-    n_probe nearest cells, exact cosine inside (at scale the table is
-    written partitionBy(cell) → the probe is partition pruning)."""
-    from .datapipe.similarity import ivf_centroids, ivf_topk
+def _ivf_index_dir(sf_dir: str) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return f"/tmp/genie_spark_ivf/{base}_c{_IVF_CELLS}"
+
+
+def ivf_index(spark, sf_dir):
+    """Build (once per sf_dir, idempotent) the partitionBy(cell) IVF table
+    under /tmp and return (path, centroids). The _SUCCESS marker makes the
+    build amortize across processes — exactly the index-build/probe split
+    a production deployment has."""
+    from .datapipe.similarity import ivf_centroids, materialize_ivf_cells
 
     emb = _t(spark, sf_dir, "embeddings")
     cents = ivf_centroids(emb, n_cells=_IVF_CELLS)
-    return ivf_topk(emb, ANN_QUERY, cents, k=_ANN_K, n_probe=_IVF_PROBE)
+    path = _ivf_index_dir(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        materialize_ivf_cells(emb, cents, path)
+    return path, cents
+
+
+@_register("ann_ivf_topk", None)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF scale path: deterministic hash-sampled centroids; the corpus is
+    materialized partitionBy(cell) once, so the probe is partition pruning
+    over n_probe directories (PartitionFilters in the scan — asserted in
+    test_plans), not a full scan re-deriving assignments per query."""
+    from .datapipe.similarity import ivf_topk_pruned
+
+    path, cents = ivf_index(spark, sf_dir)
+    return ivf_topk_pruned(
+        spark, path, ANN_QUERY, cents, k=_ANN_K, n_probe=_IVF_PROBE
+    )
 
 
 def _install_ann_oracles():

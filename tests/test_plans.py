@@ -132,3 +132,19 @@ def test_topk_no_global_sort(spark):
 
     plan = _plan(eq.QUERIES["ann_cosine_topk"](spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ivf_probe_prunes_partitions(spark):
+    """ann_ivf_topk must probe a materialized partitionBy(cell) table with
+    PartitionFilters on `cell` — not re-derive assignments over the full
+    corpus per query."""
+    import genie_spark.entry_queries as eq
+
+    df = eq.QUERIES["ann_ivf_topk"](spark, SF_DIR)
+    plan = _plan(df)
+    # the scan carries a partition filter on the cell column...
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "cell" in pf and pf.strip() != ""
+    # ...and no centroid-cosine assignment appears in the probe plan
+    assert "array_max" not in plan
