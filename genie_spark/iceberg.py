@@ -54,12 +54,13 @@ def write_table(
             writer = writer.partitionedBy(F.col(partition_by))
         if mode == "overwrite":
             writer.createOrReplace()
+        elif spark.catalog.tableExists(identifier):
+            # existence decides create-vs-append explicitly: a bare
+            # try/append-except/create would mask a genuine append failure
+            # (schema drift, commit conflict) behind TableAlreadyExists
+            writer.append()
         else:
-            # createOrReplace on first write; append thereafter
-            try:
-                writer.append()
-            except Exception:
-                writer.create()
+            writer.create()
         return "iceberg"
     w = df.write.mode(mode)
     if partition_by:
@@ -76,13 +77,34 @@ def read_table(
     return spark.read.parquet(path_fallback)
 
 
-def expire_uncommitted(spark: SparkSession, identifier: str) -> None:
-    """Iceberg counterpart of checkpoint._clean_uncommitted: roll back to
-    the last snapshot recorded in lineage (no-op without the runtime —
-    the Parquet path handles rollback by deleting unrecorded chunk dirs)."""
+def current_snapshot_id(spark: SparkSession, identifier: str) -> Optional[int]:
+    """Latest snapshot id of the table — record this in chunk lineage at
+    each commit point so resume knows where to roll back to. None without
+    the runtime or for an empty table."""
     if not iceberg_available(spark):
+        return None
+    row = (
+        spark.sql(
+            f"SELECT snapshot_id FROM {identifier}.snapshots "
+            f"ORDER BY committed_at DESC LIMIT 1"
+        ).first()
+    )
+    return row[0] if row else None
+
+
+def rollback_uncommitted(
+    spark: SparkSession, identifier: str, committed_snapshot_id: Optional[int]
+) -> None:
+    """Iceberg counterpart of checkpoint._clean_uncommitted: restore the
+    table to the last snapshot RECORDED IN LINEAGE, discarding snapshots
+    committed after it (data written without a lineage record). No-op
+    without the runtime — the Parquet path rolls back by deleting
+    unrecorded chunk dirs. (expire_snapshots would do the opposite: keep
+    the possibly-orphan latest snapshot and delete the history needed to
+    roll back.)"""
+    if not iceberg_available(spark) or committed_snapshot_id is None:
         return
     spark.sql(
-        f"CALL genie.system.expire_snapshots(table => '{identifier}', "
-        f"retain_last => 1)"
+        f"CALL genie.system.rollback_to_snapshot(table => '{identifier}', "
+        f"snapshot_id => {int(committed_snapshot_id)})"
     )

@@ -84,11 +84,17 @@ def _per_relation_counts(
     counter rows, independent of data size. (An earlier form re-filtered
     both arrays per candidate relation — O(rels × |arrays|) interpreted
     HOF work per row, ~15× slower at sf0.1.) The intersect runs on flat
-    string keys (fast path, see _counts); rel is recovered by split_part
-    only on the (small) intersection."""
+    string keys (fast path, see _counts). All THREE contributions derive
+    rel from the struct field itself — the intersection is the pred
+    structs whose key appears in the target keys, so a rel recovered by
+    re-splitting the joined key (which disagrees with x['r'] when a field
+    contains the separator or is NULL) can never split one relation's
+    counts across groups."""
     p = F.array_distinct(F.col(pred))
     t = F.array_distinct(F.col(target))
-    both_keys = F.array_intersect(triple_key_col(p), triple_key_col(t))
+    t_keys = triple_key_col(t)
+    one_key = lambda x: F.element_at(triple_key_col(F.array(x)), 1)
+    both = F.filter(p, lambda x: F.array_contains(t_keys, one_key(x)))
 
     def tagged(rel_col):
         def make(c, np_, nt):
@@ -103,10 +109,7 @@ def _per_relation_counts(
     contrib = df.select(
         F.explode(
             F.concat(
-                F.transform(
-                    both_keys,
-                    lambda k: tagged(F.split_part(k, F.lit("␞"), F.lit(2)))(1, 0, 0),
-                ),
+                F.transform(both, lambda x: tagged(x["r"])(1, 0, 0)),
                 F.transform(p, lambda x: tagged(x["r"])(0, 1, 0)),
                 F.transform(t, lambda x: tagged(x["r"])(0, 0, 1)),
             )

@@ -88,7 +88,36 @@ def stream_extract(
     return writer.start()
 
 
+def _committed_batch_dirs(spark: SparkSession, data_dir: str) -> List[str]:
+    """batch=<id> directories carrying their _SUCCESS marker, via the
+    Hadoop FS API (works on local/HDFS/S3A alike)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(data_dir)
+    fs = root.getFileSystem(conf)
+    if not fs.exists(root):
+        return []
+    dirs = []
+    for st in fs.listStatus(root):
+        p = st.getPath()
+        if (
+            st.isDirectory()
+            and p.getName().startswith("batch=")
+            and fs.exists(jvm.org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+        ):
+            dirs.append(p.toString())
+    return sorted(dirs)
+
+
 def read_stream_output(spark: SparkSession, output_dir: str) -> DataFrame:
-    return spark.read.option("basePath", os.path.join(output_dir, "data")).parquet(
-        os.path.join(output_dir, "data", "batch=*")
-    )
+    """Read only COMMITTED batches. mode('overwrite') per batch dir is
+    delete-then-write, so a crash mid-overwrite leaves a torn batch=<id>
+    directory (partial part-files, no _SUCCESS); filtering on the marker
+    makes torn batches invisible until the restarted stream replays them —
+    the same commit-point discipline as the batch path's chunk lineage
+    (checkpoint._clean_uncommitted)."""
+    data_dir = os.path.join(output_dir, "data")
+    committed = _committed_batch_dirs(spark, data_dir)
+    if not committed:
+        raise FileNotFoundError(f"no committed batch dirs under {data_dir}")
+    return spark.read.option("basePath", data_dir).parquet(*committed)

@@ -104,5 +104,16 @@ def format_triples_col(col: Column) -> Column:
 
 def triple_key_col(col: Column) -> Column:
     """array<struct<s,r,o>> → array<string> of 's␞r␞o' keys — a flat form
-    that survives set ops / hashing identically in Spark and DuckDB."""
-    return F.transform(col, lambda t: F.concat_ws("␞", t["s"], t["r"], t["o"]))
+    that survives set ops / hashing identically in Spark and DuckDB.
+    NULL fields map to a sentinel: concat_ws silently SKIPS NULLs, which
+    would let distinct structs (s, NULL, o) and (s, o, NULL) collide on
+    one key and corrupt set counts."""
+    return F.transform(
+        col,
+        lambda t: F.concat_ws(
+            "␞",
+            F.coalesce(t["s"], F.lit("␀")),
+            F.coalesce(t["r"], F.lit("␀")),
+            F.coalesce(t["o"], F.lit("␀")),
+        ),
+    )

@@ -160,11 +160,19 @@ def main():
         extracted, ent_cat, rel_cat, salt_buckets=args.salt_buckets
     )
     graph_path = os.path.join(args.output, "graph")
-    write_graph(graph, graph_path, mode="overwrite")
+    sink = write_graph(graph, graph_path, mode="overwrite")
 
     wall = time.time() - t_start
     lin = lineage_df(spark, extract_out)
-    n_rows = spark.read.parquet(graph_path).count()
+    # read back through the sink actually used: on an Iceberg-enabled
+    # cluster graph_path is never written, so a parquet count would crash
+    from genie_spark.iceberg import read_table
+
+    n_rows = (
+        read_table(spark, "genie.graph", graph_path).count()
+        if sink == "iceberg"
+        else spark.read.parquet(graph_path).count()
+    )
     summary = {
         "chunks_processed_this_run": processed,
         "graph_triples": n_rows,

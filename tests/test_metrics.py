@@ -167,3 +167,32 @@ def test_drop_ignored_relations_relinearizes(spark, kilt_df):
     assert set(out) == {1, 2, 3}  # sample 4 became empty → dropped (F5)
     assert [tuple(x) for x in out[3]["surface_triples"]] == [("a", "r1", "b")]
     assert out[3]["target"] == " <sub> a <rel> r1 <obj> b <et>"
+
+
+def test_per_relation_counts_null_and_separator_fields(spark):
+    """Rel derivation must come from the struct field for ALL
+    contributions: a NULL field or a field containing the key separator
+    must neither split one relation's counts across groups nor make
+    n_correct exceed n_pred."""
+    from genie_spark.metrics import per_relation_metrics
+
+    def t(s, r, o):
+        return {"s": s, "r": r, "o": o}
+
+    rows = [
+        # rel containing the separator, present in both sides
+        (1, [t("a", "x␞y", "b")], [t("a", "x␞y", "b")]),
+        # NULL object: distinct structs that a NULL-skipping key would
+        # collide; only one is shared
+        (2, [t("a", "rel", None), t("a", None, "rel")], [t("a", "rel", None)]),
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, pred array<struct<s:string,r:string,o:string>>, "
+        "target array<struct<s:string,r:string,o:string>>"
+    )
+    out = {r["rel"]: r for r in per_relation_metrics(df).collect()}
+    assert out["x␞y"]["n_correct"] == 1 and out["x␞y"]["n_pred"] == 1
+    assert out["rel"]["n_correct"] == 1 and out["rel"]["n_pred"] == 1
+    for r in out.values():
+        assert r["n_correct"] <= r["n_pred"]
+        assert r["n_correct"] <= r["n_target"] + r["n_pred"]  # sanity

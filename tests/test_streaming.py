@@ -53,3 +53,36 @@ def test_stream_matches_batch_and_resumes(spark, tmp_path, catalogs):
     want2 = _key_rows(extract_pipeline(spark, pages, ents, rels))
     assert got2 == want2
     assert len(got2) > len(got1)
+
+
+def test_torn_batch_invisible_until_replayed(spark, tmp_path, catalogs):
+    """A crash mid-overwrite leaves a batch dir without _SUCCESS (delete-
+    then-write); read_stream_output must skip it — torn batches are
+    uncommitted, mirroring checkpoint._clean_uncommitted."""
+    ents, rels = catalogs
+    pages = synth.pages_df(spark, 8)
+    in_dir = str(tmp_path / "pages_in")
+    out_dir = str(tmp_path / "stream_out")
+    # two arrivals → two committed batch dirs
+    half = sorted(r["url"] for r in pages.select("url").collect())[:4]
+    pages.filter(F.col("url").isin(half)).write.mode("overwrite").parquet(in_dir)
+    stream_extract(spark, in_dir, out_dir, ents, rels, available_now=True)
+    pages.filter(~F.col("url").isin(half)).write.mode("append").parquet(in_dir)
+    stream_extract(spark, in_dir, out_dir, ents, rels, available_now=True)
+    committed = _key_rows(read_stream_output(spark, out_dir))
+
+    # simulate a torn overwrite of a NEW batch: part files, no _SUCCESS
+    torn = os.path.join(out_dir, "data", "batch=999")
+    os.makedirs(torn)
+    src = os.path.join(out_dir, "data", "batch=0")
+    part = next(f for f in os.listdir(src) if f.endswith(".parquet"))
+    import shutil
+
+    shutil.copy(os.path.join(src, part), os.path.join(torn, part))
+    assert _key_rows(read_stream_output(spark, out_dir)) == committed
+
+    # and a torn replay of an EXISTING batch (marker deleted mid-overwrite)
+    os.remove(os.path.join(src, "_SUCCESS"))
+    after = _key_rows(read_stream_output(spark, out_dir))
+    assert len(after) < len(committed)
+    assert set(after) <= set(committed)
