@@ -37,7 +37,7 @@ class TagCodes:
     tokenizer (the reference computes these once per run:
     ie_prefix_constraints.py:94-134)."""
 
-    __slots__ = ("lt", "gt", "tags", "tagset", "eos")
+    __slots__ = ("lt", "gt", "tags", "tagset", "eos", "bos")
 
     def __init__(self, tok: WordTokenizer):
         self.lt = tok.piece2id["<"]
@@ -47,6 +47,7 @@ class TagCodes:
         self.tags = [tok.piece2id[w] for w in TAG_WORDS]
         self.tagset = frozenset(self.tags)
         self.eos = EOS
+        self.bos = tok.bos_token_id
 
 
 class DecodeState:
@@ -61,9 +62,20 @@ class DecodeState:
         "cursor",
         "finished",
         "triples_done",
+        "need_bos",
     )
 
-    def __init__(self, codes: TagCodes, entities_trie, relations_trie):
+    def __init__(
+        self,
+        codes: TagCodes,
+        entities_trie,
+        relations_trie,
+        bos_first: bool = False,
+    ):
+        """``bos_first`` mirrors the reference's
+        ``bos_as_first_token_generated`` (ie_prefix_constraints.py:183-184):
+        a model trained with ``[eos bos ... eos]`` targets must emit BOS as
+        its first generated token before the triple grammar starts."""
         self.codes = codes
         self.ent = entities_trie
         self.rel = relations_trie
@@ -72,6 +84,7 @@ class DecodeState:
         self.cursor = None  # trie cursor for the name being emitted
         self.finished = False
         self.triples_done = 0
+        self.need_bos = bos_first
 
     def clone(self) -> "DecodeState":
         c = DecodeState.__new__(DecodeState)
@@ -83,6 +96,7 @@ class DecodeState:
             self.finished,
             self.triples_done,
         )
+        c.need_bos = self.need_bos
         return c
 
     def _trie_for_status(self):
@@ -95,6 +109,10 @@ class DecodeState:
     def push(self, tok: int) -> None:
         c = self.codes
         if self.finished:
+            return
+        if self.need_bos:
+            # only BOS is reachable here
+            self.need_bos = False
             return
         if self.phase == 1:
             # only a tag word is reachable here
@@ -124,6 +142,8 @@ class DecodeState:
         c = self.codes
         if self.finished:
             return []
+        if self.need_bos:
+            return [c.bos]
         if self.phase == 1:
             return [c.tags[self.status]]
         if self.phase == 2:
@@ -144,12 +164,16 @@ def allowed_for_prefix(
     codes: TagCodes,
     entities_trie,
     relations_trie,
+    bos_first: bool = False,
 ) -> List[int]:
     """Non-incremental oracle: recompute the allowed set by rescanning the
     whole prefix, mirroring the reference's per-step recomputation
-    (ie_prefix_constraints.py:171-233). Used in tests to cross-check
-    :class:`DecodeState`; never on the hot path."""
+    (ie_prefix_constraints.py:171-233, incl. the forced-BOS branch at
+    :183-184). Used in tests to cross-check :class:`DecodeState`; never on
+    the hot path."""
     sent = list(prefix)
+    if bos_first and not sent:
+        return [codes.bos]
     if sent and sent[-1] == codes.eos:
         return []
     # status = completed-tag count mod 4

@@ -12,11 +12,12 @@ Decoding semantics mirror the reference run configuration
 configs/model/inference/default.yaml:5-18): beam search with
 ``num_return_sequences = num_beams``; beams that hit the length cap
 unfinished are marked invalid with log_prob = -1e9 so the top-valid-beam
-filter (genie_base_pl.py:229-239) can drop them. Scores are raw cumulative
-log-probs (length_penalty = 0) — with the deterministic scorer a
-length-normalized score would degenerately favor padding with duplicate
-triples; the HF scorer path can re-enable normalization to match the
-reference's length_penalty = 1.0.
+filter (genie_base_pl.py:229-239) can drop them. ``length_penalty`` and
+``bos_first`` reproduce the reference run configuration (length_penalty =
+1.0, bos_as_first_token_generated = true); the deterministic-scorer
+pipeline defaults to length_penalty = 0 (raw cumulative log-probs), where
+a length-normalized score would degenerately favor padding with duplicate
+triples.
 
 Scorers:
 
@@ -231,10 +232,29 @@ def beam_search(
     relations_trie,
     num_beams: int = 2,
     max_length: int = 96,
+    length_penalty: float = 0.0,
+    bos_first: bool = False,
 ) -> List[Beam]:
     """Constrained beam search; returns ≤num_beams beams sorted by
-    length-normalized log-prob desc (deterministic tiebreak on tokens)."""
-    live = [Beam(0.0, [], DecodeState(codes, entities_trie, relations_trie))]
+    (optionally length-normalized) log-prob desc, deterministic tiebreak
+    on tokens.
+
+    ``length_penalty`` is the HF/reference normalization (default.yaml:9
+    sets 1.0; genie_base_pl.py:497-505): a finished beam's ranking score
+    is cumulative_log_prob / len(tokens)**length_penalty. 0.0 keeps raw
+    cumulative scores — the right setting for the deterministic scorer,
+    where normalization degenerately favors padding duplicate triples.
+    ``bos_first`` forces BOS as the first generated token
+    (ie_prefix_constraints.py:183-184)."""
+
+    def norm(score: float, n_tokens: int) -> float:
+        if length_penalty == 0.0 or n_tokens == 0:
+            return score
+        return score / (n_tokens**length_penalty)
+
+    live = [
+        Beam(0.0, [], DecodeState(codes, entities_trie, relations_trie, bos_first))
+    ]
     finished: List[Beam] = []
     for _ in range(max_length):
         cands: List[Tuple[float, int, int]] = []
@@ -262,18 +282,26 @@ def beam_search(
                 finished.append(nb)
             elif len(new_live) < num_beams:
                 new_live.append(nb)
-        finished.sort(key=lambda f: (-f.score, f.tokens))
+        finished.sort(key=lambda f: (-norm(f.score, len(f.tokens)), f.tokens))
         finished = finished[:num_beams]
-        # admissible stop: scores only decrease as beams grow, so a live
-        # beam already below the worst kept finished score can never win
+        # admissible stop: cumulative scores only decrease as beams grow
+        # (log_softmax ≤ 0), so a live beam whose BEST ACHIEVABLE
+        # normalized score is already below the worst kept finished score
+        # can never win. With length_penalty > 0 and score ≤ 0, the best
+        # achievable normalization is at the maximum length (HF's
+        # early_stopping=False "is_done" bound).
         if len(finished) >= num_beams:
-            bar = finished[-1].score
-            new_live = [b for b in new_live if b.score > bar]
+            bar = norm(finished[-1].score, len(finished[-1].tokens))
+            new_live = [
+                b
+                for b in new_live
+                if (norm(b.score, max_length) if b.score <= 0 else b.score) > bar
+            ]
         live = new_live
         if not live:
             break
     for b in finished:
-        b.log_prob = b.score
+        b.log_prob = norm(b.score, len(b.tokens))
     for b in live:  # hit the length cap unfinished → invalid marker
         b.log_prob = INVALID_LOG_PROB
         finished.append(b)
@@ -290,12 +318,22 @@ def generate_for_text(
     relations_trie,
     num_beams: int = 2,
     max_length: int = 96,
+    length_penalty: float = 0.0,
+    bos_first: bool = False,
 ) -> List[dict]:
     """One document → beams as [{text, log_prob}], best first. This is the
     reference-oracle entry point; the Spark UDF calls it per row."""
     ctx = scorer.context(text)
     beams = beam_search(
-        ctx, scorer, codes, entities_trie, relations_trie, num_beams, max_length
+        ctx,
+        scorer,
+        codes,
+        entities_trie,
+        relations_trie,
+        num_beams,
+        max_length,
+        length_penalty=length_penalty,
+        bos_first=bos_first,
     )
     return [
         {"text": tokenizer.decode(b.tokens), "log_prob": b.log_prob} for b in beams

@@ -99,9 +99,16 @@ class GenieExtractor:
         rel_names: List[str],
         num_beams: int = 2,
         max_length: int = 96,
+        length_penalty: float = 0.0,
+        bos_first: bool = False,
     ):
         self.num_beams = num_beams
         self.max_length = max_length
+        # reference decode-parity knobs (default.yaml:9 length_penalty=1.0,
+        # ie_prefix_constraints.py:183-184 BOS forcing); defaults keep the
+        # deterministic-scorer golden outputs unchanged
+        self.length_penalty = length_penalty
+        self.bos_first = bos_first
         # Sort for build determinism (reference trie.py:36). The broadcast
         # carries raw names, not the trie: names compress well, and the
         # CSR build is cheap and deterministic on each worker.
@@ -120,6 +127,7 @@ class GenieExtractor:
         """df(..., text_col) → df + beams + prediction + pred_triples."""
         bc = self._bc
         num_beams, max_length = self.num_beams, self.max_length
+        length_penalty, bos_first = self.length_penalty, self.bos_first
         out_schema = StructType(
             df.schema.fields
             + [
@@ -139,6 +147,7 @@ class GenieExtractor:
                     beams = generate_for_text(
                         text, scorer, tok, codes, ent, rel,
                         num_beams=num_beams, max_length=max_length,
+                        length_penalty=length_penalty, bos_first=bos_first,
                     )
                     beams_col.append(
                         [(b["text"], float(b["log_prob"])) for b in beams]

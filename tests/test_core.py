@@ -236,3 +236,72 @@ def test_incremental_pointer_matches_fold(tok):
         assert ptr == sc._pointer(ctx, seq[:i])
         ptr = sc.advance(ctx, ptr, tok_id)
     assert ptr == sc._pointer(ctx, seq)
+
+
+def test_constraint_state_matches_rescan_oracle_bos(tok):
+    """With bos_as_first_token_generated on, the incremental state must
+    match the rescan oracle at every step, and BOS must be the only first
+    token (ie_prefix_constraints.py:183-184)."""
+    ent = trie_from_names(NAMES, tok)
+    rel = trie_from_names(RELS, tok)
+    codes = TagCodes(tok)
+    rng = random.Random(321)
+    for _ in range(25):
+        st = DecodeState(codes, ent, rel, bos_first=True)
+        toks = []
+        for _ in range(60):
+            inc = sorted(st.allowed())
+            ora = sorted(allowed_for_prefix(toks, codes, ent, rel, bos_first=True))
+            assert inc == ora, f"divergence at {toks}: {inc} vs {ora}"
+            if not inc:
+                break
+            t = rng.choice(inc)
+            st.push(t)
+            toks.append(t)
+        assert toks[0] == tok.bos_token_id
+
+
+def test_decoder_bos_first_emits_bos_then_grammar(tok):
+    from genie_spark.decode import beam_search
+
+    ent = trie_from_names(NAMES, tok)
+    rel = trie_from_names(RELS, tok)
+    scorer = DeterministicScorer(tok)
+    text = "Alice Smith birthplace Zurich."
+    ctx = scorer.context(text)
+    beams = beam_search(ctx, scorer, TagCodes(tok), ent, rel, bos_first=True)
+    assert beams
+    for b in beams:
+        assert b.tokens[0] == tok.bos_token_id
+    # BOS is a special token: invisible in the decoded text, so the
+    # prediction still parses as a plain linearization
+    pred = top_valid_prediction(
+        [{"text": tok.decode(b.tokens), "log_prob": b.log_prob} for b in beams]
+    )
+    assert ("Alice Smith", "birthplace", "Zurich") in parse_linearization(pred)
+
+
+def test_decoder_length_penalty_normalizes_scores(tok):
+    """length_penalty=1.0 (reference default.yaml:9): every finished
+    beam's log_prob is cumulative_score / len(tokens), beams are returned
+    normalized-desc, and the default lp=0 output is unchanged."""
+    from genie_spark.decode import beam_search
+
+    ent = trie_from_names(NAMES, tok)
+    rel = trie_from_names(RELS, tok)
+    scorer = DeterministicScorer(tok)
+    text = "Bob founded by Alice Stone. Alice Stone birthplace Zurich."
+    ctx = scorer.context(text)
+    raw = beam_search(ctx, scorer, TagCodes(tok), ent, rel, num_beams=3)
+    norm = beam_search(
+        ctx, scorer, TagCodes(tok), ent, rel, num_beams=3, length_penalty=1.0
+    )
+    assert norm
+    for b in norm:
+        if b.log_prob > INVALID_LOG_PROB:
+            assert b.log_prob == pytest.approx(b.score / len(b.tokens))
+    lps = [b.log_prob for b in norm]
+    assert lps == sorted(lps, reverse=True)
+    for b in raw:
+        if b.log_prob > INVALID_LOG_PROB:
+            assert b.log_prob == b.score  # default path untouched
