@@ -703,6 +703,92 @@ def sentence_split(spark, sf_dir):
     )
 
 
+@_register(
+    "sentence_split_bounded",
+    """
+WITH seeded AS (
+  SELECT doc_id, replace(text, ' the ', '. the ') AS text FROM documents
+),
+bnd AS (
+  SELECT doc_id,
+         [struct_pack(s := length(text) // 4, e := length(text) // 4 + 10),
+          struct_pack(s := (2 * length(text)) // 3, e := (2 * length(text)) // 3 + 10)] AS bs
+  FROM seeded
+),
+paras AS (
+  SELECT doc_id, p, pidx
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS p,
+               generate_subscripts(string_split(text, chr(10)), 1) AS pidx
+        FROM seeded)
+  WHERE length(p) > 0
+),
+sents AS (
+  SELECT doc_id, pidx, s, sidx
+  FROM (SELECT doc_id, pidx,
+               unnest(string_split(replace(p, '. ', '.' || chr(1)), chr(1))) AS s,
+               generate_subscripts(string_split(replace(p, '. ', '.' || chr(1)), chr(1)), 1) AS sidx
+        FROM paras)
+),
+pos AS (
+  SELECT n.*, b.bs,
+         sum(length(s) + 1) OVER (PARTITION BY n.doc_id ORDER BY pidx, sidx
+                                  ROWS UNBOUNDED PRECEDING) AS p,
+         (sidx = max(sidx) OVER (PARTITION BY n.doc_id, pidx)) AS para_last
+  FROM sents n JOIN bnd b ON n.doc_id = b.doc_id
+),
+flagged AS (
+  SELECT *, (para_last OR len(list_filter(bs, x -> x.s < p AND p < x.e)) = 0) AS kept
+  FROM pos
+),
+grp AS (
+  SELECT *, coalesce(sum(CASE WHEN kept THEN 1 ELSE 0 END) OVER (
+              PARTITION BY doc_id ORDER BY pidx, sidx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS g
+  FROM flagged
+),
+units AS (
+  SELECT doc_id, g,
+         regexp_replace(string_agg(s, ' ' ORDER BY pidx, sidx) || ' ',
+                        '\\s{2,}', ' ', 'g') AS unit
+  FROM grp GROUP BY doc_id, g
+),
+emitted AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY g) - 1 AS sent_idx, unit
+  FROM units WHERE trim(unit) <> ''
+)
+SELECT doc_id, sent_idx::BIGINT AS sent_idx, md5(unit) AS sent_md5 FROM emitted
+""",
+)
+def sentence_split_bounded(spark, sf_dir):
+    """Boundary-aware split over a synthetic annotated table: seeded
+    sentence breaks plus two deterministic entity spans per doc (at 1/4
+    and 2/3 of the text, 10 chars wide) — split points inside a span are
+    suppressed, merging sentences (reference
+    convert_rebel_data2kilt.py:98-105 semantics)."""
+    from .extract import sentences_bounded_df
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" the "), F.lit(". the ")).alias("text"),
+    )
+    ln = F.length("text")
+    q1 = F.floor(ln / 4).cast("long")
+    q2 = F.floor((ln * 2) / 3).cast("long")
+    annotated = docs.withColumn(
+        "boundaries",
+        F.array(
+            F.struct(q1.alias("s"), (q1 + 10).alias("e")),
+            F.struct(q2.alias("s"), (q2 + 10).alias("e")),
+        ),
+    )
+    out = sentences_bounded_df(annotated)
+    return out.select(
+        "doc_id",
+        F.col("sent_idx").cast("bigint").alias("sent_idx"),
+        F.md5("input").alias("sent_md5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators (documents / embeddings tables)
 # ---------------------------------------------------------------------------

@@ -19,10 +19,15 @@ convert_rebel_data2kilt.py:81-105,147):
   accumulates ``sentence + " "``), with ``\\s{2,}`` collapsed to one space.
 
 The reference's boundary-aware "don't split inside an entity name" rule
-depends on gold entity-boundary annotations that a web page does not have;
-for web input the engine treats each sentence as a unit (annotation-aware
-grouping applies only to the KILT evaluation tables, which arrive
-pre-split).
+(convert_rebel_data2kilt.py:98-105) applies to ANNOTATED input: a split
+point whose accumulated character position falls strictly inside a gold
+entity boundary is suppressed, merging the sentence into the next unit.
+:func:`split_sentences_bounded` / :func:`sentences_bounded_df` implement
+it for inputs that carry boundary spans; plain web input (no annotations)
+uses the unbounded split. One deliberate divergence: the reference drops
+a paragraph-final unit whose last split point is still blocked (text is
+reset at the next paragraph without emission, :141-143); we flush it as
+its own unit — suppression can merge sentences but never lose text.
 """
 
 from __future__ import annotations
@@ -72,6 +77,36 @@ def extract_sentences(text: str) -> List[Tuple[int, str]]:
     return list(enumerate(split_sentences(text)))
 
 
+def split_sentences_bounded(
+    text: str, boundaries: List[Tuple[int, int]]
+) -> List[str]:
+    """Boundary-aware split (reference convert_rebel_data2kilt.py:81-105):
+    candidate sentences accumulate ``sentence + " "``; the split point is
+    suppressed while the accumulated position falls strictly inside any
+    (start, end) boundary, so entity names containing dots never straddle
+    units. Positions are the reference's accumulated-text arithmetic
+    (every sentence contributes len+1, paragraph newlines count as the
+    appended space). A paragraph-final blocked unit is flushed, not
+    dropped (see module docstring)."""
+    out: List[str] = []
+    pos = 0
+    for para in text.split("\n"):
+        if len(para) == 0:
+            continue
+        acc = ""
+        for sent in _SENT_SPLIT_RE.split(para):
+            pos += len(sent) + 1
+            acc += sent + " "
+            if any(s < pos < e for (s, e) in boundaries):
+                continue  # split point inside an entity name: keep merging
+            if acc.strip():
+                out.append(_WS_RE.sub(" ", acc))
+            acc = ""
+        if acc.strip():  # paragraph ended while blocked: flush
+            out.append(_WS_RE.sub(" ", acc))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Spark-native versions
 # ---------------------------------------------------------------------------
@@ -104,3 +139,78 @@ def sentences_df(pages: DataFrame, text_col: str = "text") -> DataFrame:
         "*",
         F.posexplode("_sents").alias("sent_idx", "input"),
     ).drop("_sents")
+
+
+def bounded_units_col(text: Column, bounds: Column) -> Column:
+    """Column twin of :func:`split_sentences_bounded`: one O(n) aggregate
+    fold per row (accumulator struct(pos, acc, out)), entirely JVM-side.
+    ``bounds`` is array<struct<s:long, e:long>>. Elements are the
+    paragraph's sentences plus a paragraph-end sentinel that flushes a
+    still-blocked accumulation."""
+    paras = F.filter(F.split(text, "\n"), lambda p: F.length(p) > 0)
+    elems = F.flatten(
+        F.transform(
+            paras,
+            lambda p: F.concat(
+                F.transform(
+                    F.split(p, SENT_SPLIT_PATTERN),
+                    lambda s: F.struct(s.alias("sent"), F.lit(False).alias("pend")),
+                ),
+                F.array(
+                    F.struct(F.lit("").alias("sent"), F.lit(True).alias("pend"))
+                ),
+            ),
+        )
+    )
+    init = F.struct(
+        F.lit(0).cast("long").alias("pos"),
+        F.lit("").alias("acc"),
+        F.array().cast("array<string>").alias("out"),
+    )
+
+    def emit(out: Column, acc: Column) -> Column:
+        return F.when(F.trim(acc) == "", out).otherwise(
+            F.array_append(out, F.regexp_replace(acc, WS_PATTERN, " "))
+        )
+
+    def step(st: Column, x: Column) -> Column:
+        pos2 = st["pos"] + F.length(x["sent"]) + 1
+        acc2 = F.concat(st["acc"], x["sent"], F.lit(" "))
+        blocked = F.exists(bounds, lambda b: (b["s"] < pos2) & (pos2 < b["e"]))
+        return (
+            F.when(
+                x["pend"],
+                F.struct(
+                    st["pos"].alias("pos"),
+                    F.lit("").alias("acc"),
+                    emit(st["out"], st["acc"]).alias("out"),
+                ),
+            )
+            .when(
+                blocked,
+                F.struct(pos2.alias("pos"), acc2.alias("acc"), st["out"].alias("out")),
+            )
+            .otherwise(
+                F.struct(
+                    pos2.alias("pos"),
+                    F.lit("").alias("acc"),
+                    emit(st["out"], acc2).alias("out"),
+                )
+            )
+        )
+
+    return F.aggregate(elems, init, step, lambda st: st["out"])
+
+
+def sentences_bounded_df(
+    pages: DataFrame, text_col: str = "text", bounds_col: str = "boundaries"
+) -> DataFrame:
+    """Annotated pages(…, text, boundaries) → one row per unit
+    (…, sent_idx, input) with boundary-aware merging — the KILT-table
+    rebuild path for gold-annotated sources."""
+    units = bounded_units_col(F.col(text_col), F.col(bounds_col))
+    return (
+        pages.withColumn("_units", units)
+        .select("*", F.posexplode("_units").alias("sent_idx", "input"))
+        .drop("_units")
+    )

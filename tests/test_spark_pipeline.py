@@ -277,3 +277,53 @@ def test_materialize_graph_salted_equals_plain(spark, pages, catalogs):
         map(tuple, materialize_graph(out, ents_cat, rels_cat, salt_buckets=8).collect())
     )
     assert a == b and len(a) > 0
+
+
+def test_bounded_split_byte_identical(spark):
+    """Boundary-aware split: Column fold and pure-Python twin must agree
+    byte-for-byte, including suppression inside boundaries, multi-
+    paragraph texts, blank candidate sentences, and the paragraph-final
+    blocked flush."""
+    import random
+
+    from genie_spark.extract import sentences_bounded_df, split_sentences_bounded
+
+    rng = random.Random(42)
+    words = ["alpha", "beta", "Dr.", "gamma", "U.S.", "delta", "x."]
+    rows = []
+    for i in range(60):
+        n = rng.randrange(3, 30)
+        text = " ".join(rng.choice(words) for _ in range(n))
+        if rng.random() < 0.4:  # multi-paragraph
+            cut = rng.randrange(1, len(text))
+            text = text[:cut] + "\n" + text[cut:]
+        bounds = []
+        for _ in range(rng.randrange(0, 3)):
+            s = rng.randrange(0, max(1, len(text) - 5))
+            bounds.append((s, s + rng.randrange(2, 15)))
+        rows.append((i, text, bounds))
+
+    df = spark.createDataFrame(
+        rows, "doc_id int, text string, boundaries array<struct<s:long,e:long>>"
+    )
+    got = {
+        (r["doc_id"], r["sent_idx"]): r["input"]
+        for r in sentences_bounded_df(df).select("doc_id", "sent_idx", "input").collect()
+    }
+    n_local = 0
+    for i, text, bounds in rows:
+        units = split_sentences_bounded(text, bounds)
+        n_local += len(units)
+        for j, u in enumerate(units):
+            assert got[(i, j)] == u, (i, j, text, bounds)
+    assert len(got) == n_local
+
+    # no boundaries → reduces to the plain split
+    for _, text, _ in rows:
+        assert split_sentences_bounded(text, []) == split_sentences(text)
+
+    # a dot inside a boundary never ends a unit: suppressed split merges
+    text = "Alice met Dr. Smith today. Then she left."
+    dot = text.index("Dr.") + 3  # split point would be right after 'Dr.'
+    units = split_sentences_bounded(text, [(dot - 1, dot + 4)])
+    assert units[0].startswith("Alice met Dr. Smith today.")
