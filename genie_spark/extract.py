@@ -88,22 +88,34 @@ def split_sentences_bounded(
     (every sentence contributes len+1, paragraph newlines count as the
     appended space). A paragraph-final blocked unit is flushed, not
     dropped (see module docstring)."""
-    out: List[str] = []
+    return [u for (u, _, _) in split_sentences_bounded_pos(text, boundaries)]
+
+
+def split_sentences_bounded_pos(
+    text: str, boundaries: List[Tuple[int, int]]
+) -> List[Tuple[str, int, int]]:
+    """:func:`split_sentences_bounded` plus each unit's accumulated-text
+    span [start, end) — the reference's (prev_len, len(text)+prev_len)
+    coordinates that entity/triple boundary predicates are evaluated
+    against (convert_rebel_data2kilt.py:96-119)."""
+    out: List[Tuple[str, int, int]] = []
     pos = 0
     for para in text.split("\n"):
         if len(para) == 0:
             continue
         acc = ""
+        start = pos
         for sent in _SENT_SPLIT_RE.split(para):
             pos += len(sent) + 1
             acc += sent + " "
             if any(s < pos < e for (s, e) in boundaries):
                 continue  # split point inside an entity name: keep merging
             if acc.strip():
-                out.append(_WS_RE.sub(" ", acc))
+                out.append((_WS_RE.sub(" ", acc), start, pos))
             acc = ""
+            start = pos
         if acc.strip():  # paragraph ended while blocked: flush
-            out.append(_WS_RE.sub(" ", acc))
+            out.append((_WS_RE.sub(" ", acc), start, pos))
     return out
 
 
@@ -141,10 +153,11 @@ def sentences_df(pages: DataFrame, text_col: str = "text") -> DataFrame:
     ).drop("_sents")
 
 
-def bounded_units_col(text: Column, bounds: Column) -> Column:
-    """Column twin of :func:`split_sentences_bounded`: one O(n) aggregate
-    fold per row (accumulator struct(pos, acc, out)), entirely JVM-side.
-    ``bounds`` is array<struct<s:long, e:long>>. Elements are the
+def bounded_units_pos_col(text: Column, bounds: Column) -> Column:
+    """Column twin of :func:`split_sentences_bounded_pos`: one O(n)
+    aggregate fold per row (accumulator struct(pos, start, acc, out)),
+    entirely JVM-side. ``bounds`` is array<struct<s:long, e:long>>;
+    returns array<struct<unit:string, s:long, e:long>>. Elements are the
     paragraph's sentences plus a paragraph-end sentinel that flushes a
     still-blocked accumulation."""
     paras = F.filter(F.split(text, "\n"), lambda p: F.length(p) > 0)
@@ -162,15 +175,24 @@ def bounded_units_col(text: Column, bounds: Column) -> Column:
             ),
         )
     )
+    out_type = "array<struct<unit:string,s:bigint,e:bigint>>"
     init = F.struct(
         F.lit(0).cast("long").alias("pos"),
+        F.lit(0).cast("long").alias("start"),
         F.lit("").alias("acc"),
-        F.array().cast("array<string>").alias("out"),
+        F.array().cast(out_type).alias("out"),
     )
 
-    def emit(out: Column, acc: Column) -> Column:
+    def emit(out: Column, acc: Column, start: Column, end: Column) -> Column:
         return F.when(F.trim(acc) == "", out).otherwise(
-            F.array_append(out, F.regexp_replace(acc, WS_PATTERN, " "))
+            F.array_append(
+                out,
+                F.struct(
+                    F.regexp_replace(acc, WS_PATTERN, " ").alias("unit"),
+                    start.alias("s"),
+                    end.alias("e"),
+                ),
+            )
         )
 
     def step(st: Column, x: Column) -> Column:
@@ -182,24 +204,38 @@ def bounded_units_col(text: Column, bounds: Column) -> Column:
                 x["pend"],
                 F.struct(
                     st["pos"].alias("pos"),
+                    st["pos"].alias("start"),
                     F.lit("").alias("acc"),
-                    emit(st["out"], st["acc"]).alias("out"),
+                    emit(st["out"], st["acc"], st["start"], st["pos"]).alias("out"),
                 ),
             )
             .when(
                 blocked,
-                F.struct(pos2.alias("pos"), acc2.alias("acc"), st["out"].alias("out")),
+                F.struct(
+                    pos2.alias("pos"),
+                    st["start"].alias("start"),
+                    acc2.alias("acc"),
+                    st["out"].alias("out"),
+                ),
             )
             .otherwise(
                 F.struct(
                     pos2.alias("pos"),
+                    pos2.alias("start"),
                     F.lit("").alias("acc"),
-                    emit(st["out"], acc2).alias("out"),
+                    emit(st["out"], acc2, st["start"], pos2).alias("out"),
                 )
             )
         )
 
     return F.aggregate(elems, init, step, lambda st: st["out"])
+
+
+def bounded_units_col(text: Column, bounds: Column) -> Column:
+    """Column twin of :func:`split_sentences_bounded` (units only)."""
+    return F.transform(
+        bounded_units_pos_col(text, bounds), lambda u: u["unit"]
+    )
 
 
 def sentences_bounded_df(

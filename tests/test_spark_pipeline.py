@@ -286,7 +286,12 @@ def test_bounded_split_byte_identical(spark):
     blocked flush."""
     import random
 
-    from genie_spark.extract import sentences_bounded_df, split_sentences_bounded
+    from genie_spark.extract import (
+        bounded_units_pos_col,
+        sentences_bounded_df,
+        split_sentences_bounded,
+        split_sentences_bounded_pos,
+    )
 
     rng = random.Random(42)
     words = ["alpha", "beta", "Dr.", "gamma", "U.S.", "delta", "x."]
@@ -317,6 +322,19 @@ def test_bounded_split_byte_identical(spark):
         for j, u in enumerate(units):
             assert got[(i, j)] == u, (i, j, text, bounds)
     assert len(got) == n_local
+
+    # the span-carrying form agrees too (unit, start, end)
+    from pyspark.sql import functions as F
+
+    got_pos = {
+        r["doc_id"]: [tuple(u) for u in r["units"]]
+        for r in df.select(
+            "doc_id",
+            bounded_units_pos_col(F.col("text"), F.col("boundaries")).alias("units"),
+        ).collect()
+    }
+    for i, text, bounds in rows:
+        assert got_pos[i] == split_sentences_bounded_pos(text, bounds), (i, text)
 
     # no boundaries → reduces to the plain split
     for _, text, _ in rows:
