@@ -353,6 +353,66 @@ def bootstrap_micro_q(spark, sf_dir):
     )
 
 
+_PRF_CASES = """
+  SELECT CASE WHEN p = 0 THEN 0.0 ELSE c::DOUBLE / p END AS precision,
+         CASE WHEN t = 0 THEN 0.0 ELSE c::DOUBLE / t END AS recall,
+         CASE WHEN (CASE WHEN p = 0 THEN 0.0 ELSE c::DOUBLE / p END)
+                 + (CASE WHEN t = 0 THEN 0.0 ELSE c::DOUBLE / t END) = 0 THEN 0.0
+              ELSE 2 * (CASE WHEN p = 0 THEN 0.0 ELSE c::DOUBLE / p END)
+                     * (CASE WHEN t = 0 THEN 0.0 ELSE c::DOUBLE / t END)
+                   / ((CASE WHEN p = 0 THEN 0.0 ELSE c::DOUBLE / p END)
+                      + (CASE WHEN t = 0 THEN 0.0 ELSE c::DOUBLE / t END)) END AS f1
+  FROM per_run
+"""
+
+
+@_register(
+    "bootstrap_micro_multinomial",
+    f"""
+WITH {_TRIPLES_SQL},
+per_order AS (
+  SELECT o.l_orderkey,
+         coalesce(c.n, 0) AS n_correct, coalesce(p.n, 0) AS n_pred, coalesce(t.n, 0) AS n_target
+  FROM (SELECT l_orderkey FROM trg UNION SELECT l_orderkey FROM prd) o
+  LEFT JOIN (SELECT l_orderkey, count(*) n FROM trg JOIN prd USING (l_orderkey, l_returnflag, l_partkey) GROUP BY 1) c USING (l_orderkey)
+  LEFT JOIN (SELECT l_orderkey, count(*) n FROM prd GROUP BY 1) p USING (l_orderkey)
+  LEFT JOIN (SELECT l_orderkey, count(*) n FROM trg GROUP BY 1) t USING (l_orderkey)
+),
+idx AS (SELECT *, row_number() OVER (ORDER BY l_orderkey) - 1 AS j FROM per_order),
+nn AS (SELECT count(*) AS n FROM per_order),
+runs AS (SELECT unnest(generate_series(0, {_N_BOOT - 1})) AS run),
+draws AS (
+  SELECT r.run,
+         (('0x' || substr(md5(r.run::VARCHAR || chr(1) || i.j::VARCHAR), 1, 15))::UBIGINT::BIGINT) % n.n AS pick
+  FROM idx i CROSS JOIN runs r CROSS JOIN nn n
+),
+w AS (SELECT run, pick, count(*) AS wt FROM draws GROUP BY 1, 2),
+per_run AS (
+  SELECT w.run, sum(i.n_correct * wt) AS c, sum(i.n_pred * wt) AS p, sum(i.n_target * wt) AS t
+  FROM w JOIN idx i ON w.pick = i.j GROUP BY 1
+),
+scored AS ({_PRF_CASES})
+SELECT 'precision' AS metric, round(avg(precision), 6) AS mean, round(stddev_samp(precision), 6) AS std FROM scored
+UNION ALL
+SELECT 'recall', round(avg(recall), 6), round(stddev_samp(recall), 6) FROM scored
+UNION ALL
+SELECT 'f1', round(avg(f1), 6), round(stddev_samp(f1), 6) FROM scored
+""",
+)
+def bootstrap_micro_multinomial_q(spark, sf_dir):
+    """Exact multinomial bootstrap (reference evaluation.py:12-26 estimator
+    form: n draws with replacement per run, sample std) beside the Poisson
+    approximation — deterministic hash draws, no RNG."""
+    from .metrics import bootstrap_micro_multinomial
+
+    df = bootstrap_micro_multinomial(
+        _pred_target_df(spark, sf_dir), n_runs=_N_BOOT, hash_mode="md5"
+    )
+    return df.select(
+        "metric", F.round("mean", 6).alias("mean"), F.round("std", 6).alias("std")
+    )
+
+
 # -- A6/A7: occurrence + status tallies ---------------------------------------
 
 @_register(

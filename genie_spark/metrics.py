@@ -285,6 +285,68 @@ def bootstrap_micro(
     )
 
 
+def bootstrap_micro_multinomial(
+    df: DataFrame,
+    n_runs: int = 50,
+    id_col: str = "id",
+    pred: str = "pred",
+    target: str = "target",
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """A5 exact mode — the reference's estimator
+    (get_bootstrap_score, evaluation.py:12-26): each run resamples exactly
+    n datapoints WITH replacement (`random.choices(range(n), k=n)` ⇒ a
+    multinomial weight vector summing to n), scores micro P/R/F1 per run,
+    and reports mean + SAMPLE std (torch.Tensor.std is Bessel-corrected).
+    The Poisson path (:func:`bootstrap_micro`) approximates the weights
+    independently per sample; this one preserves the exact per-run total.
+
+    Deterministic seeding without a Python RNG: draw j of run r picks
+    sample index h60(r ␁ j) mod n — parallelism-invariant and
+    DuckDB-reproducible, replacing the reference's seeded Mersenne
+    Twister. Sample indexing uses one row_number window over id — an
+    eval-table-sized sort, not a corpus-scale one."""
+    from pyspark.sql import Window
+
+    counts = _counts(df, pred, target).select(
+        id_col, "n_correct", "n_pred", "n_target"
+    )
+    indexed = counts.withColumn(
+        "j", F.row_number().over(Window.orderBy(id_col)) - 1
+    )
+    n = indexed.count()  # driver-side scalar; eval tables are small
+    draws = indexed.select("j").withColumn(
+        "run", F.explode(F.sequence(F.lit(0), F.lit(n_runs - 1)))
+    )
+    if hash_mode == "md5":
+        from .datapipe.hashes import h60_salted
+
+        h = h60_salted(F.col("j").cast("string"), F.col("run"))
+    else:
+        h = F.xxhash64(F.col("j"), F.col("run"))
+    picks = draws.select("run", F.pmod(h, F.lit(n)).alias("pick"))
+    w = picks.groupBy("run", "pick").agg(F.count("*").alias("wt"))
+    weighted = w.join(indexed, w["pick"] == indexed["j"])
+    per_run = weighted.groupBy("run").agg(
+        F.sum(F.col("n_correct") * F.col("wt")).alias("c"),
+        F.sum(F.col("n_pred") * F.col("wt")).alias("p"),
+        F.sum(F.col("n_target") * F.col("wt")).alias("t"),
+    )
+    p, r, f1 = _prf(F.col("c"), F.col("p"), F.col("t"))
+    scored = per_run.select(p.alias("precision"), r.alias("recall"), f1.alias("f1"))
+    stats = scored.agg(
+        F.avg("precision").alias("ap"), F.stddev_samp("precision").alias("sp"),
+        F.avg("recall").alias("ar"), F.stddev_samp("recall").alias("sr"),
+        F.avg("f1").alias("af"), F.stddev_samp("f1").alias("sf"),
+    )
+    return stats.select(
+        F.expr(
+            "stack(3, 'precision', ap, sp, 'recall', ar, sr, 'f1', af, sf)"
+            " as (metric, mean, std)"
+        )
+    )
+
+
 def relation_occurrences(
     df: DataFrame, triples_col: str = "target"
 ) -> DataFrame:

@@ -74,12 +74,38 @@ def _worker_setup(payload: dict):
         return hit
     tok = WordTokenizer(payload["ent_names"] + payload["rel_names"])
     codes = TagCodes(tok)
-    ent = trie_from_names(payload["ent_names"], tok)
-    rel = trie_from_names(payload["rel_names"], tok)
+    if "ent_trie" in payload:
+        # preloaded artifact: the broadcast carries the CSR arrays directly
+        from .trie import FlatTrie
+
+        ent = FlatTrie(*payload["ent_trie"])
+        rel = FlatTrie(*payload["rel_trie"])
+    else:
+        ent = trie_from_names(payload["ent_names"], tok)
+        rel = trie_from_names(payload["rel_names"], tok)
     scorer = DeterministicScorer(tok)
     _WORKER_CACHE.clear()  # one active schema per worker; avoid leaks
     _WORKER_CACHE[key] = (tok, codes, ent, rel, scorer)
     return _WORKER_CACHE[key]
+
+
+def save_trie_artifacts(
+    ent_names: List[str],
+    rel_names: List[str],
+    ent_path: str,
+    rel_path: str,
+) -> None:
+    """S10 (reference trie.py:65-77): persist both catalog tries (+ the
+    companion original-strings jsonl) as reloadable artifacts. Both tries
+    MUST be saved together: token ids come from the tokenizer built over
+    the ent+rel name union, so artifacts from different unions cannot be
+    mixed — GenieExtractor(trie_artifacts=...) reloads the pair and
+    rebuilds that same tokenizer from the companion names."""
+    ents = sorted(set(ent_names))
+    rels = sorted(set(rel_names))
+    tok = WordTokenizer(ents + rels)
+    trie_from_names(ents, tok).save(ent_path, names=ents)
+    trie_from_names(rels, tok).save(rel_path, names=rels)
 
 
 class GenieExtractor:
@@ -95,12 +121,13 @@ class GenieExtractor:
     def __init__(
         self,
         spark: SparkSession,
-        ent_names: List[str],
-        rel_names: List[str],
+        ent_names: Optional[List[str]] = None,
+        rel_names: Optional[List[str]] = None,
         num_beams: int = 2,
         max_length: int = 96,
         length_penalty: float = 0.0,
         bos_first: bool = False,
+        trie_artifacts: Optional[tuple] = None,
     ):
         self.num_beams = num_beams
         self.max_length = max_length
@@ -109,12 +136,29 @@ class GenieExtractor:
         # deterministic-scorer golden outputs unchanged
         self.length_penalty = length_penalty
         self.bos_first = bos_first
+        if trie_artifacts is not None:
+            # preloaded S10 artifacts (save_trie_artifacts): names come
+            # from the companion jsonl, the CSR arrays broadcast as-is —
+            # workers skip the trie build entirely
+            from .trie import FlatTrie
+
+            ent_path, rel_path = trie_artifacts
+            ent_names = FlatTrie.load_names(ent_path)
+            rel_names = FlatTrie.load_names(rel_path)
+            et, rt = FlatTrie.load(ent_path), FlatTrie.load(rel_path)
+            extra = {
+                "ent_trie": (et.offsets, et.tokens, et.childs),
+                "rel_trie": (rt.offsets, rt.tokens, rt.childs),
+            }
+        else:
+            extra = {}
         # Sort for build determinism (reference trie.py:36). The broadcast
         # carries raw names, not the trie: names compress well, and the
         # CSR build is cheap and deterministic on each worker.
         payload = {
             "ent_names": sorted(set(ent_names)),
             "rel_names": sorted(set(rel_names)),
+            **extra,
         }
         payload["cache_key"] = (
             len(payload["ent_names"]),

@@ -159,23 +159,42 @@ CATALOG_SCHEMA = StructType(
 )
 
 
+# F10 (reference notebooks/Demo.ipynb map_ids_to_names,
+# invalid_tokens={" <"}): a surface form containing a structural token
+# would open a tag mid-name and corrupt the linearization grammar.
+INVALID_NAME_TOKENS = (" <",)
+
+
+def filter_invalid_names(
+    catalog: DataFrame, tokens: Tuple[str, ...] = INVALID_NAME_TOKENS
+) -> DataFrame:
+    """F10: drop catalog entries whose name contains any invalid token."""
+    out = catalog
+    for t in tokens:
+        out = out.filter(~F.col("name").contains(t))
+    return out
+
+
 def read_catalog(
     spark: SparkSession, path: str, assert_unique: bool = True
 ) -> DataFrame:
-    """S6 + X8: {wikidata_id, information} JSONL → (id, name, provenance)
-    dimension, preferring en_title over en_label
-    (surface_forms_utils.py:250-262, 297-308). Uniqueness is asserted the
+    """S6 + X8 + F10: {wikidata_id, information} JSONL → (id, name,
+    provenance) dimension, preferring en_title over en_label
+    (surface_forms_utils.py:250-262, 297-308), special-token names
+    rejected (Demo.ipynb predicate). Uniqueness is asserted the
     distributed way — a groupBy-count instead of dict insertion checks."""
     raw = spark.read.schema(CATALOG_SCHEMA).json(path)
-    dim = raw.select(
-        F.col("wikidata_id").alias("id"),
-        F.coalesce(F.col("information.en_title"), F.col("information.en_label")).alias(
-            "name"
-        ),
-        F.when(F.col("information.en_title").isNotNull(), "en_title")
-        .otherwise("en_label")
-        .alias("provenance"),
-    ).filter(F.col("name").isNotNull())
+    dim = filter_invalid_names(
+        raw.select(
+            F.col("wikidata_id").alias("id"),
+            F.coalesce(
+                F.col("information.en_title"), F.col("information.en_label")
+            ).alias("name"),
+            F.when(F.col("information.en_title").isNotNull(), "en_title")
+            .otherwise("en_label")
+            .alias("provenance"),
+        ).filter(F.col("name").isNotNull())
+    )
     if assert_unique:
         dups = dim.groupBy("id").count().filter(F.col("count") > 1).limit(1).collect()
         if dups:

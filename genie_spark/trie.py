@@ -147,6 +147,43 @@ class FlatTrie:
     def nbytes(self) -> int:
         return self.offsets.nbytes + self.tokens.nbytes + self.childs.nbytes
 
+    # -- disk artifact (S10; reference trie.py:65-77 pickles the nested
+    # trie + a companion *_original_strings.jsonl; the CSR form saves as
+    # one compressed .npz of the three arrays instead) --
+
+    def save(self, path: str, names: Optional[Iterable[str]] = None) -> str:
+        """Persist to ``<path>.npz`` (+ ``<path>_original_strings.jsonl``
+        when ``names`` are given) so the trie builds once per catalog, not
+        once per run. Returns the npz path."""
+        import json
+
+        npz = path if path.endswith(".npz") else path + ".npz"
+        with open(npz, "wb") as f:
+            np.savez_compressed(
+                f, offsets=self.offsets, tokens=self.tokens, childs=self.childs
+            )
+        if names is not None:
+            base = npz[: -len(".npz")]
+            with open(base + "_original_strings.jsonl", "w", encoding="utf-8") as f:
+                for n in names:
+                    f.write(json.dumps(n) + "\n")
+        return npz
+
+    @classmethod
+    def load(cls, path: str) -> "FlatTrie":
+        npz = path if path.endswith(".npz") else path + ".npz"
+        data = np.load(npz)
+        return cls(data["offsets"], data["tokens"], data["childs"])
+
+    @staticmethod
+    def load_names(path: str) -> List[str]:
+        """Companion original-strings list for a saved trie."""
+        import json
+
+        base = (path if path.endswith(".npz") else path + ".npz")[: -len(".npz")]
+        with open(base + "_original_strings.jsonl", encoding="utf-8") as f:
+            return [json.loads(line) for line in f if line.strip()]
+
 
 def trie_from_names(names: Iterable[str], tokenizer) -> FlatTrie:
     """Build the broadcast trie from catalog surface forms.

@@ -305,3 +305,20 @@ def test_decoder_length_penalty_normalizes_scores(tok):
     for b in raw:
         if b.log_prob > INVALID_LOG_PROB:
             assert b.log_prob == b.score  # default path untouched
+
+
+def test_flat_trie_save_load_roundtrip(tok, tmp_path):
+    flat = trie_from_names(NAMES, tok)
+    path = str(tmp_path / "ent_trie")
+    flat.save(path, names=sorted(NAMES))
+    back = FlatTrie.load(path)
+    assert FlatTrie.load_names(path) == sorted(NAMES)
+    rng = random.Random(5)
+    vocab = list(tok.id2piece)
+    for name in NAMES:
+        seq = tok.encode(name)[1:]
+        for k in range(len(seq) + 1):
+            assert back.get(seq[:k]) == flat.get(seq[:k])
+    for _ in range(100):
+        prefix = [rng.choice(vocab) for _ in range(rng.randrange(4))]
+        assert back.get(prefix) == flat.get(prefix)

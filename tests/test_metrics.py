@@ -196,3 +196,56 @@ def test_per_relation_counts_null_and_separator_fields(spark):
     for r in out.values():
         assert r["n_correct"] <= r["n_pred"]
         assert r["n_correct"] <= r["n_target"] + r["n_pred"]  # sanity
+
+
+def test_multinomial_bootstrap_exact_totals(spark):
+    """The multinomial mode must resample EXACTLY n datapoints per run
+    (the reference's random.choices(range(n), k=n) invariant) — verified
+    by replicating the deterministic hash draws in pure Python and
+    comparing per-run weighted totals against a hand-computed resample."""
+    import hashlib
+
+    from genie_spark.metrics import bootstrap_micro_multinomial
+
+    def t(s, r, o):
+        return {"s": s, "r": r, "o": o}
+
+    rows = [
+        (1, [t("a", "r", "b")], [t("a", "r", "b")]),
+        (2, [t("c", "r", "d")], []),
+        (3, [], [t("e", "r", "f")]),
+        (4, [t("g", "r", "h"), t("i", "r", "j")], [t("g", "r", "h")]),
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, pred array<struct<s:string,r:string,o:string>>, "
+        "target array<struct<s:string,r:string,o:string>>"
+    )
+    n, n_runs = len(rows), 7
+    got = {r["metric"]: (r["mean"], r["std"]) for r in
+           bootstrap_micro_multinomial(df, n_runs=n_runs).collect()}
+
+    # pure-Python twin of the hash draws + estimator
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    per_sample = {1: (1, 1, 1), 2: (0, 1, 0), 3: (0, 0, 1), 4: (1, 2, 1)}
+    # ids sorted -> j = id-1
+    stats = {"precision": [], "recall": [], "f1": []}
+    for run in range(n_runs):
+        picks = [h60(f"{run}\x01{j}") % n for j in range(n)]
+        assert len(picks) == n  # exact per-run total
+        c = sum(per_sample[p + 1][0] for p in picks)
+        p_ = sum(per_sample[p + 1][1] for p in picks)
+        tt = sum(per_sample[p + 1][2] for p in picks)
+        prec = 0.0 if p_ == 0 else c / p_
+        rec = 0.0 if tt == 0 else c / tt
+        f1 = 0.0 if prec + rec == 0 else 2 * prec * rec / (prec + rec)
+        stats["precision"].append(prec)
+        stats["recall"].append(rec)
+        stats["f1"].append(f1)
+
+    import statistics
+
+    for m, vals in stats.items():
+        assert got[m][0] == pytest.approx(statistics.mean(vals))
+        assert got[m][1] == pytest.approx(statistics.stdev(vals))  # sample std

@@ -114,6 +114,35 @@ def test_read_catalog_provenance_and_uniqueness(spark, tmp_path):
         read_catalog(spark, str(dup))
 
 
+def test_read_catalog_rejects_special_token_names(spark, tmp_path):
+    """F10 (Demo.ipynb map_ids_to_names, invalid_tokens={' <'}): a name
+    containing ' <' would open a tag mid-name; it must never enter the
+    catalog dimension."""
+    from genie_spark.sources import filter_invalid_names
+
+    p = tmp_path / "cat_bad.jsonl"
+    _write_lines(
+        p,
+        [
+            json.dumps({"wikidata_id": "Q1", "information": {"en_title": "Alice"}}),
+            json.dumps({"wikidata_id": "Q2", "information": {"en_title": "Bad <sub> name"}}),
+            json.dumps({"wikidata_id": "Q3", "information": {"en_label": "x < y"}}),
+            json.dumps({"wikidata_id": "Q4", "information": {"en_title": "A<B"}}),
+        ],
+    )
+    dim = read_catalog(spark, str(p))
+    got = {r["id"]: r["name"] for r in dim.collect()}
+    # ' <' names rejected; '<' without a leading space is fine (reference
+    # predicate is substring ' <')
+    assert got == {"Q1": "Alice", "Q4": "A<B"}
+
+    cat = spark.createDataFrame(
+        [("Q9", "ok name", "en_title"), ("Q10", "oops <rel", "en_title")],
+        ["id", "name", "provenance"],
+    )
+    assert [r["id"] for r in filter_invalid_names(cat).collect()] == ["Q9"]
+
+
 def test_iceberg_fallback_paths(spark, tmp_path):
     """Without the Iceberg runtime (this sandbox), write_table/read_table
     must take the parquet fallback with identical layout."""

@@ -345,3 +345,29 @@ def test_bounded_split_byte_identical(spark):
     dot = text.index("Dr.") + 3  # split point would be right after 'Dr.'
     units = split_sentences_bounded(text, [(dot - 1, dot + 4)])
     assert units[0].startswith("Alice met Dr. Smith today.")
+
+
+def test_extractor_accepts_trie_artifacts(spark, tmp_path):
+    """GenieExtractor(trie_artifacts=...) must produce bit-identical output
+    to the build-from-names path (S10: the persisted trie is the same
+    trie)."""
+    from genie_spark.pipeline import GenieExtractor, extract_pipeline, save_trie_artifacts
+
+    ents = synth.unique_entity_names(synth.make_entities())
+    rels = sorted(synth.RELATIONS)
+    ent_path = str(tmp_path / "ent_trie")
+    rel_path = str(tmp_path / "rel_trie")
+    save_trie_artifacts(ents, rels, ent_path, rel_path)
+
+    pages = synth.pages_df(spark, 12)
+    base = extract_pipeline(spark, pages, ents, rels)
+    loaded = extract_pipeline(
+        spark, pages, [], [],
+        extractor=GenieExtractor(spark, [], [], trie_artifacts=(ent_path, rel_path)),
+    )
+    key = lambda df: sorted(
+        (r["url"], r["sent_idx"], r["prediction"],
+         tuple((b["text"], b["log_prob"]) for b in r["beams"]))
+        for r in df.collect()
+    )
+    assert key(loaded) == key(base)
