@@ -112,14 +112,17 @@ HEADLINE = [
     "macro_mean",
     "bucket_metrics",
     "bootstrap_micro",
+    "bootstrap_micro_multinomial",
     "canonicalize_join",
     "annotate_id_triples",
     "kilt_filters",
     "topk_per_group",
     "sentence_split",
+    "sentence_split_bounded",
     "linearize_roundtrip",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard_dfcut",
     "dedup_simhash",
     "ann_cosine_topk",
     "ann_lsh_topk",

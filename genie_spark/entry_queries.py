@@ -287,6 +287,28 @@ def zero_shot_groups(spark, sf_dir):
     )
 
 
+@_register(
+    "micro_recall_only",
+    f"""
+WITH {_TRIPLES_SQL}, {_PRF_SQL}
+SELECT round(CASE WHEN n_target = 0 THEN 0.0 ELSE n_correct::DOUBLE / n_target END, 6) AS recall,
+       n_correct::BIGINT AS n_correct, n_target::BIGINT AS n_target
+FROM tots
+""",
+)
+def micro_recall_only(spark, sf_dir):
+    """FewRel evaluation mode (results_full.yaml:76-80): only recall is
+    computable when the gold annotation is one triple per sample."""
+    from .metrics import micro_metrics
+
+    out = micro_metrics(_pred_target_df(spark, sf_dir), recall_only=True)
+    return out.select(
+        F.round("recall", 6).alias("recall"),
+        F.col("n_correct").cast("bigint").alias("n_correct"),
+        F.col("n_target").cast("bigint").alias("n_target"),
+    )
+
+
 # -- A5: deterministic bootstrap ----------------------------------------------
 
 _N_BOOT = 20

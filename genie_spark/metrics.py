@@ -54,16 +54,27 @@ def _prf(correct: Column, pred: Column, target: Column):
 
 
 def micro_metrics(
-    df: DataFrame, pred: str = "pred", target: str = "target"
+    df: DataFrame,
+    pred: str = "pred",
+    target: str = "target",
+    recall_only: bool = False,
 ) -> DataFrame:
     """A1 — global micro precision / recall / F1: one row
-    (precision, recall, f1, n_correct, n_pred, n_target)."""
+    (precision, recall, f1, n_correct, n_pred, n_target).
+
+    ``recall_only`` is the FewRel evaluation mode (reference
+    configs/evaluation/results_full.yaml:76-80): FewRel annotates exactly
+    one gold triple per sample, so extra predicted facts cannot be judged
+    — precision and F1 are suppressed and only (recall, n_correct,
+    n_target) is reported."""
     agg = _counts(df, pred, target).agg(
         F.sum("n_correct").alias("n_correct"),
         F.sum("n_pred").alias("n_pred"),
         F.sum("n_target").alias("n_target"),
     )
     p, r, f1 = _prf(F.col("n_correct"), F.col("n_pred"), F.col("n_target"))
+    if recall_only:
+        return agg.select(r.alias("recall"), "n_correct", "n_target")
     return agg.select(
         p.alias("precision"), r.alias("recall"), f1.alias("f1"),
         "n_correct", "n_pred", "n_target",
@@ -123,16 +134,25 @@ def _per_relation_counts(
 
 
 def macro_metrics(
-    df: DataFrame, pred: str = "pred", target: str = "target"
+    df: DataFrame,
+    pred: str = "pred",
+    target: str = "target",
+    recall_only: bool = False,
 ) -> DataFrame:
     """A2 — per-relation micro scores + unweighted macro mean
     (evaluation.py:67-78). Returns one row: (macro_precision,
-    macro_recall, macro_f1, n_relations)."""
+    macro_recall, macro_f1, n_relations); with ``recall_only`` (FewRel
+    mode, results_full.yaml:76-80) just (macro_recall, n_relations)."""
     per_rel = _per_relation_counts(df, pred, target)
     p, r, f1 = _prf(F.col("n_correct"), F.col("n_pred"), F.col("n_target"))
     scored = per_rel.select(
         "rel", p.alias("precision"), r.alias("recall"), f1.alias("f1")
     )
+    if recall_only:
+        return scored.agg(
+            F.avg("recall").alias("macro_recall"),
+            F.count("*").alias("n_relations"),
+        )
     return scored.agg(
         F.avg("precision").alias("macro_precision"),
         F.avg("recall").alias("macro_recall"),
