@@ -311,6 +311,34 @@ def simhash_neardup_pairs(
     return pairs
 
 
+def embedding_neardup_lsh_pairs(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 4,
+    threshold: float = 0.95,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup with a REAL blocking key: vectors are bucketed
+    by the deterministic hyperplane-LSH signature first, then the all-
+    pairs cosine runs within buckets only — the corpus-safe default
+    (2^n_planes buckets cut the quadratic term ~4^n_planes×; raise
+    n_planes with corpus size). High-cosine pairs land in the same bucket
+    with probability (1 − θ/π)^n_planes, so the recall tradeoff is
+    explicit and tunable."""
+    from .similarity import hyperplane_bucket_col, hyperplanes
+
+    dim = len(emb.select(vec_col).first()[0])
+    planes = hyperplanes(n_planes, dim, seed)
+    bucketed = emb.withColumn(
+        "_lshb", hyperplane_bucket_col(F.col(vec_col), planes)
+    )
+    return embedding_neardup_pairs(
+        bucketed, vec_col=vec_col, id_col=id_col, block_col="_lshb",
+        threshold=threshold,
+    )
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     vec_col: str = "embedding",

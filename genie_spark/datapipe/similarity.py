@@ -105,6 +105,26 @@ def bucketed_embeddings(
     return emb.withColumn("bucket", hyperplane_bucket_col(F.col(vec_col), planes))
 
 
+def query_bucket(query: Sequence[float], planes: List[List[int]]) -> int:
+    qbucket = 0
+    for p, coeffs in enumerate(planes):
+        if sum(c * float(x) for c, x in zip(coeffs, query)) > 0:
+            qbucket |= 1 << p
+    return qbucket
+
+
+def probe_buckets(qbucket: int, n_planes: int, multiprobe: int = 0) -> List[int]:
+    """The query bucket plus, with ``multiprobe=1``, its n_planes
+    hamming-1 neighbors — vectors near a hyperplane land on either side,
+    so probing adjacent buckets recovers most of the recall a single-
+    bucket probe loses, at (n_planes+1)/2^n_planes of the full-scan
+    cost."""
+    buckets = [qbucket]
+    if multiprobe >= 1:
+        buckets += [qbucket ^ (1 << p) for p in range(n_planes)]
+    return sorted(set(buckets))
+
+
 def lsh_topk(
     emb: DataFrame,
     query: Sequence[float],
@@ -113,23 +133,22 @@ def lsh_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    multiprobe: int = 0,
 ) -> DataFrame:
-    """Scale-path ANN: probe only the query's hyperplane bucket. With
-    2^n_planes buckets the scan shrinks ~2^n_planes× (partition pruning
-    applies when the table is written bucketed/partitioned by `bucket`)."""
+    """Scale-path ANN: probe only the query's hyperplane bucket (plus its
+    hamming-1 neighbors with ``multiprobe=1``). With 2^n_planes buckets
+    the scan shrinks ~2^n_planes× (partition pruning applies when the
+    table is written bucketed/partitioned by `bucket`)."""
     dim = len(query)
     planes = hyperplanes(n_planes, dim, seed)
-    qbucket = 0
-    for p, coeffs in enumerate(planes):
-        if sum(c * float(x) for c, x in zip(coeffs, query)) > 0:
-            qbucket |= 1 << p
+    probes = probe_buckets(query_bucket(query, planes), n_planes, multiprobe)
     bucketed = emb.withColumn("bucket", hyperplane_bucket_col(F.col(vec_col), planes))
     qlit = F.array(*[F.lit(float(x)) for x in query])
     return (
-        bucketed.filter(F.col("bucket") == qbucket)
+        bucketed.filter(F.col("bucket").isin(probes))
         .select(
             F.col(id_col),
-            F.lit(qbucket).alias("bucket"),
+            F.col("bucket"),
             F.round(cosine_col(F.col(vec_col), qlit), 6).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc(id_col))
@@ -356,33 +375,60 @@ LIMIT {k}
 """
 
 
-def lsh_topk_sql(
-    query: Sequence[float], k: int, n_planes: int, dim: int, seed: int = 42
-) -> str:
-    planes = hyperplanes(n_planes, dim, seed)
-    qbucket = 0
-    for p, coeffs in enumerate(planes):
-        if sum(c * float(x) for c, x in zip(coeffs, query)) > 0:
-            qbucket |= 1 << p
-    q = _q_vec_sql(query)
-    bucket_terms = []
+def _bucket_expr_sql(planes: List[List[int]], vec: str = "embedding") -> str:
+    terms = []
     for p, coeffs in enumerate(planes):
         plane = "[" + ", ".join(f"{float(c)!r}" for c in coeffs) + "]"
-        bucket_terms.append(
-            f"(CASE WHEN list_sum(list_transform(list_zip(embedding, {plane}),"
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(list_zip({vec}, {plane}),"
             f" p -> p[1]::DOUBLE * p[2])) > 0 THEN {1 << p} ELSE 0 END)"
         )
-    bucket_expr = " + ".join(bucket_terms)
+    return " + ".join(terms)
+
+
+def lsh_topk_sql(
+    query: Sequence[float],
+    k: int,
+    n_planes: int,
+    dim: int,
+    seed: int = 42,
+    multiprobe: int = 0,
+) -> str:
+    planes = hyperplanes(n_planes, dim, seed)
+    probes = probe_buckets(query_bucket(query, planes), n_planes, multiprobe)
+    q = _q_vec_sql(query)
+    in_list = ", ".join(str(b) for b in probes)
     return f"""
 WITH b AS (
-  SELECT vec_id, embedding, ({bucket_expr})::BIGINT AS bucket FROM embeddings
+  SELECT vec_id, embedding, ({_bucket_expr_sql(planes)})::BIGINT AS bucket FROM embeddings
 )
 SELECT vec_id, bucket,
        round(list_sum(list_transform(list_zip(embedding, {q}),
                                      p -> p[1]::DOUBLE * p[2]::DOUBLE))
              / (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
                 * sqrt(list_sum(list_transform({q}, x -> x * x)))), 6) AS cosine
-FROM b WHERE bucket = {qbucket}
+FROM b WHERE bucket IN ({in_list})
 ORDER BY cosine DESC, vec_id ASC
 LIMIT {k}
+"""
+
+
+def embedding_neardup_lsh_sql(
+    n_planes: int, dim: int, threshold: float, seed: int = 42
+) -> str:
+    """DuckDB twin of dedup.embedding_neardup_lsh_pairs: same hyperplane
+    literals, same bucket-blocked all-pairs cosine."""
+    planes = hyperplanes(n_planes, dim, seed)
+    return f"""
+WITH base AS (
+  SELECT vec_id,
+         ({_bucket_expr_sql(planes)})::BIGINT AS bucket,
+         list_transform(embedding, x -> x::DOUBLE) AS v,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS n
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) / (a.n * b.n), 6) AS cosine
+FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) / (a.n * b.n) >= {threshold}
 """

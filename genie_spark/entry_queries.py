@@ -1076,6 +1076,18 @@ def embedding_neardup(spark, sf_dir):
     )
 
 
+@_register("embedding_neardup_lsh", None)
+def embedding_neardup_lsh(spark, sf_dir):
+    """Corpus-safe near-dup default: hyperplane-LSH buckets as the
+    blocking key, so the within-block all-pairs term is bounded by the
+    bucket size, not the corpus size."""
+    from .datapipe.dedup import embedding_neardup_lsh_pairs
+
+    return embedding_neardup_lsh_pairs(
+        _t(spark, sf_dir, "embeddings"), n_planes=4, threshold=0.3
+    )
+
+
 # -- similarity search ----------------------------------------------------------
 
 # fixed 64-dim literal query vector (independent of sf so the oracle SQL
@@ -1104,6 +1116,19 @@ def ann_lsh_topk(spark, sf_dir):
     from .datapipe.similarity import lsh_topk
 
     return lsh_topk(_t(spark, sf_dir, "embeddings"), ANN_QUERY, k=_ANN_K, n_planes=4)
+
+
+@_register("ann_lsh_multiprobe_topk", None)
+def ann_lsh_multiprobe_topk(spark, sf_dir):
+    """Hamming-1 multiprobe: the query bucket plus its n_planes neighbor
+    buckets — recovers near-hyperplane recall at (n_planes+1)/2^n_planes
+    of the full-scan cost."""
+    from .datapipe.similarity import lsh_topk
+
+    return lsh_topk(
+        _t(spark, sf_dir, "embeddings"), ANN_QUERY, k=_ANN_K, n_planes=4,
+        multiprobe=1,
+    )
 
 
 _IVF_CELLS = 8
@@ -1147,14 +1172,21 @@ def ann_ivf_topk(spark, sf_dir):
 def _install_ann_oracles():
     from .datapipe.similarity import (
         brute_force_topk_sql,
+        embedding_neardup_lsh_sql,
         ivf_topk_sql,
         lsh_topk_sql,
     )
 
     ORACLES["ann_cosine_topk"] = brute_force_topk_sql(ANN_QUERY, _ANN_K)
     ORACLES["ann_lsh_topk"] = lsh_topk_sql(ANN_QUERY, _ANN_K, 4, 64)
+    ORACLES["ann_lsh_multiprobe_topk"] = lsh_topk_sql(
+        ANN_QUERY, _ANN_K, 4, 64, multiprobe=1
+    )
     ORACLES["ann_ivf_topk"] = ivf_topk_sql(
         ANN_QUERY, n_cells=_IVF_CELLS, k=_ANN_K, n_probe=_IVF_PROBE
+    )
+    ORACLES["embedding_neardup_lsh"] = embedding_neardup_lsh_sql(
+        n_planes=4, dim=64, threshold=0.3
     )
 
 

@@ -135,6 +135,35 @@ def route_wikidata_dump(dump: DataFrame) -> Tuple[DataFrame, DataFrame]:
     return entities, relations
 
 
+def catalog_from_dump(
+    entities: DataFrame, relations: DataFrame
+) -> Tuple[DataFrame, DataFrame]:
+    """S4→S6 bridge (reference init_surface_form_dicts.py:1-27 with
+    utils.read_and_process_entity_dict/:read_and_process_relations_dict,
+    utils.py:71-104): entity surface form = enwiki title, relation surface
+    form = English label, both recorded with 'en_title' provenance
+    (set_dict wraps the base dicts as en_title,
+    surface_forms_utils.py:270-276). Ids whose name is shared by another
+    id are deleted on BOTH sides (get_duplicate_values → del) — exactly
+    ``dedup_catalog``'s ambiguous-name drop — and special-token names are
+    rejected (F10). Returns (ent_catalog, rel_catalog) ready for
+    ``surface_to_id`` / ``trie_from_names`` / ``annotate_kilt``."""
+    from .canonicalize import dedup_catalog
+
+    ent = entities.select(
+        "id",
+        F.col("enwiki_title").alias("name"),
+        F.lit("en_title").alias("provenance"),
+    ).filter(F.col("name").isNotNull())
+    rel = relations.select(
+        "id", F.col("label").alias("name"), F.lit("en_title").alias("provenance")
+    ).filter(F.col("name").isNotNull())
+    return (
+        dedup_catalog(filter_invalid_names(ent)),
+        dedup_catalog(filter_invalid_names(rel)),
+    )
+
+
 def read_relation_set(spark: SparkSession, path: str) -> Set[str]:
     """S5: JSONL of relation names → broadcast-ready Python set (tiny —
     the reference's worlds are ≤ ~800 relations)."""

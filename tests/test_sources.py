@@ -83,6 +83,34 @@ def test_route_wikidata_dump(spark, tmp_path):
     assert rel_rows[0]["aliases"] == ["written by"]
 
 
+def test_catalog_from_dump(spark, tmp_path):
+    """Dump -> catalog bridge: entity name = enwiki title, relation name =
+    label, duplicate names deleted on both sides, special-token names
+    rejected — the full S4->S6 chain."""
+    from genie_spark.sources import catalog_from_dump
+
+    recs = [
+        {"id": "Q1", "labels": {"en": {"value": "alice label"}},
+         "sitelinks": {"enwiki": {"title": "Alice"}}},
+        # duplicate title: BOTH Q2 and Q3 must be deleted
+        {"id": "Q2", "sitelinks": {"enwiki": {"title": "Springfield"}}},
+        {"id": "Q3", "sitelinks": {"enwiki": {"title": "Springfield"}}},
+        # special-token title rejected (F10)
+        {"id": "Q4", "sitelinks": {"enwiki": {"title": "Weird <obj> page"}}},
+        {"id": "P5", "labels": {"en": {"value": "author"}}},
+        {"id": "P6", "labels": {"en": {"value": "author"}}},  # dup label
+        {"id": "P7", "labels": {"en": {"value": "place of birth"}}},
+    ]
+    p = tmp_path / "dump2.jsonl"
+    _write_lines(p, [json.dumps(r) for r in recs])
+    dump = spark.read.schema(WIKIDATA_DUMP_SCHEMA).json(str(p))
+    ent_cat, rel_cat = catalog_from_dump(*route_wikidata_dump(dump))
+    ents = {r["id"]: (r["name"], r["provenance"]) for r in ent_cat.collect()}
+    assert ents == {"Q1": ("Alice", "en_title")}
+    rels = {r["id"]: r["name"] for r in rel_cat.collect()}
+    assert rels == {"P7": "place of birth"}
+
+
 def test_read_relation_set(spark, tmp_path):
     p = tmp_path / "rels.jsonl"
     _write_lines(p, [json.dumps({"relation": n}) for n in ["author", "place"]])
