@@ -126,7 +126,10 @@ HEADLINE = [
     "dedup_simhash",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_lsh_multiprobe_topk",
     "ann_ivf_topk",
+    "ann_ivf_kmeans_topk",
+    "embedding_neardup_lsh",
     "lang_id",
     "quality_score",
     "token_count",

@@ -188,6 +188,42 @@ def ivf_centroids(
     return [[float(x) for x in r[vec_col]] for r in rows]
 
 
+def ivf_kmeans_centroids(
+    emb: DataFrame,
+    n_cells: int = 8,
+    n_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> List[List[float]]:
+    """Lloyd refinement of the hash-sampled seeds: each iteration assigns
+    every vector to its argmax-cosine cell (same 9dp-rounded metric as
+    :func:`ivf_cell_col`) and moves each centroid to the element-wise mean
+    of its members, rounded to 9dp so Spark and DuckDB summation-order
+    drift (~1e-13 relative) can't flip an argmax. Empty cells keep their
+    previous centroid. Fixed iteration count + deterministic seeds ⇒ the
+    same centroids on every engine and every run.
+
+    Cost: n_iters scans, each one groupBy(cell) with dim partial-agg
+    columns (map-side combine; the shuffle carries n_cells × partitions ×
+    dim counters, independent of corpus size). The index-build is
+    amortized over every query against the materialized cell table."""
+    cents = ivf_centroids(emb, n_cells, vec_col, id_col)
+    dim = len(cents[0])
+    for _ in range(n_iters):
+        cells = emb.withColumn("cell", ivf_cell_col(F.col(vec_col), cents))
+        means = cells.groupBy("cell").agg(
+            *[
+                F.round(
+                    F.avg(F.element_at(F.col(vec_col), d + 1).cast("double")), 9
+                ).alias(f"m{d}")
+                for d in range(dim)
+            ]
+        ).collect()
+        by_cell = {r["cell"]: [float(r[f"m{d}"]) for d in range(dim)] for r in means}
+        cents = [by_cell.get(i, cents[i]) for i in range(n_cells)]
+    return cents
+
+
 def _cent_cos(vec_col: Column, cent: Sequence[float]) -> Column:
     """Cosine to a centroid literal, rounded to 9dp — the rounding absorbs
     engine summation-order drift so the argmax (and the DuckDB oracle's)
@@ -341,6 +377,92 @@ probe AS (
   ORDER BY {cos_sql(q, "cvec")} DESC, cid
   LIMIT {n_probe}
 )
+SELECT vec_id, cell,
+       round(list_sum(list_transform(list_zip(embedding, {q}),
+                                     p -> p[1]::DOUBLE * p[2]::DOUBLE))
+             / (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+                * sqrt(list_sum(list_transform({q}, x -> x * x)))), 6) AS cosine
+FROM cells WHERE cell IN (SELECT cid FROM probe)
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
+def ivf_kmeans_topk_sql(
+    query: Sequence[float],
+    n_cells: int = 8,
+    k: int = 10,
+    n_probe: int = 2,
+    n_iters: int = 2,
+) -> str:
+    """DuckDB twin of :func:`ivf_kmeans_centroids` + :func:`ivf_topk`:
+    the Lloyd iterations unroll to one (assign → per-cell element-wise
+    avg → coalesce-with-previous) CTE block each, fully data-derived, so
+    the single static oracle string is correct at every scale factor."""
+    from .hashes import h60_sql
+
+    q = _q_vec_sql(query)
+
+    def cos_sql(a: str, b: str) -> str:
+        return (
+            f"round(list_sum(list_transform(list_zip({a}, {b}),"
+            f" p -> p[1]::DOUBLE * p[2]::DOUBLE))"
+            f" / (sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
+            f" * sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE)))), 9)"
+        )
+
+    blocks = [
+        f"""cents0 AS (
+  SELECT list_transform(embedding, x -> x::DOUBLE) AS cvec,
+         row_number() OVER (ORDER BY {h60_sql("vec_id::VARCHAR")}, vec_id) - 1 AS cid
+  FROM embeddings
+  QUALIFY cid < {n_cells}
+)"""
+    ]
+    for it in range(n_iters):
+        prev, cur = f"cents{it}", f"cents{it + 1}"
+        blocks.append(
+            f"""a{it} AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {cos_sql("e.embedding", "c.cvec")} DESC, c.cid
+         ) AS rnk
+  FROM embeddings e CROSS JOIN {prev} c
+),
+dm{it} AS (
+  SELECT cid AS cell, dim, round(avg(val), 9) AS m
+  FROM (SELECT cid, unnest(embedding)::DOUBLE AS val,
+               generate_subscripts(embedding, 1) AS dim
+        FROM a{it} WHERE rnk = 1)
+  GROUP BY 1, 2
+),
+m{it} AS (SELECT cell, list(m ORDER BY dim) AS mvec FROM dm{it} GROUP BY 1),
+{cur} AS (
+  SELECT c.cid, coalesce(m.mvec, c.cvec) AS cvec
+  FROM {prev} c LEFT JOIN m{it} m ON c.cid = m.cell
+)"""
+        )
+    final = f"cents{n_iters}"
+    blocks.append(
+        f"""assign AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {cos_sql("e.embedding", "c.cvec")} DESC, c.cid
+         ) AS rnk
+  FROM embeddings e CROSS JOIN {final} c
+),
+cells AS (SELECT vec_id, embedding, cid AS cell FROM assign WHERE rnk = 1),
+probe AS (
+  SELECT cid FROM {final}
+  ORDER BY {cos_sql(q, "cvec")} DESC, cid
+  LIMIT {n_probe}
+)"""
+    )
+    with_sql = ",\n".join(blocks)
+    return f"""
+WITH {with_sql}
 SELECT vec_id, cell,
        round(list_sum(list_transform(list_zip(embedding, {q}),
                                      p -> p[1]::DOUBLE * p[2]::DOUBLE))

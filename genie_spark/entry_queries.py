@@ -1169,10 +1169,47 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
+_IVF_KM_ITERS = 2
+_KM_CENT_CACHE: Dict[str, list] = {}
+
+
+def ivf_kmeans_index(spark, sf_dir):
+    """Build (once per sf_dir) the Lloyd-refined centroid set and its
+    partitionBy(cell) table; centroids are cached driver-side so repeated
+    probes pay neither the k-means scans nor the assignment."""
+    from .datapipe.similarity import ivf_kmeans_centroids, materialize_ivf_cells
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _KM_CENT_CACHE.get(sf_dir)
+    if cents is None:
+        cents = ivf_kmeans_centroids(
+            emb, n_cells=_IVF_CELLS, n_iters=_IVF_KM_ITERS
+        )
+        _KM_CENT_CACHE[sf_dir] = cents
+    path = _ivf_index_dir(sf_dir) + f"_km{_IVF_KM_ITERS}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        materialize_ivf_cells(emb, cents, path)
+    return path, cents
+
+
+@_register("ann_ivf_kmeans_topk", None)
+def ann_ivf_kmeans_topk(spark, sf_dir):
+    """True k-means IVF: deterministic Lloyd-refined centroids (2 fixed
+    iterations, 9dp-rounded means — engine-exact), corpus materialized
+    partitionBy(cell), probe via partition pruning."""
+    from .datapipe.similarity import ivf_topk_pruned
+
+    path, cents = ivf_kmeans_index(spark, sf_dir)
+    return ivf_topk_pruned(
+        spark, path, ANN_QUERY, cents, k=_ANN_K, n_probe=_IVF_PROBE
+    )
+
+
 def _install_ann_oracles():
     from .datapipe.similarity import (
         brute_force_topk_sql,
         embedding_neardup_lsh_sql,
+        ivf_kmeans_topk_sql,
         ivf_topk_sql,
         lsh_topk_sql,
     )
@@ -1184,6 +1221,10 @@ def _install_ann_oracles():
     )
     ORACLES["ann_ivf_topk"] = ivf_topk_sql(
         ANN_QUERY, n_cells=_IVF_CELLS, k=_ANN_K, n_probe=_IVF_PROBE
+    )
+    ORACLES["ann_ivf_kmeans_topk"] = ivf_kmeans_topk_sql(
+        ANN_QUERY, n_cells=_IVF_CELLS, k=_ANN_K, n_probe=_IVF_PROBE,
+        n_iters=_IVF_KM_ITERS,
     )
     ORACLES["embedding_neardup_lsh"] = embedding_neardup_lsh_sql(
         n_planes=4, dim=64, threshold=0.3

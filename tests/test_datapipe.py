@@ -168,3 +168,43 @@ def test_ivf_topk_recall_vs_brute(spark):
     assert len(hits) >= 8, f"IVF recall too low on clustered data: {len(hits)}/10"
     for vid in hits:
         assert ivf[vid] == brute[vid]
+
+
+def test_ivf_kmeans_refinement_on_clustered_data(spark):
+    """Lloyd refinement on clustered vectors (same corpus construction as
+    test_ivf_topk_recall_vs_brute — unstructured noise degenerates ANY
+    coarse quantizer to n_probe/n_cells recall, so clusters are the only
+    meaningful testbed): refined centroids are deterministic, differ from
+    the raw seeds, and keep recall high."""
+    import math
+
+    from genie_spark.datapipe.similarity import (
+        brute_force_topk,
+        ivf_centroids,
+        ivf_kmeans_centroids,
+        ivf_topk,
+    )
+
+    dim, n_protos, per = 16, 8, 40
+
+    def proto(p):
+        return [math.sin(0.7 * p + 1.3 * d) for d in range(dim)]
+
+    rows = []
+    for p in range(n_protos):
+        base = proto(p)
+        for j in range(per):
+            jitter = [0.15 * math.sin(2.1 * j + 0.9 * d + p) for d in range(dim)]
+            rows.append((p * per + j, p, [b + e for b, e in zip(base, jitter)]))
+    emb = spark.createDataFrame(rows, "vec_id int, label int, embedding array<float>")
+
+    seeds = ivf_centroids(emb, n_cells=8)
+    km = ivf_kmeans_centroids(emb, n_cells=8, n_iters=2)
+    km2 = ivf_kmeans_centroids(emb, n_cells=8, n_iters=2)
+    assert km == km2  # deterministic across invocations
+    assert km != seeds  # the refinement actually moved centroids
+
+    q = [x + 0.05 for x in proto(3)]
+    brute = {r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()}
+    km_hits = {r["vec_id"] for r in ivf_topk(emb, q, km, k=10, n_probe=2).collect()}
+    assert len(km_hits & brute) >= 8, f"k-means IVF recall: {len(km_hits & brute)}/10"
