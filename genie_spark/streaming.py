@@ -88,6 +88,69 @@ def stream_extract(
     return writer.start()
 
 
+DOC_STREAM_SCHEMA = "doc_id bigint, text string"
+
+
+def stream_dedup_exact(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    available_now: bool = True,
+):
+    """Custom stateful streaming operator: cross-batch EXACT dedup.
+
+    A continuous crawl re-fetches the same pages; batch-mode
+    ``exact_dedup`` only sees one batch. This keeps per-hash state with
+    ``applyInPandasWithState`` (grouped by text hash — the same shuffle
+    key as the batch groupBy, so state is co-located with its group):
+    the FIRST document of each hash ever seen is emitted, every later
+    duplicate (same batch or any later batch) is suppressed. State is one
+    tiny (seen, keep_id) record per distinct hash, checkpointed with the
+    stream — a restart resumes with the full seen-set intact.
+
+    Returns the started query (awaited when ``available_now``)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    docs = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA).parquet(input_dir)
+        .withColumn("text_hash", F.md5("text"))
+    )
+
+    out_type = "text_hash string, keep_id bigint, text string"
+    state_type = "seen int, keep_id bigint"
+
+    def first_seen(key, pdf_iter, state):
+        if state.exists:
+            return  # hash already emitted in an earlier batch
+        first = None
+        for pdf in pdf_iter:
+            if len(pdf):
+                row = pdf.nsmallest(1, "doc_id").iloc[0]
+                if first is None or int(row["doc_id"]) < first[1]:
+                    first = (key[0], int(row["doc_id"]), row["text"])
+        if first is not None:
+            state.update((1, first[1]))
+            yield pd.DataFrame(
+                [first], columns=["text_hash", "keep_id", "text"]
+            )
+
+    deduped = docs.groupBy("text_hash").applyInPandasWithState(
+        first_seen, out_type, state_type, "append", GroupStateTimeout.NoTimeout
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", os.path.join(output_dir, "data"))
+        .option("checkpointLocation", os.path.join(output_dir, "_checkpoint"))
+        .outputMode("append")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
 def _committed_batch_dirs(spark: SparkSession, data_dir: str) -> List[str]:
     """batch=<id> directories carrying their _SUCCESS marker, via the
     Hadoop FS API (works on local/HDFS/S3A alike)."""

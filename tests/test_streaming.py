@@ -86,3 +86,32 @@ def test_torn_batch_invisible_until_replayed(spark, tmp_path, catalogs):
     after = _key_rows(read_stream_output(spark, out_dir))
     assert len(after) < len(committed)
     assert set(after) <= set(committed)
+
+
+def test_stream_dedup_exact_cross_batch(spark, tmp_path):
+    """Stateful streaming dedup: the first document of each hash ever seen
+    is emitted once; duplicates within a batch AND across later batches
+    (stream restarts included) are suppressed by the checkpointed state."""
+    from genie_spark.streaming import stream_dedup_exact
+
+    in_dir = str(tmp_path / "docs_in")
+    out_dir = str(tmp_path / "dedup_out")
+
+    batch1 = [(3, "alpha text"), (1, "alpha text"), (2, "beta text")]
+    spark.createDataFrame(batch1, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(in_dir)
+    stream_dedup_exact(spark, in_dir, out_dir, available_now=True)
+    got1 = {r["text"]: r["keep_id"] for r in
+            spark.read.parquet(out_dir + "/data").collect()}
+    assert got1 == {"alpha text": 1, "beta text": 2}  # min doc_id wins in-batch
+
+    # second arrival: one repeat (suppressed by state), one new
+    batch2 = [(9, "alpha text"), (4, "gamma text")]
+    spark.createDataFrame(batch2, "doc_id bigint, text string").write.mode(
+        "append"
+    ).parquet(in_dir)
+    stream_dedup_exact(spark, in_dir, out_dir, available_now=True)
+    got2 = {r["text"]: r["keep_id"] for r in
+            spark.read.parquet(out_dir + "/data").collect()}
+    assert got2 == {"alpha text": 1, "beta text": 2, "gamma text": 4}
