@@ -88,6 +88,49 @@ def stream_extract(
     return writer.start()
 
 
+def stream_page_rates(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    max_files_per_trigger: Optional[int] = 1,
+    available_now: bool = True,
+):
+    """Watermarked windowed aggregation over the crawl stream: pages per
+    (event-time window, lang), tolerating late arrivals up to
+    ``watermark``. Append mode emits a window only once the watermark
+    passes its end — exactly-once finalized counts, safe to join
+    downstream. One file per micro-batch by default so event time (and
+    the watermark) advances deterministically during an availableNow
+    drain."""
+    pages = read_page_stream(
+        spark, input_dir, max_files_per_trigger=max_files_per_trigger
+    )
+    rates = (
+        pages.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "lang")
+        .agg(F.count("*").alias("n_pages"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "lang",
+            "n_pages",
+        )
+    )
+    writer = (
+        rates.writeStream.format("parquet")
+        .option("path", os.path.join(output_dir, "data"))
+        .option("checkpointLocation", os.path.join(output_dir, "_checkpoint"))
+        .outputMode("append")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
 DOC_STREAM_SCHEMA = "doc_id bigint, text string"
 
 

@@ -115,3 +115,43 @@ def test_stream_dedup_exact_cross_batch(spark, tmp_path):
     got2 = {r["text"]: r["keep_id"] for r in
             spark.read.parquet(out_dir + "/data").collect()}
     assert got2 == {"alpha text": 1, "beta text": 2, "gamma text": 4}
+
+
+def test_stream_page_rates_watermark_windows(spark, tmp_path):
+    """Watermarked per-window page rates: a window is appended only after
+    the watermark passes its end; late rows inside the tolerance still
+    count; the unfinalized tail window is withheld."""
+    import datetime as dt
+
+    from genie_spark.streaming import stream_page_rates
+
+    in_dir = str(tmp_path / "pages_in")
+    out_dir = str(tmp_path / "rates_out")
+
+    def page(url, hour, minute, lang="en"):
+        ts = dt.datetime(2024, 1, 1, hour, minute)
+        return (url, ts, b"<html/>", "text", lang)
+
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    # arrival 1 (one file): hour-0 pages. Run: nothing finalizes yet.
+    spark.createDataFrame(
+        [page("u1", 0, 5), page("u2", 0, 20), page("u3", 0, 40, "de")], schema
+    ).coalesce(1).write.mode("overwrite").parquet(in_dir)
+    stream_page_rates(
+        spark, in_dir, out_dir, max_files_per_trigger=None, available_now=True
+    )
+    # arrival 2 (one file): a LATE hour-0 row — still inside the previous
+    # watermark — plus hour-3 rows that push the watermark past the hour-0
+    # window end, finalizing it.
+    spark.createDataFrame(
+        [page("u4", 0, 55), page("u5", 3, 10), page("u6", 3, 30)], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    stream_page_rates(
+        spark, in_dir, out_dir, max_files_per_trigger=None, available_now=True
+    )
+    got = {
+        (r["win_start"].hour, r["lang"]): r["n_pages"]
+        for r in spark.read.parquet(out_dir + "/data").collect()
+    }
+    # hour-0 windows finalized (incl. the late u4); hour-3 window withheld
+    assert got == {(0, "en"): 3, (0, "de"): 1}
