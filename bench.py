@@ -232,8 +232,47 @@ def run_gen_only(sf_dir: str, cpus: int, replicate: int) -> dict:
     }
 
 
+def run_load_worker(sf_dir: str) -> None:
+    """Framework-free decode loop, run until killed. Used by the
+    chip-state-equalized scaling protocol: while the small level is
+    measured on cores 0..N-1, copies of this worker keep cores N..4N-1
+    busy with the SAME decode workload, so both levels see the chip in
+    the same frequency/bandwidth state."""
+    import duckdb
+
+    from genie_spark.constraints import TagCodes
+    from genie_spark.decode import DeterministicScorer, generate_for_text
+    from genie_spark.extract import split_sentences
+    from genie_spark.tokenizer import WordTokenizer
+    from genie_spark.trie import trie_from_names
+
+    rows = duckdb.sql(
+        "SELECT text FROM read_parquet('"
+        + os.path.join(sf_dir, "documents.parquet")
+        + "') ORDER BY doc_id LIMIT 1000"
+    ).fetchall()
+    words = sorted({w for (t,) in rows for w in t.split() if len(w) >= 3})
+    ents = [w for w in words if len(w) >= 4]
+    rels = [w for w in words if len(w) == 3]
+    tok = WordTokenizer(ents + rels)
+    codes = TagCodes(tok)
+    ent_t, rel_t = trie_from_names(ents, tok), trie_from_names(rels, tok)
+    scorer = DeterministicScorer(tok)
+    sents = []
+    for (t,) in rows:
+        sents.extend(split_sentences(t.replace(" the ", ". the ")))
+    while True:  # killed by the parent
+        for s in sents:
+            generate_for_text(s, scorer, tok, codes, ent_t, rel_t, num_beams=2)
+
+
 def run_scaling(
-    sf_dir: str, replicate: int, lo: int = 8, hi: int = 32, repeats: int = 2
+    sf_dir: str,
+    replicate: int,
+    lo: int = 8,
+    hi: int = 32,
+    repeats: int = 2,
+    equalize_chip: bool = False,
 ) -> dict:
     """Each level runs `repeats` times in fresh JVMs; the best (min
     seconds) run represents the level — this sandbox is a shared host and
@@ -244,34 +283,68 @@ def run_scaling(
     Python workers overflow onto the other 24 cores, overstating small-
     cluster throughput and understating scaling efficiency. Pinned, each
     level models an N-core cluster with ALL framework overhead inside the
-    budget — the same accounting a real N-executor cluster has."""
+    budget — the same accounting a real N-executor cluster has.
+
+    ``equalize_chip``: this sandbox's two levels share ONE chip, whose
+    per-core throughput falls ~35% as active cores go 8 → 32 (turbo +
+    memory bandwidth; measured framework-free at 0.63 efficiency —
+    BENCH/BASELINE.md). A real N → 4N cluster adds MACHINES, each keeping
+    its own per-core resources, so the single-box run understates cluster
+    scaling. With this flag the small level is measured while load
+    workers run the same decode workload on the remaining cores, putting
+    the chip in the identical frequency/bandwidth state at both levels —
+    the efficiency then isolates the FRAMEWORK's scaling behavior."""
     levels = {}
     for cpus in (lo, hi):
-        best = None
-        for _ in range(repeats):
-            cmd = [
-                sys.executable, os.path.abspath(__file__),
-                "--gen-only", "--cpus", str(cpus),
-                "--replicate", str(replicate), "--sf-dir", sf_dir,
-            ]
-            if os.path.exists("/usr/bin/taskset"):
-                cmd = ["/usr/bin/taskset", "-c", f"0-{cpus - 1}"] + cmd
-            proc = subprocess.run(
-                cmd,
-                capture_output=True, text=True, check=True,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
-            r = json.loads(proc.stdout.strip().splitlines()[-1])
-            if best is None or r["seconds"] < best["seconds"]:
-                best = r
-        levels[cpus] = best
+        loaders = []
+        if equalize_chip and cpus < hi and os.path.exists("/usr/bin/taskset"):
+            for start in range(cpus, hi, cpus):
+                end = min(start + cpus, hi) - 1
+                loaders.append(
+                    subprocess.Popen(
+                        ["/usr/bin/taskset", "-c", f"{start}-{end}",
+                         sys.executable, os.path.abspath(__file__),
+                         "--load-worker", "--sf-dir", sf_dir],
+                        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                        cwd=os.path.dirname(os.path.abspath(__file__)),
+                    )
+                )
+        try:
+            best = None
+            for _ in range(repeats):
+                cmd = [
+                    sys.executable, os.path.abspath(__file__),
+                    "--gen-only", "--cpus", str(cpus),
+                    "--replicate", str(replicate), "--sf-dir", sf_dir,
+                ]
+                if os.path.exists("/usr/bin/taskset"):
+                    cmd = ["/usr/bin/taskset", "-c", f"0-{cpus - 1}"] + cmd
+                proc = subprocess.run(
+                    cmd,
+                    capture_output=True, text=True, check=True,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                )
+                r = json.loads(proc.stdout.strip().splitlines()[-1])
+                if best is None or r["seconds"] < best["seconds"]:
+                    best = r
+            levels[cpus] = best
+        finally:
+            for p in loaders:
+                p.terminate()
+            for p in loaders:
+                try:
+                    p.wait(timeout=10)
+                except Exception:
+                    p.kill()
     speedup = levels[lo]["seconds"] / levels[hi]["seconds"]
     return {
-        "metric": f"generation throughput scaling local[{lo}] -> local[{hi}]",
+        "metric": f"generation throughput scaling local[{lo}] -> local[{hi}]"
+        + (" (chip-state equalized)" if equalize_chip else ""),
         "value": round(speedup / (hi / lo), 4),
         "unit": "efficiency",
         "sf": sf_dir,
         "replicate": replicate,
+        "equalize_chip": equalize_chip,
         "levels": levels,
         "speedup": round(speedup, 3),
         "efficiency": round(speedup / (hi / lo), 4),
@@ -284,11 +357,18 @@ def main():
     ap.add_argument("--cpus", type=int, default=CPUS_DEFAULT)
     ap.add_argument("--gen-only", action="store_true")
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--equalize-chip", action="store_true")
+    ap.add_argument("--load-worker", action="store_true")
     ap.add_argument("--replicate", type=int, default=40)
     args = ap.parse_args()
 
+    if args.load_worker:
+        run_load_worker(args.sf_dir)
+        return
     if args.scaling:
-        result = run_scaling(args.sf_dir, args.replicate)
+        result = run_scaling(
+            args.sf_dir, args.replicate, equalize_chip=args.equalize_chip
+        )
     elif args.gen_only:
         result = run_gen_only(args.sf_dir, args.cpus, args.replicate)
     else:
