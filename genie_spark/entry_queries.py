@@ -203,6 +203,33 @@ def macro_mean(spark, sf_dir):
     )
 
 
+@_register(
+    "macro_mean_target_rels",
+    _PER_REL_SQL
+    + """
+SELECT round(avg(p), 6) AS macro_precision,
+       round(avg(r2), 6) AS macro_recall,
+       round(avg(CASE WHEN p + r2 = 0 THEN 0.0 ELSE 2 * p * r2 / (p + r2) END), 6) AS macro_f1,
+       count(*)::BIGINT AS n_relations
+FROM scored WHERE n_target > 0
+""",
+)
+def macro_mean_target_rels(spark, sf_dir):
+    """A2, reference averaging set: only relations with ≥1 target
+    occurrence enter the mean (MacroMetricsEvaluator,
+    evaluators.py:84-87) — a hallucinated pred-only relation adds no
+    zero-F1 group."""
+    from .metrics import macro_metrics
+
+    df = macro_metrics(_pred_target_df(spark, sf_dir), target_relations_only=True)
+    return df.select(
+        F.round("macro_precision", 6).alias("macro_precision"),
+        F.round("macro_recall", 6).alias("macro_recall"),
+        F.round("macro_f1", 6).alias("macro_f1"),
+        F.col("n_relations").cast("bigint").alias("n_relations"),
+    )
+
+
 # -- A3: bucketed metrics -----------------------------------------------------
 
 @_register(

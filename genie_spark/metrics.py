@@ -138,12 +138,22 @@ def macro_metrics(
     pred: str = "pred",
     target: str = "target",
     recall_only: bool = False,
+    target_relations_only: bool = False,
 ) -> DataFrame:
     """A2 — per-relation micro scores + unweighted macro mean
     (evaluation.py:67-78). Returns one row: (macro_precision,
     macro_recall, macro_f1, n_relations); with ``recall_only`` (FewRel
-    mode, results_full.yaml:76-80) just (macro_recall, n_relations)."""
+    mode, results_full.yaml:76-80) just (macro_recall, n_relations).
+
+    ``target_relations_only`` selects the reference's averaging set —
+    MacroMetricsEvaluator restricts to relations with ≥1 TARGET
+    occurrence (evaluators.py:84-87: all_relations = unq_target_rels), so
+    a hallucinated pred-only relation does not add a zero-F1 group to the
+    mean. The default (False) averages over relations appearing on either
+    side — stricter, and the semantics the round-1 oracles pinned."""
     per_rel = _per_relation_counts(df, pred, target)
+    if target_relations_only:
+        per_rel = per_rel.filter(F.col("n_target") > 0)
     p, r, f1 = _prf(F.col("n_correct"), F.col("n_pred"), F.col("n_target"))
     scored = per_rel.select(
         "rel", p.alias("precision"), r.alias("recall"), f1.alias("f1")

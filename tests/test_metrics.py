@@ -249,3 +249,46 @@ def test_multinomial_bootstrap_exact_totals(spark):
     for m, vals in stats.items():
         assert got[m][0] == pytest.approx(statistics.mean(vals))
         assert got[m][1] == pytest.approx(statistics.stdev(vals))  # sample std
+
+
+def test_evaluation_runner_matches_metric_modules(spark):
+    """evaluate_micro/evaluate_macro/evaluate_dataset (the reference's
+    get_metrics + evaluator shapes) must agree with the underlying metric
+    aggregations, honor relation restriction on both sides, and use the
+    target-occurring averaging set for macro."""
+    from genie_spark.evaluation import evaluate_dataset, evaluate_macro, evaluate_micro
+    from genie_spark.metrics import micro_metrics
+
+    def t(s, r, o):
+        return {"s": s, "r": r, "o": o}
+
+    rows = [
+        (1, [t("a", "r1", "b"), t("x", "halluc", "y")], [t("a", "r1", "b")]),
+        (2, [t("c", "r2", "d")], [t("c", "r2", "d"), t("e", "r2", "f")]),
+        (3, [], [t("g", "r3", "h")]),
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, pred array<struct<s:string,r:string,o:string>>, "
+        "target array<struct<s:string,r:string,o:string>>"
+    )
+
+    micro = evaluate_micro(df)
+    base = micro_metrics(df).first()
+    assert micro == {"precision": base["precision"], "recall": base["recall"],
+                     "f1": base["f1"]}
+
+    # restriction applies to BOTH sides (evaluation.py:34-36)
+    only_r1 = evaluate_micro(df, relations_to_consider=["r1"])
+    assert only_r1["precision"] == 1.0 and only_r1["recall"] == 1.0
+
+    macro, per_rel = evaluate_macro(df)
+    rels = {r["rel"] for r in per_rel.collect()}
+    assert rels == {"r1", "r2", "r3"}  # 'halluc' (pred-only) excluded
+    assert macro["recall"] == pytest.approx((1.0 + 0.5 + 0.0) / 3)
+
+    boot = evaluate_micro(df, num_bootstrap_samples=5)
+    for m, (mean, std) in boot.items():
+        assert 0.0 <= mean <= 1.0 and std >= 0.0
+
+    ds = evaluate_dataset(df, num_bootstrap_samples=5)
+    assert set(ds) == {"micro", "macro"}
