@@ -135,6 +135,46 @@ def route_wikidata_dump(dump: DataFrame) -> Tuple[DataFrame, DataFrame]:
     return entities, relations
 
 
+# per-sample record of a reference evaluation run (testing_output.json);
+# the reference accepts two key spellings per field (DefaultGetter,
+# genie/utils/evaluation.py:129-164): raw_input|input, guess|prediction,
+# raw_output|target
+TESTING_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("id", StringType()),
+        StructField("raw_input", StringType()),
+        StructField("input", StringType()),
+        StructField("guess", StringType()),
+        StructField("prediction", StringType()),
+        StructField("raw_output", StringType()),
+        StructField("target", StringType()),
+    ]
+)
+
+
+def read_testing_output(spark: SparkSession, path: str) -> DataFrame:
+    """Scan a reference ``testing_output.json`` run and parse it straight
+    into the evaluation layer's input shape (id, input, pred, target with
+    triple-set columns) — a reference user can point
+    :func:`genie_spark.evaluation.evaluate_dataset` at their existing
+    output files without re-running inference. Triple parsing matches
+    TripletUtils.convert_text_sequence_to_text_triples (dedup'd set
+    semantics) via the Column form."""
+    from .triples import parse_triples_col
+
+    raw = spark.read.schema(TESTING_OUTPUT_SCHEMA).json(path)
+    return raw.select(
+        "id",
+        F.coalesce("raw_input", "input").alias("input"),
+        parse_triples_col(
+            F.coalesce(F.col("guess"), F.col("prediction"), F.lit(""))
+        ).alias("pred"),
+        parse_triples_col(
+            F.coalesce(F.col("raw_output"), F.col("target"), F.lit(""))
+        ).alias("target"),
+    )
+
+
 def catalog_from_dump(
     entities: DataFrame, relations: DataFrame
 ) -> Tuple[DataFrame, DataFrame]:

@@ -187,3 +187,30 @@ def test_iceberg_fallback_paths(spark, tmp_path):
     ]
     import os
     assert os.path.isdir(os.path.join(out, "pred=P1"))  # same partition layout
+
+
+def test_read_testing_output_feeds_evaluation(spark, tmp_path):
+    """The reference's testing_output.json (either key spelling) scans
+    straight into the evaluation layer: parsed triple sets, dedup'd,
+    scorable by evaluate_micro."""
+    from genie_spark.evaluation import evaluate_micro
+    from genie_spark.sources import read_testing_output
+
+    p = tmp_path / "testing_output.jsonl"
+    _write_lines(
+        p,
+        [
+            json.dumps({"id": "0", "raw_input": "s1",
+                        "guess": " <sub> A <rel> r <obj> B <et> <sub> A <rel> r <obj> B <et>",
+                        "raw_output": " <sub> A <rel> r <obj> B <et>"}),
+            json.dumps({"id": "1", "input": "s2",
+                        "prediction": " <sub> C <rel> r <obj> D <et>",
+                        "target": " <sub> E <rel> r <obj> F <et>"}),
+        ],
+    )
+    df = read_testing_output(spark, str(p))
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows["0"]["input"] == "s1" and rows["1"]["input"] == "s2"
+    assert [tuple(t) for t in rows["0"]["pred"]] == [("A", "r", "B")]  # dedup'd
+    scores = evaluate_micro(df)
+    assert scores["precision"] == 0.5 and scores["recall"] == 0.5
