@@ -158,23 +158,24 @@ def run_default(sf_dir: str, cpus: int) -> dict:
     timings["graph_extract_triples"] = round(gen_s, 3)
 
     # this sandbox is a shared host (~5% CPU steal, multi-10s co-tenant
-    # episodes observed); min-of-2 per query reports the least-interference
-    # measurement. The budget guard drops second passes when a co-tenant
-    # episode has already blown the suite past ~5 minutes, so the harness
-    # always finishes.
-    suite_start = time.time()
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "300"))
+    # episodes observed); min-of-N per query reports the least-interference
+    # measurement. Pass 1 times every query once; refinement passes then
+    # re-run queries to tighten the min for as long as the refinement
+    # budget allows — total duration is bounded at pass-1 + budget, so the
+    # harness always finishes regardless of co-tenant weather.
     for name in HEADLINE:
-        fn = queries[name]
-        best = None
-        for rep in range(2):
-            if rep > 0 and time.time() - suite_start > budget_s:
+        t0 = time.time()
+        _sink(queries[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+    refine_start = time.time()
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "240"))
+    for _ in range(2):  # up to min-of-3
+        for name in HEADLINE:
+            if time.time() - refine_start > budget_s:
                 break
             t0 = time.time()
-            _sink(fn(spark, sf_dir))
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            _sink(queries[name](spark, sf_dir))
+            timings[name] = round(min(timings[name], time.time() - t0), 3)
 
     total = round(sum(timings.values()), 3)
     result = {
