@@ -356,7 +356,9 @@ def bootstrap_micro_multinomial(
         h = F.xxhash64(F.col("j"), F.col("run"))
     picks = draws.select("run", F.pmod(h, F.lit(n)).alias("pick"))
     w = picks.groupBy("run", "pick").agg(F.count("*").alias("wt"))
-    weighted = w.join(indexed, w["pick"] == indexed["j"])
+    # counts is eval-table-sized (one row per sample) — broadcast it so
+    # the n_runs × n draw-weight side never shuffles for the join
+    weighted = w.join(F.broadcast(indexed), w["pick"] == indexed["j"])
     per_run = weighted.groupBy("run").agg(
         F.sum(F.col("n_correct") * F.col("wt")).alias("c"),
         F.sum(F.col("n_pred") * F.col("wt")).alias("p"),
