@@ -371,3 +371,33 @@ def test_extractor_accepts_trie_artifacts(spark, tmp_path):
         for r in df.collect()
     )
     assert key(loaded) == key(base)
+
+
+def test_pipeline_partition_invariance_with_decode_knobs(spark):
+    """The reference-parity decode knobs (length_penalty=1.0 + forced BOS)
+    must stay partition-invariant through the distributed mapInPandas
+    path, and every prediction must still parse under the grammar."""
+    from genie_spark.pipeline import GenieExtractor, extract_pipeline
+    from genie_spark.triples import parse_linearization
+
+    ents = synth.unique_entity_names(synth.make_entities())
+    rels = sorted(synth.RELATIONS)
+    pages = synth.pages_df(spark, 16)
+    ex = GenieExtractor(spark, ents, rels, num_beams=2,
+                        length_penalty=1.0, bos_first=True)
+    a = extract_pipeline(spark, pages, [], [], extractor=ex, partitions=2)
+    b = extract_pipeline(spark, pages.repartition(13), [], [], extractor=ex,
+                         partitions=7)
+    key = lambda df: sorted(
+        (r["url"], r["sent_idx"], r["prediction"],
+         tuple((x["text"], x["log_prob"]) for x in r["beams"]))
+        for r in df.collect()
+    )
+    ka, kb = key(a), key(b)
+    assert ka == kb and len(ka) > 0
+    for _, _, pred, beams in ka:
+        if pred is not None:
+            for s, r, o in parse_linearization(pred):
+                assert s in ents and r in rels and o in ents
+        for _, lp in beams:
+            assert lp <= 0.0 or lp == pytest.approx(0.0)
