@@ -99,6 +99,12 @@ def main():
     ap.add_argument("--rel-catalog")
     ap.add_argument("--lang", default="en")
     ap.add_argument("--num-beams", type=int, default=2)
+    ap.add_argument("--length-penalty", type=float, default=0.0,
+                    help="HF/reference beam normalization (reference runs use 1.0)")
+    ap.add_argument("--bos-first", action="store_true",
+                    help="force BOS as the first generated token (reference parity)")
+    ap.add_argument("--ent-trie", help="preloaded trie artifact (save_trie_artifacts)")
+    ap.add_argument("--rel-trie", help="preloaded trie artifact (save_trie_artifacts)")
     ap.add_argument("--n-chunks", type=int, default=16)
     ap.add_argument("--chunks-per-job", type=int, default=4)
     ap.add_argument("--salt-buckets", type=int, default=0,
@@ -119,7 +125,12 @@ def main():
     from genie_spark.canonicalize import materialize_graph, write_graph
     from genie_spark.pipeline import GenieExtractor, extract_pipeline
 
-    extractor = GenieExtractor(spark, ents, rels, num_beams=args.num_beams)
+    extractor = GenieExtractor(
+        spark, ents, rels, num_beams=args.num_beams,
+        length_penalty=args.length_penalty, bos_first=args.bos_first,
+        trie_artifacts=(args.ent_trie, args.rel_trie)
+        if args.ent_trie and args.rel_trie else None,
+    )
 
     def process(chunked_pages: DataFrame) -> DataFrame:
         out = extract_pipeline(
