@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import math
 import zlib
+from bisect import bisect_left
 from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
 
@@ -103,8 +104,6 @@ class DeterministicScorer:
     @staticmethod
     def _next_at(positions: dict, tok: int, ptr: int) -> int:
         """First position of tok at or after ptr, else -1."""
-        from bisect import bisect_left
-
         pos = positions.get(tok)
         if not pos:
             return -1
@@ -146,29 +145,39 @@ class DeterministicScorer:
         exhausted = ptr >= len(doc_seq)
         # crc32(prefix + suffix) == crc32(suffix, crc32(prefix)): hash the
         # per-step prefix once, continue per candidate — same bits, one
-        # format+crc per candidate instead of the whole key
+        # format+crc per candidate instead of the whole key. Locals hoisted
+        # (this loop runs once per candidate per step — the hot path).
         prefix_crc = zlib.crc32(b"%d|%d|" % (doc_hash, step))
+        crc32 = zlib.crc32
+        structural = self.structural
+        eos, lt, status_ob = codes.eos, codes.lt, state.status == OB
+        no_triple = state.triples_done == 0
+        copy_b, decay, weak = self.COPY_BONUS, self.POS_DECAY, self.WEAK_BONUS
+        get_pos = positions.get
         out = []
+        append = out.append
         for t in allowed:
             # stable tiebreak noise in [0, 0.1)
-            logit = (zlib.crc32(b"%d" % t, prefix_crc) % 1024) / 10240.0
-            if t == codes.eos:
+            logit = (crc32(b"%d" % t, prefix_crc) % 1024) / 10240.0
+            if t == eos:
                 # stop once the doc's copyable content is consumed — but
                 # never before at least one complete triple is out
-                if state.triples_done == 0:
+                if no_triple:
                     logit += self.EOS_NO_TRIPLE_PENALTY
                 else:
                     logit += self.EOS_READY_BONUS if exhausted else self.EOS_EARLY_PENALTY
-            elif t == codes.lt and state.status == OB:
+            elif t == lt and status_ob:
                 # open another triple while copyable content remains
                 logit += 0.0 if exhausted else self.EOS_READY_BONUS - 2.0
-            elif t not in self.structural:
-                hit = self._next_at(positions, t, ptr)
-                if hit >= 0:
-                    logit += self.COPY_BONUS - self.POS_DECAY * (hit - ptr)
-                elif positions.get(t):
-                    logit += self.WEAK_BONUS
-            out.append(logit)
+            elif t not in structural:
+                pos = get_pos(t)
+                if pos:
+                    j = bisect_left(pos, ptr)
+                    if j < len(pos):
+                        logit += copy_b - decay * (pos[j] - ptr)
+                    else:
+                        logit += weak
+            append(logit)
         return out
 
 
@@ -220,7 +229,10 @@ class HFSeq2SeqScorer:  # pragma: no cover - needs torch/transformers
 
 def _log_softmax(logits: Sequence[float]) -> List[float]:
     m = max(logits)
-    z = math.log(sum(math.exp(x - m) for x in logits))
+    exp = math.exp
+    # list comp + sum keeps the exact left-to-right summation order of the
+    # earlier generator form — bit-identical outputs, less iterator overhead
+    z = math.log(sum([exp(x - m) for x in logits]))
     return [(x - m) - z for x in logits]
 
 
