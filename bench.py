@@ -267,6 +267,80 @@ def run_load_worker(sf_dir: str) -> None:
             generate_for_text(s, scorer, tok, codes, ent_t, rel_t, num_beams=2)
 
 
+def measure_hw_ceiling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    """Framework-free hardware scaling of the decode workload: the same
+    per-sentence constrained generation under plain multiprocessing (no
+    JVM, no Arrow, fine-grained chunks) at lo and hi process counts. The
+    resulting lo→hi efficiency is what THIS CHIP allows any framework —
+    per-core turbo + memory bandwidth fall as active cores rise. A real
+    N → 4N cluster adds machines (each keeping its per-core resources),
+    so cluster efficiency ≈ measured single-box efficiency / this
+    ceiling."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")
+    n = 6000
+
+    def bench_n(nproc: int) -> float:
+        tasks = [(i, min(i + 50, n)) for i in range(0, n, 50)]
+        with ctx.Pool(
+            nproc, initializer=_hw_worker_setup, initargs=(sf_dir,)
+        ) as pool:
+            pool.map(_hw_worker_run, [(0, 5)] * nproc)  # warm
+            t0 = time.time()
+            for _ in pool.imap_unordered(_hw_worker_run, tasks):
+                pass
+            return n / (time.time() - t0)
+
+    r_lo, r_hi = bench_n(lo), bench_n(hi)
+    return {
+        "lo_sents_per_sec": round(r_lo, 1),
+        "hi_sents_per_sec": round(r_hi, 1),
+        "hw_efficiency": round((r_hi / r_lo) / (hi / lo), 4),
+    }
+
+
+_HW_CTX = None
+
+
+def _hw_worker_setup(sf_dir: str) -> None:
+    global _HW_CTX
+    import duckdb
+
+    from genie_spark.constraints import TagCodes
+    from genie_spark.decode import DeterministicScorer
+    from genie_spark.extract import split_sentences
+    from genie_spark.tokenizer import WordTokenizer
+    from genie_spark.trie import trie_from_names
+
+    rows = duckdb.sql(
+        "SELECT text FROM read_parquet('"
+        + os.path.join(sf_dir, "documents.parquet")
+        + "') ORDER BY doc_id LIMIT 2000"
+    ).fetchall()
+    words = sorted({w for (t,) in rows for w in t.split() if len(w) >= 3})
+    ents = [w for w in words if len(w) >= 4]
+    rels = [w for w in words if len(w) == 3]
+    tok = WordTokenizer(ents + rels)
+    sents = []
+    for (t,) in rows:
+        sents.extend(split_sentences(t.replace(" the ", ". the ")))
+    _HW_CTX = (
+        sents, tok, TagCodes(tok), trie_from_names(ents, tok),
+        trie_from_names(rels, tok), DeterministicScorer(tok),
+    )
+
+
+def _hw_worker_run(args):
+    from genie_spark.decode import generate_for_text
+
+    lo, hi = args
+    sents, tok, codes, ent, rel, scorer = _HW_CTX
+    for s in sents[lo:hi]:
+        generate_for_text(s, scorer, tok, codes, ent, rel, num_beams=2)
+    return hi - lo
+
+
 def run_scaling(
     sf_dir: str,
     replicate: int,
@@ -274,6 +348,7 @@ def run_scaling(
     hi: int = 32,
     repeats: int = 2,
     equalize_chip: bool = False,
+    hw_baseline: bool = False,
 ) -> dict:
     """Each level runs `repeats` times in fresh JVMs; the best (min
     seconds) run represents the level — this sandbox is a shared host and
@@ -338,7 +413,7 @@ def run_scaling(
                 except Exception:
                     p.kill()
     speedup = levels[lo]["seconds"] / levels[hi]["seconds"]
-    return {
+    out = {
         "metric": f"generation throughput scaling local[{lo}] -> local[{hi}]"
         + (" (chip-state equalized)" if equalize_chip else ""),
         "value": round(speedup / (hi / lo), 4),
@@ -350,6 +425,15 @@ def run_scaling(
         "speedup": round(speedup, 3),
         "efficiency": round(speedup / (hi / lo), 4),
     }
+    if hw_baseline:
+        hw = measure_hw_ceiling(sf_dir, lo, hi)
+        out["hw_baseline"] = hw
+        # what an N → 4N MACHINE scale-up would show: the framework's
+        # measured ratio with the single-chip penalty divided out
+        out["cluster_normalized_efficiency"] = round(
+            min(1.0, out["efficiency"] / hw["hw_efficiency"]), 4
+        )
+    return out
 
 
 def main():
@@ -359,6 +443,7 @@ def main():
     ap.add_argument("--gen-only", action="store_true")
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--equalize-chip", action="store_true")
+    ap.add_argument("--hw-baseline", action="store_true")
     ap.add_argument("--load-worker", action="store_true")
     ap.add_argument("--replicate", type=int, default=40)
     args = ap.parse_args()
@@ -368,7 +453,8 @@ def main():
         return
     if args.scaling:
         result = run_scaling(
-            args.sf_dir, args.replicate, equalize_chip=args.equalize_chip
+            args.sf_dir, args.replicate, equalize_chip=args.equalize_chip,
+            hw_baseline=args.hw_baseline,
         )
     elif args.gen_only:
         result = run_gen_only(args.sf_dir, args.cpus, args.replicate)
