@@ -158,3 +158,93 @@ def test_convert_fewrel(spark, catalogs):
     assert rows["0"]["target"] == " <sub> Alice Smith <rel> birthplace <obj> Zurich <et>"
     assert rows["1"]["instance_matching_status"] == "label"
     assert rows["1"]["target"] == " <sub> Dr. Smith <rel> works at <obj> Alice Smith <et>"
+
+
+def _rebel_units_py(article):
+    """Independent pure-Python twin of converters.rebel_units for the
+    randomized cross-check (same reference semantics: span-complete
+    entities ordered by start, per-entity triples ordered by object
+    start, first-occurrence id dedup, empty units dropped)."""
+    from genie_spark.extract import split_sentences_bounded_pos
+
+    if not article["triples"]:
+        return []
+    bounds = [(e["boundaries"][0], e["boundaries"][1]) for e in article["entities"]]
+    out = []
+    count = 0
+    for unit, s, e in split_sentences_bounded_pos(article["text"], bounds):
+        ents_in = sorted(
+            (en for en in article["entities"] if s < en["boundaries"][1] <= e),
+            key=lambda en: en["boundaries"][0],
+        )
+        ids, seen = [], set()
+        for en in ents_in:
+            trips = sorted(
+                (
+                    t for t in article["triples"]
+                    if t["subject"] == en
+                    and s < t["subject"]["boundaries"][1] <= e
+                    and s < t["object"]["boundaries"][1] <= e
+                ),
+                key=lambda t: t["object"]["boundaries"][0],
+            )
+            for t in trips:
+                key = (t["subject"]["uri"], t["predicate"]["uri"], t["object"]["uri"])
+                if key not in seen:
+                    seen.add(key)
+                    ids.append(key)
+        if ids:
+            out.append((f"{article['uri']}-{count}", unit, ids))
+            count += 1
+    return out
+
+
+def test_rebel_units_randomized_vs_python_twin(spark):
+    """Randomized articles (word entities with real boundary offsets,
+    random subject/object triple wiring, entity names spanning dots) —
+    the Spark HOF pipeline must agree exactly with the Python twin."""
+    import random
+
+    rng = random.Random(77)
+    words = ["alpha", "beta", "Dr.", "gamma", "No.", "delta", "eps", "zeta"]
+    articles = []
+    for a in range(25):
+        n = rng.randrange(6, 28)
+        toks = [rng.choice(words) for _ in range(n)]
+        text = " ".join(toks)
+        # entities = random token spans (1-2 tokens) with char boundaries
+        ents = []
+        pos = 0
+        spans = []
+        for i, tk in enumerate(toks):
+            spans.append((pos, pos + len(tk)))
+            pos += len(tk) + 1
+        for _ in range(rng.randrange(1, 6)):
+            i = rng.randrange(n)
+            j = min(n - 1, i + rng.randrange(0, 2))
+            s_char, e_char = spans[i][0], spans[j][1]
+            ents.append({"uri": f"Q{i}_{j}", "surfaceform": " ".join(toks[i:j+1]),
+                         "boundaries": [s_char, e_char]})
+        # dedup entity list by uri (struct equality needs unique objects)
+        uniq = {e["uri"]: e for e in ents}
+        ents = list(uniq.values())
+        triples = []
+        for _ in range(rng.randrange(0, 5)):
+            if len(ents) < 2:
+                break
+            su, ob = rng.sample(ents, 2)
+            triples.append({"subject": su,
+                            "predicate": {"uri": f"P{rng.randrange(3)}", "surfaceform": "rel"},
+                            "object": ob})
+        articles.append({"docid": f"d{a}", "uri": f"u{a}", "text": text,
+                         "entities": ents, "triples": triples})
+
+    df = spark.createDataFrame(articles, REBEL_SCHEMA)
+    got = {}
+    for r in rebel_units(df).collect():
+        got[r["id"]] = (r["input"], [tuple(t) for t in r["id_triples"]])
+    want = {}
+    for art in articles:
+        for uid, unit, ids in _rebel_units_py(art):
+            want[uid] = (unit, ids)
+    assert got == want, (set(got) ^ set(want))
