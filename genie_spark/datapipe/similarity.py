@@ -156,6 +156,55 @@ def lsh_topk(
     )
 
 
+def materialize_lsh_buckets(
+    emb: DataFrame,
+    path: str,
+    n_planes: int = 4,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Assign every vector its hyperplane bucket ONCE and persist
+    ``partitionBy("bucket")`` — probes against the written table are
+    partition pruning over 1 (or 1+n_planes multiprobe) directories out
+    of 2^n_planes, not a full scan re-hashing per query."""
+    dim = len(emb.select(vec_col).first()[0])
+    planes = hyperplanes(n_planes, dim, seed)
+    emb.withColumn(
+        "bucket", hyperplane_bucket_col(F.col(vec_col), planes)
+    ).write.partitionBy("bucket").mode("overwrite").parquet(path)
+
+
+def lsh_topk_pruned(
+    spark,
+    path: str,
+    query: Sequence[float],
+    k: int = 10,
+    n_planes: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    multiprobe: int = 0,
+) -> DataFrame:
+    """Probe a materialized bucket table: `bucket IN probes` on the
+    partition column prunes to the probed directories; exact cosine
+    inside."""
+    dim = len(query)
+    planes = hyperplanes(n_planes, dim, seed)
+    probes = probe_buckets(query_bucket(query, planes), n_planes, multiprobe)
+    qlit = F.array(*[F.lit(float(x)) for x in query])
+    bucketed = spark.read.parquet(path)
+    return (
+        bucketed.filter(F.col("bucket").isin(probes))
+        .select(
+            F.col(id_col),
+            F.col("bucket").cast("long").alias("bucket"),
+            F.round(cosine_col(F.col(vec_col), qlit), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN: partition the corpus by nearest centroid, probe
 # only the query's cell(s). Centroids here are deterministic hash-sampled

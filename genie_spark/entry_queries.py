@@ -1138,11 +1138,33 @@ def ann_cosine_topk(spark, sf_dir):
     return brute_force_topk(_t(spark, sf_dir, "embeddings"), ANN_QUERY, k=_ANN_K)
 
 
+_LSH_PLANES = 4
+
+
+def lsh_index(spark, sf_dir):
+    """Build (once per sf_dir, idempotent) the partitionBy(bucket) LSH
+    table under /tmp — same index-build/probe split as the IVF path."""
+    from .datapipe.similarity import materialize_lsh_buckets
+
+    base = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = f"/tmp/genie_spark_lsh/{base}_p{_LSH_PLANES}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        materialize_lsh_buckets(
+            _t(spark, sf_dir, "embeddings"), path, n_planes=_LSH_PLANES
+        )
+    return path
+
+
 @_register("ann_lsh_topk", None)
 def ann_lsh_topk(spark, sf_dir):
-    from .datapipe.similarity import lsh_topk
+    """LSH ANN against the materialized bucket table: the probe is
+    partition pruning over 1 of 2^n_planes directories."""
+    from .datapipe.similarity import lsh_topk_pruned
 
-    return lsh_topk(_t(spark, sf_dir, "embeddings"), ANN_QUERY, k=_ANN_K, n_planes=4)
+    return lsh_topk_pruned(
+        spark, lsh_index(spark, sf_dir), ANN_QUERY, k=_ANN_K,
+        n_planes=_LSH_PLANES,
+    )
 
 
 @_register("ann_lsh_multiprobe_topk", None)
@@ -1150,11 +1172,11 @@ def ann_lsh_multiprobe_topk(spark, sf_dir):
     """Hamming-1 multiprobe: the query bucket plus its n_planes neighbor
     buckets — recovers near-hyperplane recall at (n_planes+1)/2^n_planes
     of the full-scan cost."""
-    from .datapipe.similarity import lsh_topk
+    from .datapipe.similarity import lsh_topk_pruned
 
-    return lsh_topk(
-        _t(spark, sf_dir, "embeddings"), ANN_QUERY, k=_ANN_K, n_planes=4,
-        multiprobe=1,
+    return lsh_topk_pruned(
+        spark, lsh_index(spark, sf_dir), ANN_QUERY, k=_ANN_K,
+        n_planes=_LSH_PLANES, multiprobe=1,
     )
 
 

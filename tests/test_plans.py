@@ -148,3 +148,15 @@ def test_ivf_probe_prunes_partitions(spark):
     assert "cell" in pf and pf.strip() != ""
     # ...and no centroid-cosine assignment appears in the probe plan
     assert "array_max" not in plan
+
+
+def test_lsh_probe_prunes_partitions(spark):
+    """ann_lsh_topk must probe a materialized partitionBy(bucket) table
+    with PartitionFilters on `bucket` — same index-build/probe split as
+    the IVF path."""
+    import genie_spark.entry_queries as eq
+
+    plan = _plan(eq.QUERIES["ann_lsh_topk"](spark, SF_DIR))
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "bucket" in pf and pf.strip() != ""
