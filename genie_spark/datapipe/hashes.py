@@ -61,6 +61,47 @@ def h60_salted_sql(expr: str, salt_expr: str) -> str:
 MINHASH_M31 = (1 << 31) - 1  # Mersenne prime 2^31-1
 _LO_MASK = (1 << 30) - 1
 
+# Fixed odd mixing constants (md5-derived, no RNG) for the salt-keyed
+# remix below — same derivation recipe as minhash_params.
+import hashlib as _hashlib
+
+_MIX_A = int(_hashlib.md5(b"affine-mix-a").hexdigest()[:7], 16) | 1
+_MIX_B = int(_hashlib.md5(b"affine-mix-b").hexdigest()[:7], 16) | 1
+_MIX_C = int(_hashlib.md5(b"affine-mix-c").hexdigest()[:7], 16) | 1
+
+
+def affine_mix(h: Column, salt: Column) -> Column:
+    """Salt-keyed wrapped-affine remix of a 60-bit base hash → [0, 2^61).
+
+    One md5 per INPUT (the base ``h60``), then pure 64-bit-safe arithmetic
+    per (input, salt) pair — the same wrap-mod-M31 construction as the
+    MinHash permutation family above (and subject to the same lesson: the
+    multiplier product MUST wrap M31 to decorrelate from the base hash).
+    Replaces one md5 per pair where a family of deterministic derived
+    values is needed (e.g. bootstrap draw j of run r), at ~1/20 the cost.
+    Bounds: a,b ≤ M31 < 2^31, hi/lo < 2^30 ⇒ products < 2^61 + c < 2^62,
+    inside signed 64 under ANSI mode."""
+    h = h.cast("long")
+    s = salt.cast("long")  # int×int would overflow 32-bit under ANSI mode
+    hi = F.shiftright(h, 30)
+    lo = h.bitwiseAND(F.lit(_LO_MASK).cast("long"))
+    a = F.pmod(F.lit(_MIX_A).cast("long") * (s * 2 + 1), F.lit(MINHASH_M31)) + 1
+    b = F.pmod(F.lit(_MIX_B).cast("long") * (s * 2 + 1), F.lit(MINHASH_M31)) + 1
+    v1 = F.pmod(a * hi + F.lit(_MIX_C), F.lit(MINHASH_M31))
+    v2 = F.pmod(b * lo + F.lit(_MIX_C), F.lit(MINHASH_M31))
+    return v1 * F.lit(1 << 31) + v2
+
+
+def affine_mix_sql(h_expr: str, salt_expr: str) -> str:
+    """DuckDB twin of :func:`affine_mix` (all operands non-negative, so
+    DuckDB's % matches Spark's pmod)."""
+    a = f"(({_MIX_A} * (2 * ({salt_expr}) + 1)) % {MINHASH_M31} + 1)"
+    b = f"(({_MIX_B} * (2 * ({salt_expr}) + 1)) % {MINHASH_M31} + 1)"
+    return (
+        f"((({a} * (({h_expr}) >> 30) + {_MIX_C}) % {MINHASH_M31}) * {1 << 31}"
+        f" + (({b} * (({h_expr}) & {_LO_MASK}) + {_MIX_C}) % {MINHASH_M31}))"
+    )
+
 
 def minhash_params(num_hashes: int):
     """Deterministic (a, b, c) per hash function, derived from md5 so both

@@ -415,6 +415,17 @@ _PRF_CASES = """
 """
 
 
+def _multinomial_draw_sql():
+    """h60(j) base hash + salt-keyed affine remix — the DuckDB twins of
+    the Spark expressions in metrics.bootstrap_micro_multinomial."""
+    from .datapipe.hashes import affine_mix_sql, h60_sql
+
+    return {
+        "h_base": h60_sql("j::VARCHAR"),
+        "mix": affine_mix_sql("i.h", "r.run"),
+    }
+
+
 @_register(
     "bootstrap_micro_multinomial",
     f"""
@@ -430,10 +441,10 @@ per_order AS (
 idx AS (SELECT *, row_number() OVER (ORDER BY l_orderkey) - 1 AS j FROM per_order),
 nn AS (SELECT count(*) AS n FROM per_order),
 runs AS (SELECT unnest(generate_series(0, {_N_BOOT - 1})) AS run),
+based AS (SELECT j, {{h_base}} AS h FROM idx),
 draws AS (
-  SELECT r.run,
-         (('0x' || substr(md5(r.run::VARCHAR || chr(1) || i.j::VARCHAR), 1, 15))::UBIGINT::BIGINT) % n.n AS pick
-  FROM idx i CROSS JOIN runs r CROSS JOIN nn n
+  SELECT r.run, ({{mix}}) % n.n AS pick
+  FROM based i CROSS JOIN runs r CROSS JOIN nn n
 ),
 w AS (SELECT run, pick, count(*) AS wt FROM draws GROUP BY 1, 2),
 per_run AS (
@@ -446,7 +457,7 @@ UNION ALL
 SELECT 'recall', round(avg(recall), 6), round(stddev_samp(recall), 6) FROM scored
 UNION ALL
 SELECT 'f1', round(avg(f1), 6), round(stddev_samp(f1), 6) FROM scored
-""",
+""".format(**_multinomial_draw_sql()),
 )
 def bootstrap_micro_multinomial_q(spark, sf_dir):
     """Exact multinomial bootstrap (reference evaluation.py:12-26 estimator

@@ -315,6 +315,44 @@ def bootstrap_micro(
     )
 
 
+def _distributed_rank(df: DataFrame, id_col: str, out_col: str = "j"):
+    """Global 0-based rank by ``id_col`` with NO single-partition sort and
+    no driver-side action: range-repartition by id (disjoint, ordered key
+    ranges across partitions), rank locally within each range, then add
+    per-partition offsets via a broadcast join over the tiny
+    partition-size table. The final rank equals the global sorted rank
+    regardless of where the (sampled) range boundaries fall, so the result
+    is parallelism-invariant for unique ids. Returns (ranked_df,
+    total_df) where total_df is a broadcastable 1-row (_n bigint) frame
+    derived from the same tiny partition-size table (no second scan of
+    the input subtree)."""
+    from pyspark.sql import Window
+
+    parts = df.repartitionByRange(F.col(id_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    parts = parts.withColumn(
+        "_local", F.row_number().over(Window.partitionBy("_pid").orderBy(id_col))
+    )
+    sizes = parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    # prefix-sum over ≤ shuffle-partitions rows: a broadcast non-equi
+    # self-join instead of a global-orderBy window, so the plan carries no
+    # SinglePartition exchange anywhere
+    offs = (
+        sizes.alias("a")
+        .join(F.broadcast(sizes.alias("b")), F.col("b._pid") < F.col("a._pid"), "left")
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(F.coalesce(F.sum("b._cnt"), F.lit(0)).alias("_off"))
+    )
+    ranked = (
+        parts.join(F.broadcast(offs), "_pid")
+        .withColumn(out_col, (F.col("_off") + F.col("_local") - 1).cast("long"))
+        .drop("_pid", "_local", "_off")
+    )
+    total = sizes.agg(F.sum("_cnt").cast("long").alias("_n"))
+    return ranked, total
+
+
 def bootstrap_micro_multinomial(
     df: DataFrame,
     n_runs: int = 50,
@@ -332,29 +370,32 @@ def bootstrap_micro_multinomial(
     independently per sample; this one preserves the exact per-run total.
 
     Deterministic seeding without a Python RNG: draw j of run r picks
-    sample index h60(r ␁ j) mod n — parallelism-invariant and
-    DuckDB-reproducible, replacing the reference's seeded Mersenne
-    Twister. Sample indexing uses one row_number window over id — an
-    eval-table-sized sort, not a corpus-scale one."""
-    from pyspark.sql import Window
-
+    sample index affine_mix(h60(j), r) mod n — one md5 per SAMPLE plus
+    cheap per-run arithmetic (not one md5 per draw), parallelism-invariant
+    and DuckDB-reproducible, replacing the reference's seeded Mersenne
+    Twister. Sample indexing is the fully distributed
+    :func:`_distributed_rank` (range partition + local rank + broadcast
+    offsets — no global sort, no driver action), and n reaches the modulo
+    as a broadcast 1-row scalar, so the whole query is one Spark plan that
+    scales past eval-table inputs."""
     counts = _counts(df, pred, target).select(
         id_col, "n_correct", "n_pred", "n_target"
     )
-    indexed = counts.withColumn(
-        "j", F.row_number().over(Window.orderBy(id_col)) - 1
-    )
-    n = indexed.count()  # driver-side scalar; eval tables are small
-    draws = indexed.select("j").withColumn(
-        "run", F.explode(F.sequence(F.lit(0), F.lit(n_runs - 1)))
-    )
+    indexed, total = _distributed_rank(counts, id_col)
+    src = indexed.select("j")
     if hash_mode == "md5":
-        from .datapipe.hashes import h60_salted
+        from .datapipe.hashes import affine_mix, h60
 
-        h = h60_salted(F.col("j").cast("string"), F.col("run"))
+        # base hash BEFORE the run fan-out: one md5 per sample, then only
+        # the cheap salt-keyed remix per (sample, run) draw
+        src = src.withColumn("_h", h60(F.col("j").cast("string")))
+        h = affine_mix(F.col("_h"), F.col("run"))
     else:
         h = F.xxhash64(F.col("j"), F.col("run"))
-    picks = draws.select("run", F.pmod(h, F.lit(n)).alias("pick"))
+    draws = src.withColumn(
+        "run", F.explode(F.sequence(F.lit(0), F.lit(n_runs - 1)))
+    ).crossJoin(F.broadcast(total))
+    picks = draws.select("run", F.pmod(h, F.col("_n")).alias("pick"))
     w = picks.groupBy("run", "pick").agg(F.count("*").alias("wt"))
     # counts is eval-table-sized (one row per sample) — broadcast it so
     # the n_runs × n draw-weight side never shuffles for the join

@@ -225,14 +225,29 @@ def test_multinomial_bootstrap_exact_totals(spark):
            bootstrap_micro_multinomial(df, n_runs=n_runs).collect()}
 
     # pure-Python twin of the hash draws + estimator
+    from genie_spark.datapipe.hashes import (
+        MINHASH_M31,
+        _LO_MASK,
+        _MIX_A,
+        _MIX_B,
+        _MIX_C,
+    )
+
     def h60(s):
         return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def mix(h, r):
+        a = (_MIX_A * (2 * r + 1)) % MINHASH_M31 + 1
+        b = (_MIX_B * (2 * r + 1)) % MINHASH_M31 + 1
+        return ((a * (h >> 30) + _MIX_C) % MINHASH_M31) * (1 << 31) + (
+            (b * (h & _LO_MASK) + _MIX_C) % MINHASH_M31
+        )
 
     per_sample = {1: (1, 1, 1), 2: (0, 1, 0), 3: (0, 0, 1), 4: (1, 2, 1)}
     # ids sorted -> j = id-1
     stats = {"precision": [], "recall": [], "f1": []}
     for run in range(n_runs):
-        picks = [h60(f"{run}\x01{j}") % n for j in range(n)]
+        picks = [mix(h60(str(j)), run) % n for j in range(n)]
         assert len(picks) == n  # exact per-run total
         c = sum(per_sample[p + 1][0] for p in picks)
         p_ = sum(per_sample[p + 1][1] for p in picks)

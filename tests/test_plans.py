@@ -125,6 +125,23 @@ def test_exact_dedup_partial_aggregates(spark):
     assert plan.count("Exchange") == 1
 
 
+def test_multinomial_bootstrap_fully_distributed(spark):
+    """A5 exact mode: sample indexing must be the distributed rank (range
+    partition + per-partition window + broadcast offsets) — no global
+    (single-partition) Sort and no unpartitioned Window anywhere in the
+    plan. The only SinglePartition exchanges allowed are the 1-row scalar
+    aggregates (n and the final mean/std)."""
+    import re
+
+    import genie_spark.entry_queries as eq
+
+    df = eq.QUERIES["bootstrap_micro_multinomial"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"Sort \[[^\]]*\], true,", plan), "global sort in plan"
+    for m in re.finditer(r"windowspecdefinition\(([^)]*?) ASC", plan):
+        assert "_pid" in m.group(1), f"unpartitioned window: {m.group(0)}"
+
+
 def test_topk_no_global_sort(spark):
     """Brute-force ANN top-k must use TakeOrderedAndProject, not a full
     global Sort."""
