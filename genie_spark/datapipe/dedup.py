@@ -318,6 +318,7 @@ def embedding_neardup_lsh_pairs(
     n_planes: int = 4,
     threshold: float = 0.95,
     seed: int = 42,
+    dim: int = None,
 ) -> DataFrame:
     """Embedding near-dup with a REAL blocking key: vectors are bucketed
     by the deterministic hyperplane-LSH signature first, then the all-
@@ -326,10 +327,9 @@ def embedding_neardup_lsh_pairs(
     n_planes with corpus size). High-cosine pairs land in the same bucket
     with probability (1 − θ/π)^n_planes, so the recall tradeoff is
     explicit and tunable."""
-    from .similarity import hyperplane_bucket_col, hyperplanes
+    from .similarity import _vec_dim, hyperplane_bucket_col, hyperplanes
 
-    dim = len(emb.select(vec_col).first()[0])
-    planes = hyperplanes(n_planes, dim, seed)
+    planes = hyperplanes(n_planes, _vec_dim(emb, vec_col, dim), seed)
     bucketed = emb.withColumn(
         "_lshb", hyperplane_bucket_col(F.col(vec_col), planes)
     )
@@ -343,18 +343,27 @@ def embedding_neardup_pairs(
     emb: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    block_col: Optional[str] = "label",
+    block_col: Optional[str] = None,
     threshold: float = 0.95,
 ) -> DataFrame:
     """Embedding-cosine near-dup: within-block all-pairs cosine ≥ threshold.
-    ``block_col`` is the blocking key (a cluster/LSH bucket column); at
-    web scale feed this from :func:`genie_spark.datapipe.similarity.
-    hyperplane_bucket` so the self-join never goes quadratic globally."""
+    ``block_col`` is REQUIRED: the blocking key (a cluster/label/LSH
+    bucket column) that bounds the within-block quadratic term. An
+    accidental unblocked call on a corpus-sized frame is an all-pairs
+    self-join, so there is no default — callers without a natural
+    blocking column should use :func:`embedding_neardup_lsh_pairs`, which
+    derives one from the deterministic hyperplane-LSH signature."""
+    if not block_col:
+        raise ValueError(
+            "embedding_neardup_pairs requires an explicit block_col "
+            "(all-pairs without blocking is quadratic in the corpus); "
+            "use embedding_neardup_lsh_pairs for the LSH-blocked default"
+        )
     v = F.col(vec_col)
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x))
     base = emb.select(
         F.col(id_col),
-        (F.col(block_col) if block_col else F.lit(0)).alias("_blk"),
+        F.col(block_col).alias("_blk"),
         v.alias("_v"),
         norm.alias("_n"),
     )

@@ -94,14 +94,23 @@ def hyperplane_bucket_col(
     return bucket
 
 
+def _vec_dim(emb: DataFrame, vec_col: str, dim) -> int:
+    """Resolve the embedding dimensionality. Callers should pass ``dim``
+    (schema metadata or pipeline config) — the fallback probe runs one
+    extra Spark job at plan-build time, which a 100-TB plan should not."""
+    if dim is not None:
+        return int(dim)
+    return len(emb.select(vec_col).first()[0])
+
+
 def bucketed_embeddings(
     emb: DataFrame,
     n_planes: int = 4,
     vec_col: str = "embedding",
     seed: int = 42,
+    dim: int = None,
 ) -> DataFrame:
-    dim = len(emb.select(vec_col).first()[0])
-    planes = hyperplanes(n_planes, dim, seed)
+    planes = hyperplanes(n_planes, _vec_dim(emb, vec_col, dim), seed)
     return emb.withColumn("bucket", hyperplane_bucket_col(F.col(vec_col), planes))
 
 
@@ -162,13 +171,13 @@ def materialize_lsh_buckets(
     n_planes: int = 4,
     vec_col: str = "embedding",
     seed: int = 42,
+    dim: int = None,
 ) -> None:
     """Assign every vector its hyperplane bucket ONCE and persist
     ``partitionBy("bucket")`` — probes against the written table are
     partition pruning over 1 (or 1+n_planes multiprobe) directories out
     of 2^n_planes, not a full scan re-hashing per query."""
-    dim = len(emb.select(vec_col).first()[0])
-    planes = hyperplanes(n_planes, dim, seed)
+    planes = hyperplanes(n_planes, _vec_dim(emb, vec_col, dim), seed)
     emb.withColumn(
         "bucket", hyperplane_bucket_col(F.col(vec_col), planes)
     ).write.partitionBy("bucket").mode("overwrite").parquet(path)

@@ -1110,7 +1110,7 @@ def embedding_neardup(spark, sf_dir):
     from .datapipe.dedup import embedding_neardup_pairs
 
     return embedding_neardup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.3
+        _t(spark, sf_dir, "embeddings"), block_col="label", threshold=0.3
     )
 
 
@@ -1122,7 +1122,8 @@ def embedding_neardup_lsh(spark, sf_dir):
     from .datapipe.dedup import embedding_neardup_lsh_pairs
 
     return embedding_neardup_lsh_pairs(
-        _t(spark, sf_dir, "embeddings"), n_planes=4, threshold=0.3
+        _t(spark, sf_dir, "embeddings"), n_planes=4, threshold=0.3,
+        dim=len(ANN_QUERY),
     )
 
 
@@ -1161,7 +1162,8 @@ def lsh_index(spark, sf_dir):
     path = f"/tmp/genie_spark_lsh/{base}_p{_LSH_PLANES}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         materialize_lsh_buckets(
-            _t(spark, sf_dir, "embeddings"), path, n_planes=_LSH_PLANES
+            _t(spark, sf_dir, "embeddings"), path, n_planes=_LSH_PLANES,
+            dim=len(ANN_QUERY),
         )
     return path
 

@@ -208,6 +208,20 @@ class GenieExtractor:
         )
 
 
+def _declared_partitions(df: DataFrame) -> int:
+    """Partition count the physical plan DECLARES, without building the
+    RDD chain (``df.rdd`` on a 100-TB plan walks file listings and
+    disables AQE) and without running a job. Explicit repartitions /
+    exchanges report their count; scans and local relations report 0
+    (unknown partitioning)."""
+    try:
+        return int(
+            df._jdf.queryExecution().sparkPlan().outputPartitioning().numPartitions()
+        )
+    except Exception:  # non-classic backends: treat as unknown
+        return 0
+
+
 def extract_pipeline(
     spark: SparkSession,
     pages: DataFrame,
@@ -227,11 +241,16 @@ def extract_pipeline(
     saturate cores → mapInPandas generation → JVM-side parse.
 
     ``partitions``: None (default) auto-repartitions to 2× the cluster's
-    default parallelism whenever the scan yields fewer partitions — the
-    generation stage is compute-bound, so inheriting a small file count
-    single-threads the decode (measured: a 1-partition scan pinned
-    throughput at one worker regardless of local[8] vs local[32]). Pass an
-    explicit count to override, or 0 to keep the scan partitioning.
+    default parallelism unless the plan already carries a partitioning of
+    at least that size — the generation stage is compute-bound, so
+    inheriting a small file count single-threads the decode (measured: a
+    1-partition scan pinned throughput at one worker regardless of
+    local[8] vs local[32]). The check reads the physical plan's declared
+    output partitioning (a pure plan-analysis probe: no ``df.rdd``, no
+    file listing, no Spark job); scans report "unknown" and get the
+    balancing repartition — the safe default for a compute-dominant
+    stage. Pass an explicit count to override, or 0 to keep the scan
+    partitioning.
     """
     if lang is not None:
         pages = pages.filter(F.col("lang") == lang)
@@ -240,10 +259,7 @@ def extract_pipeline(
     )
     if partitions is None:
         want = spark.sparkContext.defaultParallelism * 2
-        if sents.rdd.getNumPartitions() < want:
-            partitions = want
-        else:
-            partitions = 0
+        partitions = 0 if _declared_partitions(sents) >= want else want
     if partitions:
         # balance decode compute, not bytes: hash on (url, sent_idx)
         sents = sents.repartition(partitions, "url", "sent_idx")

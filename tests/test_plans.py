@@ -125,6 +125,38 @@ def test_exact_dedup_partial_aggregates(spark):
     assert plan.count("Exchange") == 1
 
 
+def _jobs_run(spark) -> int:
+    return len(spark.sparkContext.statusTracker().getJobIdsForGroup(None) or [])
+
+
+def test_plan_build_fires_no_jobs(spark):
+    """Plan construction must be pure plan analysis: with ``dim`` supplied,
+    the LSH/near-dup builders probe nothing, and extract_pipeline's
+    partition check reads the physical plan instead of df.rdd — no Spark
+    job may fire before the action."""
+    import __spark_entry__ as entry_mod
+    from genie_spark.datapipe.dedup import embedding_neardup_lsh_pairs
+    from genie_spark.datapipe.similarity import bucketed_embeddings
+    from genie_spark.pipeline import extract_pipeline
+
+    emb = _t(spark, "embeddings")
+    pages = entry_mod._docs_as_pages(_t(spark, "documents"))
+    before = _jobs_run(spark)
+    bucketed_embeddings(emb, dim=64)
+    embedding_neardup_lsh_pairs(emb, dim=64)
+    extract_pipeline(spark, pages, ["alpha beta"], ["rel"])
+    assert _jobs_run(spark) == before, "plan build ran a Spark job"
+
+
+def test_embedding_neardup_requires_block_col(spark):
+    """The unblocked all-pairs form must be impossible to call by
+    accident — no block_col raises, pointing at the LSH wrapper."""
+    from genie_spark.datapipe.dedup import embedding_neardup_pairs
+
+    with pytest.raises(ValueError, match="block_col"):
+        embedding_neardup_pairs(_t(spark, "embeddings"))
+
+
 def test_multinomial_bootstrap_fully_distributed(spark):
     """A5 exact mode: sample indexing must be the distributed rank (range
     partition + per-partition window + broadcast offsets) — no global
