@@ -74,4 +74,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from genie_spark import entry_queries
 
-    return entry_queries.ORACLES
+    oracles = dict(entry_queries.ORACLES)
+    # The flagship query's oracle is not static SQL: the deterministic
+    # pure-Python twin (no Spark) is run here, driver-side, over the
+    # sf0.01 corpus the correctness gate compares at, and its rows are
+    # embedded as a VALUES literal. Override the corpus dir with
+    # SPARK_GRAFT_ORACLE_SF for local checks at other scale factors.
+    from genie_spark.oracle_twin import flagship_oracle_sql
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    oracles["graph_extract_triples"] = flagship_oracle_sql(sf_dir)
+    return oracles

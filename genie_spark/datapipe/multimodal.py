@@ -79,11 +79,16 @@ def media_from_docs(docs: DataFrame) -> DataFrame:
 
 def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list:
     """Deterministic stand-in for a real encoder: md5-seeded floats in
-    [0, 1). Replace with the real model call on a GPU cluster."""
+    [0, 1). Replace with the real model call on a GPU cluster.
+
+    The per-dimension salt byte is 1-based (1..dim, no NUL) so that for
+    text-derived payloads the whole recipe is reproducible as plain SQL
+    (``md5(text || chr(i))``) — which is what makes the driver's
+    hash-exact DuckDB oracle for multimodal_features possible."""
     out = []
     h = payload or b""
     for i in range(dim):
-        d = hashlib.md5(h + bytes([i])).digest()
+        d = hashlib.md5(h + bytes([i + 1])).digest()
         out.append(int.from_bytes(d[:4], "big") / 2**32)
     return out
 

@@ -1424,8 +1424,11 @@ def fingerprint_q(spark, sf_dir):
 
 @_register("graph_extract_triples")
 def graph_extract_triples(spark, sf_dir):
-    """Flagship constrained generation + canonicalization over the
-    documents corpus (rows-only check; parity in tests/)."""
+    """Flagship constrained generation over the documents corpus. The
+    DuckDB oracle is not static SQL: ``__spark_entry__.oracle_sql()``
+    materializes the deterministic pure-Python twin's output
+    (oracle_twin.flagship_oracle_sql) as a VALUES literal, so the driver's
+    hash gate covers this query too."""
     import __spark_entry__ as entry_mod
 
     docs = _t(spark, sf_dir, "documents")
@@ -1435,15 +1438,30 @@ def graph_extract_triples(spark, sf_dir):
 
     out = extract_pipeline(spark, pages, ents, rels, lang="en", num_beams=2)
     return out.select(
-        "url", "sent_idx", "prediction",
+        "url", "sent_idx",
         F.explode_outer("pred_triples").alias("t"),
-    ).select("url", "sent_idx", "t.s", "t.r", "t.o")
+    ).select(
+        "url", F.col("sent_idx").cast("bigint").alias("sent_idx"),
+        "t.s", "t.r", "t.o",
+    )
 
 
-@_register("multimodal_features")
+@_register(
+    "multimodal_features",
+    """
+SELECT doc_id::BIGINT AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       round((('0x' || substr(md5(text || chr(1)), 1, 8))::UBIGINT / 4294967296.0)::REAL::DOUBLE, 6) AS f0
+FROM documents
+""",
+)
 def multimodal_features(spark, sf_dir):
     """Binary-column media plumbing with the deterministic fake encoder
-    (real decode stubbed; rows-only check)."""
+    (real decode stubbed). The mapInPandas path runs over real binary
+    payloads; the oracle reproduces the md5 feature recipe in SQL because
+    the test payloads are utf-8 text bytes and the salt bytes are 1-based
+    (no NUL — see datapipe.multimodal._fake_features)."""
     from .datapipe.multimodal import extract_features, media_from_docs
 
     media = media_from_docs(_t(spark, sf_dir, "documents"))
@@ -1451,5 +1469,7 @@ def multimodal_features(spark, sf_dir):
     return feats.select(
         "media_id", "media_type",
         F.col("n_bytes").cast("bigint").alias("n_bytes"),
-        F.round(F.element_at("features", 1), 6).alias("f0"),
+        # features are float32 (real encoders emit fp32); round the
+        # DOUBLE widening of that value — the oracle does ::REAL::DOUBLE
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
     )

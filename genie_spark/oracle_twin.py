@@ -1,0 +1,110 @@
+"""Pure-Python twin oracle for the flagship constrained-generation query.
+
+The flagship pipeline (``graph_extract_triples``) is not SQL-expressible,
+so its DuckDB oracle cannot be written by hand. It IS, however, fully
+deterministic: this module re-runs the whole pipeline single-process on
+the driver — duckdb parquet scan → page projection → lang filter →
+:func:`extract.split_sentences` → :func:`decode.generate_for_text` →
+:func:`triples.parse_linearization` — with ZERO Spark involvement, and
+materializes the expected rows as a ``VALUES`` literal the driver's
+DuckDB connection can execute. The driver's hash compare then pins the
+distributed mapInPandas pipeline against this independent single-process
+run (the same twin the pytest parity suite uses, test_spark_pipeline.py
+::test_pipeline_matches_driver_oracle, but surfaced through the hard
+CORRECTNESS gate instead of only pytest).
+
+Independence note: the twin shares the decode *functions* with the Spark
+UDF by design (they are the single-process core); what the oracle
+verifies is everything Spark adds around them — Arrow batching,
+partitioning/replication, the Column-expression sentence split and triple
+parse (JVM code, no Python), broadcast handling, and NULL semantics of
+explode_outer — plus that the decode output is bit-stable across the two
+execution environments.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Tuple
+
+Row = Tuple[str, int, Optional[str], Optional[str], Optional[str]]
+
+
+def flagship_expected_rows(sf_dir: str) -> List[Row]:
+    """Single-process re-run of graph_extract_triples over
+    ``{sf_dir}/documents.parquet``: (url, sent_idx, s, r, o) with one
+    NULL-triple row per sentence that produced no triples (explode_outer
+    semantics)."""
+    import duckdb
+
+    from .constraints import TagCodes
+    from .decode import DeterministicScorer, generate_for_text, top_valid_prediction
+    from .extract import split_sentences
+    from .tokenizer import WordTokenizer
+    from .trie import trie_from_names
+    from .triples import parse_linearization
+
+    docs = duckdb.sql(
+        "SELECT doc_id, text, lang, source FROM read_parquet('"
+        + os.path.join(sf_dir, "documents.parquet")
+        + "') ORDER BY doc_id"
+    ).fetchall()
+
+    # catalog derivation — twin of __spark_entry__._corpus_catalogs
+    # (split on single space, length >= 3, over ALL docs)
+    words = sorted({w for (_, t, _, _) in docs for w in t.split(" ") if len(w) >= 3})
+    ents = [w for w in words if len(w) >= 4]
+    rels = [w for w in words if len(w) == 3]
+
+    # decode stack — twin of pipeline._worker_setup over the same payload
+    ents, rels = sorted(set(ents)), sorted(set(rels))
+    tok = WordTokenizer(ents + rels)
+    codes = TagCodes(tok)
+    ent_t, rel_t = trie_from_names(ents, tok), trie_from_names(rels, tok)
+    scorer = DeterministicScorer(tok)
+
+    out: List[Row] = []
+    for doc_id, text, lang, source in docs:
+        if lang != "en":
+            continue
+        url = f"https://{source}/doc/{doc_id}"
+        for idx, sent in enumerate(split_sentences(text)):
+            beams = generate_for_text(
+                sent, scorer, tok, codes, ent_t, rel_t, num_beams=2, max_length=96
+            )
+            pred = top_valid_prediction(beams)
+            triples = parse_linearization(pred or "")
+            if triples:
+                out.extend((url, idx, s, r, o) for (s, r, o) in triples)
+            else:
+                out.append((url, idx, None, None, None))
+    return out
+
+
+def _sql_str(v: Optional[str]) -> str:
+    if v is None:
+        return "CAST(NULL AS VARCHAR)"
+    return "'" + v.replace("'", "''") + "'"
+
+
+def flagship_oracle_sql(sf_dir: str) -> str:
+    """The expected rows as a self-contained ANSI-SQL VALUES literal
+    (column names/types matching the Spark query: url, sent_idx bigint,
+    s, r, o)."""
+    rows = flagship_expected_rows(sf_dir)
+    if not rows:
+        return (
+            "SELECT CAST(NULL AS VARCHAR) AS url, CAST(NULL AS BIGINT) AS sent_idx,"
+            " CAST(NULL AS VARCHAR) AS s, CAST(NULL AS VARCHAR) AS r,"
+            " CAST(NULL AS VARCHAR) AS o WHERE FALSE"
+        )
+    values = ",\n".join(
+        f"({_sql_str(u)}, {i}, {_sql_str(s)}, {_sql_str(r)}, {_sql_str(o)})"
+        for (u, i, s, r, o) in rows
+    )
+    return (
+        "SELECT url, sent_idx::BIGINT AS sent_idx, s::VARCHAR AS s,"
+        " r::VARCHAR AS r, o::VARCHAR AS o FROM (VALUES\n"
+        + values
+        + "\n) AS t(url, sent_idx, s, r, o)"
+    )

@@ -11,6 +11,9 @@ import pytest
 import __spark_entry__ as entry
 
 SF_DIR = "/root/testdata/sf0.001"
+# the flagship twin-oracle must be generated for the same corpus the
+# Spark queries run on (the driver pins both to sf0.01; tests use sf0.001)
+os.environ["SPARK_GRAFT_ORACLE_SF"] = SF_DIR
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
@@ -45,7 +48,10 @@ def _rows(df_cols, rows):
     )
 
 
-QUERY_NAMES = sorted(entry.oracle_sql())
+# computed once: oracle_sql() re-runs the flagship pure-Python twin on
+# every call
+ORACLES = entry.oracle_sql()
+QUERY_NAMES = sorted(ORACLES)
 
 
 @pytest.mark.parametrize("name", QUERY_NAMES)
@@ -55,7 +61,7 @@ def test_query_matches_oracle(spark, ducks, name):
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
 
-    rel = ducks.sql(entry.oracle_sql()[name])
+    rel = ducks.sql(ORACLES[name])
     duck_cols = rel.columns
     duck_rows = rel.fetchall()
 
@@ -70,7 +76,7 @@ def test_query_matches_oracle(spark, ducks, name):
 
 def test_rows_only_queries_run(spark):
     """Queries without an oracle still must run and return a stable schema."""
-    for name in sorted(set(entry.queries()) - set(entry.oracle_sql())):
+    for name in sorted(set(entry.queries()) - set(ORACLES)):
         df = entry.queries()[name](spark, SF_DIR)
         assert df.columns, name
         assert df.count() >= 0, name
