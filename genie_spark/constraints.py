@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence
 
-from .tokenizer import EOS, TAG_WORDS, WordTokenizer
+from .tokenizer import EOS, TAG_WORDS
 
 OB, S, R, O = 0, 1, 2, 3
 
@@ -39,14 +39,19 @@ class TagCodes:
 
     __slots__ = ("lt", "gt", "tags", "tagset", "eos", "bos")
 
-    def __init__(self, tok: WordTokenizer):
+    def __init__(self, tok):
+        """``tok`` is any tokenizer satisfying the decode-stack protocol:
+        WordTokenizer or an hf_adapter.HFTokenizerAdapter over a real BPE
+        tokenizer — piece2id must expose '<', '>' and the tag words, and
+        eos/bos ids come from the tokenizer (NOT module constants, so the
+        grammar follows the model's id space)."""
         self.lt = tok.piece2id["<"]
         self.gt = tok.piece2id[">"]
         # order matters: status i forces tags[i] after '<'
         # (status_next_token_name: ob→sub, s→rel, r→obj, o→et)
         self.tags = [tok.piece2id[w] for w in TAG_WORDS]
         self.tagset = frozenset(self.tags)
-        self.eos = EOS
+        self.eos = getattr(tok, "eos_token_id", EOS)
         self.bos = tok.bos_token_id
 
 

@@ -181,6 +181,28 @@ class DeterministicScorer:
         return out
 
 
+class UniformScorer:
+    """Constraint-only ablation scorer: every allowed token scores 0, so
+    the output is determined purely by the grammar + tries + beam-search
+    tiebreak (lowest token id first). Useful as a baseline separating
+    what the CONSTRAINTS contribute from what the model contributes —
+    and, being a distinct module-level class, as the picklable
+    scorer_factory the pipeline tests inject to prove scorer selection
+    reaches executors."""
+
+    def __init__(self, tokenizer=None):
+        self.tok = tokenizer
+
+    def context(self, text):
+        return None
+
+    def advance(self, ctx, ptr, token):
+        return ptr
+
+    def score(self, ctx, tokens, state, allowed, ptr=None):
+        return [0.0] * len(allowed)
+
+
 class HFSeq2SeqScorer:  # pragma: no cover - needs torch/transformers
     """GPU production scorer: wraps a HF encoder-decoder checkpoint.
 
@@ -188,6 +210,14 @@ class HFSeq2SeqScorer:  # pragma: no cover - needs torch/transformers
     forward pass scores all beams of a batch in one tensor op, exactly like
     the reference's ``model.generate`` inner loop (genie_base_pl.py:497-505)
     but with our incremental constraint state supplying the masks.
+
+    ID-SPACE CONTRACT: this scorer only works inside a stack built by
+    ``pipeline.hf_stack_factory`` — TagCodes and both tries are derived
+    from THIS model's tokenizer through hf_adapter.HFTokenizerAdapter, so
+    the ``tokens``/``allowed`` ids arriving here are valid
+    decoder_input_ids / vocab indices for the checkpoint. Feeding it
+    WordTokenizer-space ids would index the wrong logits; the factory is
+    the only constructor path the pipeline exposes.
     """
 
     def __init__(self, model_name_or_path: str, device: str = "cuda"):
@@ -203,6 +233,12 @@ class HFSeq2SeqScorer:  # pragma: no cover - needs torch/transformers
         self.model = AutoModelForSeq2SeqLM.from_pretrained(model_name_or_path)
         self.model.eval().to(device)
         self.device = device
+        # BART starts decoding from </s> (decoder_start_token_id == eos);
+        # honor the checkpoint's config rather than assuming
+        start = getattr(self.model.config, "decoder_start_token_id", None)
+        self.decoder_start_token_id = (
+            start if start is not None else self.tokenizer.eos_token_id
+        )
 
     def context(self, text: str):
         import torch
@@ -219,7 +255,12 @@ class HFSeq2SeqScorer:  # pragma: no cover - needs torch/transformers
     def score(self, ctx, tokens, state, allowed, ptr=None):
         import torch
 
-        ids = torch.tensor([[self.tokenizer.eos_token_id, *tokens]], device=self.device)
+        # tokens are HF-space ids (hf_stack_factory contract); prepend the
+        # checkpoint's decoder start token, as the reference's generate()
+        # does implicitly. With bos_first=True the constraint state forces
+        # BOS as the first *generated* token (ie_prefix_constraints.py:
+        # 183-184), reproducing the [eos, bos, ...] target framing.
+        ids = torch.tensor([[self.decoder_start_token_id, *tokens]], device=self.device)
         with torch.no_grad():
             logits = self.model(
                 encoder_outputs=ctx, decoder_input_ids=ids

@@ -67,11 +67,12 @@ BEAM_SCHEMA = ArrayType(
 _WORKER_CACHE: dict = {}
 
 
-def _worker_setup(payload: dict):
-    key = payload["cache_key"]
-    hit = _WORKER_CACHE.get(key)
-    if hit is not None:
-        return hit
+def default_stack_factory(payload: dict):
+    """Build the decode stack in WordTokenizer space (the sandbox/oracle
+    path). ``payload["scorer_factory"]``, when present, is a picklable
+    ``tokenizer -> scorer`` callable replacing DeterministicScorer — the
+    pluggable-scorer seam (reference analog: the model object handed to
+    evaluate.py:35-66 is the scorer)."""
     tok = WordTokenizer(payload["ent_names"] + payload["rel_names"])
     codes = TagCodes(tok)
     if "ent_trie" in payload:
@@ -83,9 +84,43 @@ def _worker_setup(payload: dict):
     else:
         ent = trie_from_names(payload["ent_names"], tok)
         rel = trie_from_names(payload["rel_names"], tok)
-    scorer = DeterministicScorer(tok)
+    make_scorer = payload.get("scorer_factory")
+    scorer = make_scorer(tok) if make_scorer else DeterministicScorer(tok)
+    return tok, codes, ent, rel, scorer
+
+
+def hf_stack_factory(payload: dict):
+    """Build the decode stack in the HF checkpoint's OWN id space — the
+    production path (reference flagship: model.sample,
+    genie_base_pl.py:435-555, with tag ids derived from the model's BART
+    tokenizer, ie_prefix_constraints.py:94-131). The tokenizer adapter
+    derives TagCodes from the checkpoint's tokenizer and the tries are
+    re-encoded through it, so constraint masks, beam tokens, and
+    decoder_input_ids all live in one id space. Raises in this sandbox
+    (no torch/transformers) — the wiring is exercised by the fake-BPE
+    adapter tests."""
+    from .decode import HFSeq2SeqScorer
+    from .hf_adapter import HFTokenizerAdapter
+
+    scorer = HFSeq2SeqScorer(
+        payload["hf_checkpoint"], device=payload.get("hf_device", "cuda")
+    )
+    tok = HFTokenizerAdapter(scorer.tokenizer)
+    codes = TagCodes(tok)
+    ent = trie_from_names(payload["ent_names"], tok)
+    rel = trie_from_names(payload["rel_names"], tok)
+    return tok, codes, ent, rel, scorer
+
+
+def _worker_setup(payload: dict):
+    key = payload["cache_key"]
+    hit = _WORKER_CACHE.get(key)
+    if hit is not None:
+        return hit
+    factory = payload.get("stack_factory") or default_stack_factory
+    stack = factory(payload)
     _WORKER_CACHE.clear()  # one active schema per worker; avoid leaks
-    _WORKER_CACHE[key] = (tok, codes, ent, rel, scorer)
+    _WORKER_CACHE[key] = stack
     return _WORKER_CACHE[key]
 
 
@@ -128,7 +163,25 @@ class GenieExtractor:
         length_penalty: float = 0.0,
         bos_first: bool = False,
         trie_artifacts: Optional[tuple] = None,
+        scorer_factory=None,
+        hf_checkpoint: Optional[str] = None,
+        hf_device: str = "cuda",
     ):
+        """Scorer selection (executor-side, shipped via the broadcast):
+
+        * default — DeterministicScorer over WordTokenizer (sandbox/oracle
+          path).
+        * ``scorer_factory`` — a picklable ``tokenizer -> scorer``
+          callable built per worker in WordTokenizer space (mock/custom
+          scorers).
+        * ``hf_checkpoint`` — the production path: each worker loads the
+          HF seq2seq checkpoint and builds the WHOLE stack (TagCodes,
+          tries, beams) in that model's tokenizer id space via
+          hf_adapter.HFTokenizerAdapter, matching the reference's
+          model.sample flagship (genie_base_pl.py:435-555). Mutually
+          exclusive with trie_artifacts (artifact token ids are
+          WordTokenizer-space) and scorer_factory.
+        """
         self.num_beams = num_beams
         self.max_length = max_length
         # reference decode-parity knobs (default.yaml:9 length_penalty=1.0,
@@ -136,6 +189,13 @@ class GenieExtractor:
         # deterministic-scorer golden outputs unchanged
         self.length_penalty = length_penalty
         self.bos_first = bos_first
+        if hf_checkpoint is not None and (
+            trie_artifacts is not None or scorer_factory is not None
+        ):
+            raise ValueError(
+                "hf_checkpoint builds its own tokenizer-space stack; it "
+                "cannot be combined with trie_artifacts or scorer_factory"
+            )
         if trie_artifacts is not None:
             # preloaded S10 artifacts (save_trie_artifacts): names come
             # from the companion jsonl, the CSR arrays broadcast as-is —
@@ -160,10 +220,27 @@ class GenieExtractor:
             "rel_names": sorted(set(rel_names)),
             **extra,
         }
+        if hf_checkpoint is not None:
+            payload["stack_factory"] = hf_stack_factory
+            payload["hf_checkpoint"] = hf_checkpoint
+            payload["hf_device"] = hf_device
+        elif scorer_factory is not None:
+            payload["scorer_factory"] = scorer_factory
+        # the key must separate stacks that share a catalog but differ in
+        # scorer/checkpoint, or worker reuse would serve the wrong scorer
+        stack_id = (
+            hf_checkpoint
+            or (
+                scorer_factory
+                and f"{scorer_factory.__module__}.{getattr(scorer_factory, '__qualname__', repr(scorer_factory))}"
+            )
+            or "default"
+        )
         payload["cache_key"] = (
             len(payload["ent_names"]),
             len(payload["rel_names"]),
             hash(tuple(payload["ent_names"][:100]) + tuple(payload["rel_names"])),
+            stack_id,
         )
         self._bc = spark.sparkContext.broadcast(payload)
 

@@ -105,6 +105,13 @@ def main():
                     help="force BOS as the first generated token (reference parity)")
     ap.add_argument("--ent-trie", help="preloaded trie artifact (save_trie_artifacts)")
     ap.add_argument("--rel-trie", help="preloaded trie artifact (save_trie_artifacts)")
+    ap.add_argument("--hf-checkpoint",
+                    help="HF seq2seq checkpoint (e.g. the GenIE BART); each "
+                    "executor builds the constraint stack in that model's "
+                    "tokenizer space and scores with it (production path; "
+                    "requires torch+transformers on the cluster)")
+    ap.add_argument("--hf-device", default="cuda",
+                    help="device for --hf-checkpoint workers")
     ap.add_argument("--n-chunks", type=int, default=16)
     ap.add_argument("--chunks-per-job", type=int, default=4)
     ap.add_argument("--salt-buckets", type=int, default=0,
@@ -130,6 +137,7 @@ def main():
         length_penalty=args.length_penalty, bos_first=args.bos_first,
         trie_artifacts=(args.ent_trie, args.rel_trie)
         if args.ent_trie and args.rel_trie else None,
+        hf_checkpoint=args.hf_checkpoint, hf_device=args.hf_device,
     )
 
     def process(chunked_pages: DataFrame) -> DataFrame:

@@ -1,0 +1,278 @@
+"""HF-tokenizer-adapter + pluggable-scorer tests.
+
+This sandbox has no torch/transformers, so the production HF path is
+exercised with a deterministic fake BPE tokenizer that reproduces the
+structural properties the adapter contract depends on (multi-piece
+subword splits, leading-space 'Ġ' marker, BART-style special ids, tags
+splitting as [Ġ<, tag, >]). What IS fully tested here:
+
+* the reference's tag-id derivation contract (encode " <tag>", equal
+  lengths, shared start/end ids — ie_prefix_constraints.py:94-131),
+  including rejection of tokenizers that violate it;
+* the leading-space trie recipe (trie.py:25-36) through the adapter;
+* end-to-end constrained beam search in a NON-WordTokenizer id space —
+  multi-piece names walked through the trie cursor, EOS→'<' swap,
+  grammar well-formedness, catalog closure of every emitted name;
+* scorer_factory plumbing: a non-default scorer injected through
+  GenieExtractor's broadcast reaches the executors (mapInPandas output
+  matches the driver-side twin of that scorer and differs from the
+  default scorer's output).
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from genie_spark.constraints import TagCodes
+from genie_spark.decode import (
+    INVALID_LOG_PROB,
+    DeterministicScorer,
+    UniformScorer,
+    generate_for_text,
+    top_valid_prediction,
+)
+from genie_spark.hf_adapter import HFTokenizerAdapter, TagIdContractError
+from genie_spark.tokenizer import WordTokenizer
+from genie_spark.trie import trie_from_names
+from genie_spark.triples import parse_linearization
+
+
+class FakeBPETokenizer:
+    """Deterministic stand-in for a BART-style BPE tokenizer: greedy
+    3-char chunking with a leading-space 'Ġ' marker, '<'/'>' always their
+    own pieces, BART special ids (bos=0, pad=1, eos=2, unk=3). Built from
+    a corpus so ids are stable."""
+
+    _SPLIT = re.compile(r" ?<| ?>| ?[^\s<>]+")
+
+    def __init__(self, corpus):
+        self.bos_token_id, self.pad_token_id = 0, 1
+        self.eos_token_id, self.unk_token_id = 2, 3
+        vocab = {}
+        seeds = [" <sub>", " <rel>", " <obj>", " <et>"]
+        for name in sorted(set(corpus)):
+            seeds.append(" " + name)
+            seeds.append(name)
+        for s in seeds:
+            for p in self._pieces(s):
+                if p not in vocab:
+                    vocab[p] = len(vocab) + 4
+        self.vocab = vocab
+        self.id2piece = {i: p for p, i in vocab.items()}
+
+    def _pieces(self, text):
+        out = []
+        for m in self._SPLIT.finditer(text):
+            t = m.group()
+            marked = t.startswith(" ")
+            w = t.lstrip(" ")
+            if w in ("<", ">"):
+                out.append(("Ġ" if marked else "") + w)
+                continue
+            for i in range(0, len(w), 3):
+                out.append(("Ġ" if marked and i == 0 else "") + w[i : i + 3])
+        return out
+
+    def __call__(self, text):
+        ids = [self.vocab.get(p, self.unk_token_id) for p in self._pieces(text)]
+        return {"input_ids": [self.bos_token_id] + ids + [self.eos_token_id]}
+
+    def decode(self, ids, skip_special_tokens=True):
+        out = []
+        for i in ids:
+            if skip_special_tokens and i < 4:
+                continue
+            out.append(self.id2piece.get(i, "<unk>"))
+        return "".join(p.replace("Ġ", " ") for p in out)
+
+    def __len__(self):
+        return len(self.vocab) + 4
+
+
+ENTS = ["Albert Einstein", "Zurich", "Mileva Maric", "Switzerland", "photon"]
+RELS = ["birthplace", "spouse", "country"]
+
+
+@pytest.fixture(scope="module")
+def adapter():
+    return HFTokenizerAdapter(FakeBPETokenizer(ENTS + RELS))
+
+
+def test_adapter_tag_contract(adapter):
+    """Tag triplet derivation per the reference asserts: shared '<'/'>'
+    ids, four distinct content ids, and ids distinct from specials."""
+    lt, gt = adapter.piece2id["<"], adapter.piece2id[">"]
+    tags = [adapter.piece2id[w] for w in ("sub", "rel", "obj", "et")]
+    assert len(set(tags)) == 4
+    assert lt not in tags and gt not in tags and lt != gt
+    assert min([lt, gt, *tags]) >= 4  # no collision with special ids
+    # " <sub>" must encode to exactly [bos, lt, sub, gt, eos]
+    ids = adapter._ids(" <sub>")
+    assert ids == [
+        adapter.bos_token_id, lt, adapter.piece2id["sub"], gt,
+        adapter.eos_token_id,
+    ]
+
+
+def test_adapter_rejects_tag_splitting_tokenizer():
+    """A tokenizer that chunks tag words into multiple pieces violates
+    the contract and must be rejected loudly, not mis-derive ids."""
+
+    class TwoCharBPE(FakeBPETokenizer):
+        def _pieces(self, text):
+            out = []
+            for m in self._SPLIT.finditer(text):
+                t = m.group()
+                marked = t.startswith(" ")
+                w = t.lstrip(" ")
+                if w in ("<", ">"):
+                    out.append(("Ġ" if marked else "") + w)
+                    continue
+                for i in range(0, len(w), 2):  # 'sub' → ['su', 'b']
+                    out.append(("Ġ" if marked and i == 0 else "") + w[i : i + 2])
+            return out
+
+    with pytest.raises(TagIdContractError):
+        HFTokenizerAdapter(TwoCharBPE(ENTS + RELS))
+
+
+def test_adapter_trie_recipe(adapter):
+    """encode(name)[1:] must equal the reference recipe: ids of
+    ' ' + name with BOS stripped and the trailing EOS kept
+    (trie.py:25-36) — multi-piece names included."""
+    hf = adapter.hf
+    for name in ENTS + RELS:
+        expect = hf(" " + name)["input_ids"][1:]
+        assert adapter.encode(name)[1:] == expect
+        assert expect[-1] == adapter.eos_token_id
+    # multi-piece check: a long name really is several pieces
+    assert len(adapter.encode_pieces("Albert Einstein")) >= 4
+
+
+class GrammarMockScorer:
+    """Deterministic pseudo-random logits over the allowed set — no
+    knowledge of the id space, so any grammar violation would surface."""
+
+    def context(self, text):
+        import zlib
+
+        return zlib.crc32(text.encode())
+
+    def advance(self, ctx, ptr, token):
+        return ptr
+
+    def score(self, ctx, tokens, state, allowed, ptr=None):
+        import zlib
+
+        step = len(tokens)
+        return [
+            (zlib.crc32(b"%d|%d|%d" % (ctx, step, t)) % 997) / 100.0
+            for t in allowed
+        ]
+
+
+def test_constrained_beam_search_in_bpe_space(adapter):
+    """Full decode loop in the fake-BPE id space: every finished beam is
+    a well-formed linearization whose subject/object are catalog entities
+    and whose relation is a catalog relation — proving TagCodes, the
+    multi-piece trie cursor, and the EOS→'<' swap all operate in the
+    model tokenizer's id space (the contract the HF path relies on)."""
+    codes = TagCodes(adapter)
+    ent_t = trie_from_names(ENTS, adapter)
+    rel_t = trie_from_names(RELS, adapter)
+    scorer = GrammarMockScorer()
+    n_finished = 0
+    for text in [
+        "Albert Einstein was born in Zurich.",
+        "the photon paper",
+        "Mileva Maric married Albert Einstein in Switzerland",
+    ]:
+        beams = generate_for_text(
+            text, scorer, adapter, codes, ent_t, rel_t,
+            num_beams=3, max_length=64,
+        )
+        assert beams
+        for b in beams:
+            if b["log_prob"] <= INVALID_LOG_PROB:
+                continue
+            if b["text"] == "":
+                continue  # legal zero-triple stop (EOS in status OB)
+            n_finished += 1
+            triples = parse_linearization(b["text"])
+            assert triples, b["text"]
+            for s, r, o in triples:
+                assert s in ENTS and o in ENTS, (s, o)
+                assert r in RELS, r
+    assert n_finished >= 3
+
+
+def test_bos_first_in_bpe_space(adapter):
+    """bos_first forces the adapter's BOS id as the first generated token
+    (reference bos_as_first_token_generated)."""
+    codes = TagCodes(adapter)
+    ent_t = trie_from_names(ENTS, adapter)
+    rel_t = trie_from_names(RELS, adapter)
+    from genie_spark.constraints import DecodeState
+
+    st = DecodeState(codes, ent_t, rel_t, bos_first=True)
+    assert st.allowed() == [adapter.bos_token_id]
+    st.push(adapter.bos_token_id)
+    assert st.allowed() == [codes.lt, codes.eos]
+
+
+# ---------------------------------------------------------------------------
+# scorer_factory plumbing through the distributed pipeline
+# ---------------------------------------------------------------------------
+
+
+def _driver_twin(texts, ents, rels, scorer_cls):
+    ents, rels = sorted(set(ents)), sorted(set(rels))
+    tok = WordTokenizer(ents + rels)
+    codes = TagCodes(tok)
+    ent_t, rel_t = trie_from_names(ents, tok), trie_from_names(rels, tok)
+    scorer = scorer_cls(tok)
+    return {
+        t: top_valid_prediction(
+            generate_for_text(t, scorer, tok, codes, ent_t, rel_t, num_beams=2)
+        )
+        for t in texts
+    }
+
+
+def test_scorer_factory_reaches_executors(spark):
+    """GenieExtractor(scorer_factory=UniformScorer) must build the
+    injected scorer on the executors: pipeline output matches the
+    driver-side UniformScorer twin and differs from the default
+    DeterministicScorer output (so the selection demonstrably took
+    effect), while the default path's goldens stay covered by
+    test_spark_pipeline."""
+    from genie_spark.pipeline import GenieExtractor
+
+    texts = [
+        "Albert Einstein was born in Zurich.",
+        "Mileva Maric lived in Switzerland.",
+        "the photon spouse Zurich story.",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["input"])
+
+    uni = GenieExtractor(
+        spark, ENTS, RELS, num_beams=2, scorer_factory=UniformScorer
+    ).transform(df)
+    got_uni = {r["input"]: r["prediction"] for r in uni.collect()}
+    assert got_uni == _driver_twin(texts, ENTS, RELS, UniformScorer)
+
+    default = GenieExtractor(spark, ENTS, RELS, num_beams=2).transform(df)
+    got_def = {r["input"]: r["prediction"] for r in default.collect()}
+    assert got_def == _driver_twin(texts, ENTS, RELS, DeterministicScorer)
+    assert got_uni != got_def, "injected scorer produced the default output"
+
+
+def test_hf_checkpoint_exclusive_with_other_stacks(spark):
+    from genie_spark.pipeline import GenieExtractor
+
+    with pytest.raises(ValueError, match="hf_checkpoint"):
+        GenieExtractor(
+            spark, ENTS, RELS, hf_checkpoint="some/ckpt",
+            scorer_factory=UniformScorer,
+        )
