@@ -189,6 +189,40 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         "n_docs": n_docs,
     }
     spark.stop()
+
+    # Fold the two-cluster-size throughput evidence into the per-round
+    # artifact (north_rule): a bounded, taskset-pinned, chip-state-
+    # equalized 8 vs 32 run of the replicated generation job. Smaller
+    # replicate than the full campaign (BENCH/BASELINE.md documents the
+    # replicate=120 numbers of record + the framework-free hardware
+    # ceiling); min-of-2 per level in fresh JVMs keeps it honest on this
+    # shared host while staying inside a few minutes.
+    if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0" and cpus >= 32:
+        # large enough that decode dominates per-stage fixed overhead at
+        # both levels (the full replicate=120 campaign remains the number
+        # of record in BENCH/BASELINE.md)
+        replicate = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_REPLICATE", "48"))
+        try:
+            sc = run_scaling(sf_dir, replicate, repeats=2, equalize_chip=True)
+            result["scaling"] = {
+                "protocol": sc["metric"],
+                "replicate": replicate,
+                "levels": {
+                    str(k): {
+                        "seconds": v["seconds"],
+                        "docs_per_sec": v["docs_per_sec"],
+                        "n_docs": v["n_docs"],
+                    }
+                    for k, v in sc["levels"].items()
+                },
+                "speedup": sc["speedup"],
+                "efficiency": sc["efficiency"],
+                "note": "chip-state-equalized per BENCH/BASELINE.md; "
+                "full-protocol (replicate=120 + framework-free hw "
+                "ceiling) numbers of record live there",
+            }
+        except Exception as ex:  # never fail the suite over the extra block
+            result["scaling"] = {"error": str(ex)[:300]}
     return result
 
 

@@ -79,6 +79,9 @@ class DeterministicScorer:
         self.structural = frozenset(
             [c["<"], c[">"], *(c[w] for w in TAG_WORDS)]
         )
+        # token id → b"%d" bytes, precomputed once: the tiebreak crc in
+        # score() runs once per candidate per step (the hot path)
+        self._tok_bytes = [b"%d" % i for i in range(len(tokenizer))]
 
     def context(self, text: str):
         from .tokenizer import pieces
@@ -154,11 +157,12 @@ class DeterministicScorer:
         no_triple = state.triples_done == 0
         copy_b, decay, weak = self.COPY_BONUS, self.POS_DECAY, self.WEAK_BONUS
         get_pos = positions.get
+        tok_bytes = self._tok_bytes
         out = []
         append = out.append
         for t in allowed:
             # stable tiebreak noise in [0, 0.1)
-            logit = (crc32(b"%d" % t, prefix_crc) % 1024) / 10240.0
+            logit = (crc32(tok_bytes[t], prefix_crc) % 1024) / 10240.0
             if t == eos:
                 # stop once the doc's copyable content is consumed — but
                 # never before at least one complete triple is out
@@ -309,8 +313,17 @@ def beam_search(
         Beam(0.0, [], DecodeState(codes, entities_trie, relations_trie, bos_first))
     ]
     finished: List[Beam] = []
+    from heapq import nsmallest
+
     for _ in range(max_length):
+        # candidates as (-cumulative score, token, beam idx): natural tuple
+        # order IS the former sort key (-score, tok, bi), so nsmallest
+        # replaces a full sort (O(n log k) over the per-step fan-out, which
+        # at name-start positions spans every first-piece token of the
+        # trie). -(a+b) == (-a)-b bit-exactly in IEEE, so ordering and
+        # reconstructed scores are identical to the sorted form.
         cands: List[Tuple[float, int, int]] = []
+        append = cands.append
         for bi, b in enumerate(live):
             allowed = b.state.allowed()
             if not allowed:
@@ -318,13 +331,14 @@ def beam_search(
             lps = _log_softmax(
                 scorer.score(ctx, b.tokens, b.state, allowed, ptr=b.ptr)
             )
+            neg = -b.score
             for tok, lp in zip(allowed, lps):
-                cands.append((b.score + lp, tok, bi))
+                append((neg - lp, tok, bi))
         if not cands:
             break
-        cands.sort(key=lambda c: (-c[0], c[1], c[2]))
         new_live: List[Beam] = []
-        for score, tok, bi in cands[: 2 * num_beams]:
+        for negscore, tok, bi in nsmallest(2 * num_beams, cands):
+            score = -negscore
             b = live[bi]
             st = b.state.clone()
             st.push(tok)

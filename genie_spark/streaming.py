@@ -133,12 +133,31 @@ def stream_page_rates(
 
 DOC_STREAM_SCHEMA = "doc_id bigint, text string"
 
+_TTL_UNITS = {
+    "ms": 1, "millisecond": 1, "milliseconds": 1,
+    "s": 1000, "second": 1000, "seconds": 1000,
+    "minute": 60_000, "minutes": 60_000,
+    "hour": 3_600_000, "hours": 3_600_000,
+    "day": 86_400_000, "days": 86_400_000,
+}
+
+
+def _ttl_ms(ttl) -> int:
+    """'30 days' / '2 seconds' / int milliseconds → milliseconds
+    (pyspark's GroupState.setTimeoutDuration only takes ints)."""
+    if isinstance(ttl, int):
+        return ttl
+    n, unit = ttl.split()
+    return int(float(n) * _TTL_UNITS[unit.lower()])
+
 
 def stream_dedup_exact(
     spark: SparkSession,
     input_dir: str,
     output_dir: str,
     available_now: bool = True,
+    state_ttl: Optional[str] = None,
+    trigger_interval: str = "500 milliseconds",
 ):
     """Custom stateful streaming operator: cross-batch EXACT dedup.
 
@@ -151,9 +170,30 @@ def stream_dedup_exact(
     tiny (seen, keep_id) record per distinct hash, checkpointed with the
     stream — a restart resumes with the full seen-set intact.
 
-    Returns the started query (awaited when ``available_now``)."""
+    ``state_ttl`` is the explicit eviction story for an UNBOUNDED crawl:
+    without it the seen-set grows with the number of distinct documents
+    ever crawled. With a TTL (e.g. ``"30 days"``), each hash's state
+    carries a processing-time timeout that is refreshed whenever the hash
+    is seen again (sliding eviction: hot duplicates stay suppressed, cold
+    entries age out), and an aged-out hash re-fetched later is treated as
+    new — the standard bounded-memory tradeoff, stated rather than
+    implicit. State size is observable via :func:`state_metrics` on the
+    returned query.
+
+    Returns the started query (awaited when ``available_now``). A TTL
+    requires a running processing-time trigger: timeouts never fire
+    during an availableNow drain (verified to hang in this Spark build),
+    so ``state_ttl`` demands ``available_now=False`` — the caller owns
+    stopping the returned continuous query."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if state_ttl and available_now:
+        raise ValueError(
+            "state_ttl needs a continuous processing-time trigger "
+            "(ProcessingTimeTimeout does not fire under availableNow); "
+            "pass available_now=False and stop the returned query"
+        )
 
     docs = (
         spark.readStream.schema(DOC_STREAM_SCHEMA).parquet(input_dir)
@@ -162,9 +202,15 @@ def stream_dedup_exact(
 
     out_type = "text_hash string, keep_id bigint, text string"
     state_type = "seen int, keep_id bigint"
+    ttl_ms = _ttl_ms(state_ttl) if state_ttl else None
 
     def first_seen(key, pdf_iter, state):
+        if state.hasTimedOut:
+            state.remove()  # TTL eviction: forget this hash
+            return
         if state.exists:
+            if ttl_ms:
+                state.setTimeoutDuration(ttl_ms)  # refresh on re-touch
             return  # hash already emitted in an earlier batch
         first = None
         for pdf in pdf_iter:
@@ -174,12 +220,19 @@ def stream_dedup_exact(
                     first = (key[0], int(row["doc_id"]), row["text"])
         if first is not None:
             state.update((1, first[1]))
+            if ttl_ms:
+                state.setTimeoutDuration(ttl_ms)
             yield pd.DataFrame(
                 [first], columns=["text_hash", "keep_id", "text"]
             )
 
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl
+        else GroupStateTimeout.NoTimeout
+    )
     deduped = docs.groupBy("text_hash").applyInPandasWithState(
-        first_seen, out_type, state_type, "append", GroupStateTimeout.NoTimeout
+        first_seen, out_type, state_type, "append", timeout
     )
     writer = (
         deduped.writeStream.format("parquet")
@@ -191,7 +244,30 @@ def stream_dedup_exact(
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination()
         return q
-    return writer.start()
+    return writer.trigger(processingTime=trigger_interval).start()
+
+
+def state_metrics(query) -> dict:
+    """State-store footprint of a stateful streaming query, summed over
+    its state operators from the most recent progress event that carried
+    any: rows held (the seen-set size for stream_dedup_exact), rows
+    updated/removed in that trigger, and bytes in the state store. This
+    is the observability half of the ``state_ttl`` eviction story — an
+    operator with a TTL should show numRowsTotal plateau instead of
+    growing with every distinct key ever seen."""
+    progs = [p for p in (query.recentProgress or []) if p.get("stateOperators")]
+    if not progs:
+        return {}
+    out = {
+        "numRowsTotal": 0,
+        "numRowsUpdated": 0,
+        "numRowsRemoved": 0,
+        "memoryUsedBytes": 0,
+    }
+    for op in progs[-1]["stateOperators"]:
+        for k in out:
+            out[k] += int(op.get(k, 0) or 0)
+    return out
 
 
 def _committed_batch_dirs(spark: SparkSession, data_dir: str) -> List[str]:

@@ -90,11 +90,19 @@ def load_catalogs(spark: SparkSession, args, pages: DataFrame):
     return [w for w in vocab if len(w) >= 4], [w for w in vocab if len(w) == 3]
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True)
+def parse_args(argv=None):
+    """CLI with optional JSON config-file layering (the capability the
+    reference gets from Hydra, genie/run.py:24-39 / evaluate.py:35-66 —
+    deliberately a flat config file + CLI overrides instead of a plugin
+    system, SURVEY.md §2.10): values resolve as CLI > --config file >
+    argparse defaults."""
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--config")
+    cfg_ns, rest = pre.parse_known_args(argv)
+    ap = argparse.ArgumentParser(parents=[pre])
+    ap.add_argument("--input")
     ap.add_argument("--input-format", choices=["parquet", "table"], default="parquet")
-    ap.add_argument("--output", required=True)
+    ap.add_argument("--output")
     ap.add_argument("--ent-catalog")
     ap.add_argument("--rel-catalog")
     ap.add_argument("--lang", default="en")
@@ -120,7 +128,22 @@ def main():
                     help="local[<n>] master for sandbox runs; 0 = use spark-submit master")
     ap.add_argument("--as-documents", action="store_true",
                     help="input is a documents(doc_id,text,lang,...) table; adapt to page shape")
-    args = ap.parse_args()
+    if cfg_ns.config:
+        with open(cfg_ns.config, encoding="utf-8") as f:
+            cfg = json.load(f)
+        known = {a.dest for a in ap._actions}
+        bad = set(cfg) - known
+        if bad:
+            ap.error(f"unknown config keys: {sorted(bad)}")
+        ap.set_defaults(**cfg)
+    args = ap.parse_args(argv)
+    if not args.input or not args.output:
+        ap.error("--input and --output are required (CLI or --config)")
+    return args
+
+
+def main():
+    args = parse_args()
 
     spark = build_session(args)
     t_start = time.time()

@@ -117,6 +117,82 @@ def test_stream_dedup_exact_cross_batch(spark, tmp_path):
     assert got2 == {"alpha text": 1, "beta text": 2, "gamma text": 4}
 
 
+def test_stream_dedup_ttl_evicts_and_reports_state(spark, tmp_path):
+    """The state_ttl eviction story: an aged-out hash is forgotten (its
+    next fetch is emitted as new) and state_metrics exposes the seen-set
+    size and removals from the query progress. TTL mode runs under a
+    continuous processing-time trigger (timeouts never fire in an
+    availableNow drain — guarded in the API), so each phase starts the
+    checkpointed query, polls for its observable effect, and stops."""
+    import time
+
+    from genie_spark.streaming import state_metrics, stream_dedup_exact
+
+    in_dir = str(tmp_path / "docs_in")
+    out_dir = str(tmp_path / "dedup_out")
+
+    def arrive(rows, mode):
+        spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+            1
+        ).write.mode(mode).parquet(in_dir)
+
+    def sink_rows():
+        try:
+            return sorted(
+                (r["text"], r["keep_id"])
+                for r in spark.read.parquet(out_dir + "/data").collect()
+            )
+        except Exception:
+            return []
+
+    def run_until(pred, timeout_s=120):
+        q = stream_dedup_exact(
+            spark, in_dir, out_dir, available_now=False,
+            state_ttl="2 seconds", trigger_interval="300 milliseconds",
+        )
+        try:
+            deadline = time.time() + timeout_s
+            while time.time() < deadline:
+                if q.exception() is not None:
+                    raise AssertionError(str(q.exception()))
+                if pred(q):
+                    return q
+                time.sleep(0.5)
+            raise AssertionError("condition not reached before timeout")
+        finally:
+            q.stop()
+
+    # availableNow + TTL is rejected loudly, not hung
+    with pytest.raises(ValueError, match="availableNow"):
+        stream_dedup_exact(
+            spark, in_dir, out_dir, available_now=True, state_ttl="1 hour"
+        )
+
+    arrive([(1, "alpha text")], "overwrite")
+    q1 = run_until(
+        lambda q: sink_rows() == [("alpha text", 1)]
+        and state_metrics(q).get("numRowsTotal") == 1
+    )
+    m = state_metrics(q1)
+    assert m["numRowsTotal"] == 1 and m["memoryUsedBytes"] > 0
+
+    # let the TTL lapse; the restarted query fires the timeout and evicts
+    # the alpha hash (observable as a state-row removal)
+    time.sleep(3)
+    arrive([(2, "filler text")], "append")
+    run_until(
+        lambda q: ("filler text", 2) in sink_rows()
+        and state_metrics(q).get("numRowsRemoved", 0) >= 1
+    )
+
+    # re-fetch of alpha after eviction: treated as new (re-emitted)
+    arrive([(9, "alpha text")], "append")
+    run_until(
+        lambda q: sink_rows()
+        == [("alpha text", 1), ("alpha text", 9), ("filler text", 2)]
+    )
+
+
 def test_stream_page_rates_watermark_windows(spark, tmp_path):
     """Watermarked per-window page rates: a window is appended only after
     the watermark passes its end; late rows inside the tolerance still
