@@ -80,8 +80,14 @@ def oracle_sql() -> dict[str, str]:
     # sf0.01 corpus the correctness gate compares at, and its rows are
     # embedded as a VALUES literal. Override the corpus dir with
     # SPARK_GRAFT_ORACLE_SF for local checks at other scale factors.
-    from genie_spark.oracle_twin import flagship_oracle_sql
+    from genie_spark.oracle_twin import (
+        confidence_oracle_sql,
+        flagship_oracle_sql,
+        val_nll_oracle_sql,
+    )
 
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
     oracles["graph_extract_triples"] = flagship_oracle_sql(sf_dir)
+    oracles["extraction_confidence"] = confidence_oracle_sql(sf_dir)
+    oracles["val_nll"] = val_nll_oracle_sql(sf_dir)
     return oracles

@@ -407,6 +407,50 @@ def generate_for_text(
     ]
 
 
+def sequence_nll(
+    text: str,
+    target_tokens: Sequence[int],
+    scorer,
+    tokenizer,
+    codes: TagCodes,
+    entities_trie,
+    relations_trie,
+    epsilon: float = 0.1,
+) -> Tuple[float, float, int, float]:
+    """A9 — forced scoring of a target token sequence: per-token NLL under
+    the scorer's full-vocabulary log-softmax, with the reference's
+    label-smoothed combination (label_smoothed_nll_loss,
+    genie/models/utils.py:6-54, as driven by validation_step,
+    genie_base_pl.py:168-192): nll = Σ −lp(target_t); smooth =
+    Σ_t Σ_vocab −lp; loss = (1−ε)·nll + ε/(V−1)·smooth, both normalized
+    by the token count. The reference computes this only inside
+    torch training/validation; here it is an eval-time operator (sequence
+    confidence / reranking signal) that any scorer satisfying the
+    protocol can drive. Returns (nll_sum, smooth_sum, n_tokens,
+    loss_per_token)."""
+    ctx = scorer.context(text)
+    vocab = list(range(len(tokenizer)))
+    # the logits are UNmasked (full vocab, like the reference loss); the
+    # DecodeState is threaded along the target only so a state-aware
+    # scorer sees the same sequence position it would during generation
+    state = DecodeState(codes, entities_trie, relations_trie)
+    prefix: List[int] = []
+    ptr = 0
+    nll = 0.0
+    smooth = 0.0
+    for t in target_tokens:
+        lps = _log_softmax(scorer.score(ctx, prefix, state, vocab, ptr=ptr))
+        nll -= lps[t]
+        smooth -= sum(lps)
+        ptr = scorer.advance(ctx, ptr, t)
+        state.push(t)
+        prefix.append(t)
+    n = len(target_tokens)
+    eps_i = epsilon / (len(vocab) - 1)
+    loss = ((1.0 - epsilon) * nll + eps_i * smooth) / n if n else 0.0
+    return nll, smooth, n, loss
+
+
 def top_valid_prediction(beams: List[dict]) -> Optional[str]:
     """First beam with a finite, non-invalid score, else None
     (reference filter F8, genie_base_pl.py:229-239)."""

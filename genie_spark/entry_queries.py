@@ -1417,32 +1417,80 @@ def fingerprint_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# non-SQL-expressible operators → rows-only driver check; exactness is
-# covered by the pytest parity suites (Spark vs pure-Python oracle).
+# decode-path operators: not static SQL — __spark_entry__.oracle_sql()
+# installs VALUES-literal oracles generated by the pure-Python twin
+# (genie_spark.oracle_twin), so the driver's hash gate covers them too.
 # ---------------------------------------------------------------------------
 
 
-@_register("graph_extract_triples")
-def graph_extract_triples(spark, sf_dir):
-    """Flagship constrained generation over the documents corpus. The
-    DuckDB oracle is not static SQL: ``__spark_entry__.oracle_sql()``
-    materializes the deterministic pure-Python twin's output
-    (oracle_twin.flagship_oracle_sql) as a VALUES literal, so the driver's
-    hash gate covers this query too."""
+def _flagship_extraction(spark, sf_dir):
+    """Shared flagship run: (extractor, per-sentence output DataFrame)."""
     import __spark_entry__ as entry_mod
+
+    from .pipeline import GenieExtractor, extract_pipeline
 
     docs = _t(spark, sf_dir, "documents")
     pages = entry_mod._docs_as_pages(docs)
     ents, rels = entry_mod._corpus_catalogs(docs)
-    from .pipeline import extract_pipeline
+    ex = GenieExtractor(spark, ents, rels, num_beams=2)
+    out = extract_pipeline(
+        spark, pages, ents, rels, lang="en", num_beams=2, extractor=ex
+    )
+    return ex, out
 
-    out = extract_pipeline(spark, pages, ents, rels, lang="en", num_beams=2)
+
+@_register("graph_extract_triples")
+def graph_extract_triples(spark, sf_dir):
+    """Flagship constrained generation over the documents corpus
+    (twin oracle: oracle_twin.flagship_oracle_sql)."""
+    _, out = _flagship_extraction(spark, sf_dir)
     return out.select(
         "url", "sent_idx",
         F.explode_outer("pred_triples").alias("t"),
     ).select(
         "url", F.col("sent_idx").cast("bigint").alias("sent_idx"),
         "t.s", "t.r", "t.o",
+    )
+
+
+@_register("extraction_confidence")
+def extraction_confidence(spark, sf_dir):
+    """A9 per-sample form — forced scoring of each emitted prediction
+    (label-smoothed NLL, reference validation_step genie_base_pl.py:
+    168-192 + utils.py:6-54, lifted into the scorer protocol) as a
+    sequence-confidence column (twin oracle:
+    oracle_twin.confidence_oracle_sql)."""
+    ex, out = _flagship_extraction(spark, sf_dir)
+    scored = ex.score_targets(out.filter(F.col("prediction").isNotNull()))
+    return scored.select(
+        "url",
+        F.col("sent_idx").cast("bigint").alias("sent_idx"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round("nll_sum", 6).alias("nll"),
+        F.round("loss", 6).alias("loss"),
+    )
+
+
+@_register("val_nll")
+def val_nll(spark, sf_dir):
+    """A9 aggregation — epoch-level mean NLL / loss per token (the
+    reference's on_epoch val-nll_loss log). The distributed sum runs in
+    exact integer micro-units of the 6dp-rounded per-row values, so the
+    result is invariant to Spark's reduction order and hash-comparable
+    against the SQL aggregate over the twin rows
+    (oracle_twin.val_nll_oracle_sql)."""
+    per = extraction_confidence(spark, sf_dir)
+    nll_u = F.round(F.col("nll") * 1_000_000, 0).cast("long")
+    loss_u = F.round(F.col("loss") * 1_000_000, 0).cast("long")
+    return per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(
+            (F.sum(nll_u) / 1_000_000.0) / F.sum("n_tokens"), 6
+        ).alias("nll_per_token"),
+        F.round(
+            (F.sum(loss_u) / 1_000_000.0) / F.count(F.lit(1)), 6
+        ).alias("loss_per_seq"),
     )
 
 

@@ -30,40 +30,40 @@ from typing import List, Optional, Tuple
 Row = Tuple[str, int, Optional[str], Optional[str], Optional[str]]
 
 
-def flagship_expected_rows(sf_dir: str) -> List[Row]:
-    """Single-process re-run of graph_extract_triples over
-    ``{sf_dir}/documents.parquet``: (url, sent_idx, s, r, o) with one
-    NULL-triple row per sentence that produced no triples (explode_outer
-    semantics)."""
+def _twin_stack(sf_dir: str):
+    """Shared single-process context: docs + the decode stack built over
+    the corpus-derived catalog (twin of __spark_entry__._corpus_catalogs
+    feeding pipeline._worker_setup)."""
     import duckdb
 
     from .constraints import TagCodes
-    from .decode import DeterministicScorer, generate_for_text, top_valid_prediction
-    from .extract import split_sentences
+    from .decode import DeterministicScorer
     from .tokenizer import WordTokenizer
     from .trie import trie_from_names
-    from .triples import parse_linearization
 
     docs = duckdb.sql(
         "SELECT doc_id, text, lang, source FROM read_parquet('"
         + os.path.join(sf_dir, "documents.parquet")
         + "') ORDER BY doc_id"
     ).fetchall()
-
-    # catalog derivation — twin of __spark_entry__._corpus_catalogs
-    # (split on single space, length >= 3, over ALL docs)
+    # catalog derivation: split on single space, length >= 3, over ALL docs
     words = sorted({w for (_, t, _, _) in docs for w in t.split(" ") if len(w) >= 3})
-    ents = [w for w in words if len(w) >= 4]
-    rels = [w for w in words if len(w) == 3]
-
-    # decode stack — twin of pipeline._worker_setup over the same payload
-    ents, rels = sorted(set(ents)), sorted(set(rels))
+    ents = sorted({w for w in words if len(w) >= 4})
+    rels = sorted({w for w in words if len(w) == 3})
     tok = WordTokenizer(ents + rels)
     codes = TagCodes(tok)
     ent_t, rel_t = trie_from_names(ents, tok), trie_from_names(rels, tok)
-    scorer = DeterministicScorer(tok)
+    return docs, tok, codes, ent_t, rel_t, DeterministicScorer(tok)
 
-    out: List[Row] = []
+
+def _twin_predictions(sf_dir: str):
+    """(url, sent_idx, sentence, prediction) per en sentence — the shared
+    generation pass of both twin oracles."""
+    from .decode import generate_for_text, top_valid_prediction
+    from .extract import split_sentences
+
+    docs, tok, codes, ent_t, rel_t, scorer = _twin_stack(sf_dir)
+    out = []
     for doc_id, text, lang, source in docs:
         if lang != "en":
             continue
@@ -72,13 +72,82 @@ def flagship_expected_rows(sf_dir: str) -> List[Row]:
             beams = generate_for_text(
                 sent, scorer, tok, codes, ent_t, rel_t, num_beams=2, max_length=96
             )
-            pred = top_valid_prediction(beams)
-            triples = parse_linearization(pred or "")
-            if triples:
-                out.extend((url, idx, s, r, o) for (s, r, o) in triples)
-            else:
-                out.append((url, idx, None, None, None))
+            out.append((url, idx, sent, top_valid_prediction(beams)))
+    return out, (tok, codes, ent_t, rel_t, scorer)
+
+
+def flagship_expected_rows(sf_dir: str) -> List[Row]:
+    """Single-process re-run of graph_extract_triples over
+    ``{sf_dir}/documents.parquet``: (url, sent_idx, s, r, o) with one
+    NULL-triple row per sentence that produced no triples (explode_outer
+    semantics)."""
+    from .triples import parse_linearization
+
+    preds, _ = _twin_predictions(sf_dir)
+    out: List[Row] = []
+    for url, idx, _sent, pred in preds:
+        triples = parse_linearization(pred or "")
+        if triples:
+            out.extend((url, idx, s, r, o) for (s, r, o) in triples)
+        else:
+            out.append((url, idx, None, None, None))
     return out
+
+
+def confidence_expected_rows(sf_dir: str) -> List[tuple]:
+    """Twin of extraction_confidence: per en sentence with a non-NULL
+    prediction, (url, sent_idx, n_tokens, nll round6, loss round6) from
+    forced scoring of the prediction (decode.sequence_nll)."""
+    from .decode import sequence_nll
+
+    preds, (tok, codes, ent_t, rel_t, scorer) = _twin_predictions(sf_dir)
+    out = []
+    for url, idx, sent, pred in preds:
+        if pred is None:
+            continue
+        ids = tok.encode_pieces(pred) + [tok.eos_token_id]
+        nll, _smooth, n, loss = sequence_nll(
+            sent, ids, scorer, tok, codes, ent_t, rel_t
+        )
+        out.append((url, idx, n, round(nll, 6), round(loss, 6)))
+    return out
+
+
+def confidence_oracle_sql(sf_dir: str) -> str:
+    """extraction_confidence rows as a VALUES literal."""
+    rows = confidence_expected_rows(sf_dir)
+    if not rows:
+        return (
+            "SELECT CAST(NULL AS VARCHAR) AS url, CAST(NULL AS BIGINT) AS sent_idx,"
+            " CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS DOUBLE) AS nll,"
+            " CAST(NULL AS DOUBLE) AS loss WHERE FALSE"
+        )
+    values = ",\n".join(
+        f"({_sql_str(u)}, {i}, {n}, {nll!r}, {loss!r})"
+        for (u, i, n, nll, loss) in rows
+    )
+    return (
+        "SELECT url, sent_idx::BIGINT AS sent_idx, n_tokens::BIGINT AS n_tokens,"
+        " nll::DOUBLE AS nll, loss::DOUBLE AS loss FROM (VALUES\n"
+        + values
+        + "\n) AS t(url, sent_idx, n_tokens, nll, loss)"
+    )
+
+
+def val_nll_oracle_sql(sf_dir: str) -> str:
+    """A9 aggregation oracle: epoch-level mean NLL / loss per token over
+    the extraction_confidence rows, with the distributed sum carried in
+    exact integer micro-units (round6 × 1e6) so Spark's reduction order
+    cannot perturb the hash."""
+    inner = confidence_oracle_sql(sf_dir)
+    return f"""
+WITH per AS ({inner})
+SELECT count(*)::BIGINT AS n_scored,
+       sum(n_tokens)::BIGINT AS n_tokens,
+       round((sum(CAST(round(nll * 1000000, 0) AS BIGINT)) / 1000000.0) / sum(n_tokens), 6) AS nll_per_token,
+       round((sum(CAST(round(loss * 1000000, 0) AS BIGINT)) / 1000000.0) / count(*), 6) AS loss_per_seq
+FROM per
+"""
 
 
 def _sql_str(v: Optional[str]) -> str:

@@ -284,6 +284,62 @@ class GenieExtractor:
             "pred_triples", parse_triples_col(F.coalesce(F.col("prediction"), F.lit("")))
         )
 
+    def score_targets(
+        self,
+        df: DataFrame,
+        text_col: str = "input",
+        target_col: str = "prediction",
+        epsilon: float = 0.1,
+    ) -> DataFrame:
+        """A9 — forced target scoring as a DataFrame transform (reference:
+        label-smoothed NLL in validation_step, genie_base_pl.py:168-192 /
+        utils.py:6-54, lifted out of torch into the scorer protocol).
+        Appends nll_sum, smooth_sum, n_tokens, loss (per-token,
+        label-smoothed) for each row's target linearization — NULL target
+        rows get NULL scores. Row-local like generation: no cross-row
+        state, partition-invariant, same broadcast stack and per-worker
+        cache as transform()."""
+        from pyspark.sql.types import IntegerType
+
+        bc = self._bc
+        out_schema = StructType(
+            df.schema.fields
+            + [
+                StructField("nll_sum", DoubleType()),
+                StructField("smooth_sum", DoubleType()),
+                StructField("n_tokens", IntegerType()),
+                StructField("loss", DoubleType()),
+            ]
+        )
+        in_cols = [f.name for f in df.schema.fields]
+
+        def score(batches: Iterator) -> Iterator:
+            from .decode import sequence_nll
+
+            tok, codes, ent, rel, scorer = _worker_setup(bc.value)
+            eos = tok.eos_token_id
+            for pdf in batches:
+                nlls, smooths, ns, losses = [], [], [], []
+                for text, target in zip(pdf[text_col], pdf[target_col]):
+                    if target is None:
+                        nlls.append(None); smooths.append(None)
+                        ns.append(None); losses.append(None)
+                        continue
+                    ids = tok.encode_pieces(target) + [eos]
+                    nll, smooth, n, loss = sequence_nll(
+                        text, ids, scorer, tok, codes, ent, rel, epsilon=epsilon
+                    )
+                    nlls.append(nll); smooths.append(smooth)
+                    ns.append(n); losses.append(loss)
+                out = pdf[in_cols].copy()
+                out["nll_sum"] = nlls
+                out["smooth_sum"] = smooths
+                out["n_tokens"] = ns
+                out["loss"] = losses
+                yield out
+
+        return df.mapInPandas(score, out_schema)
+
 
 def _declared_partitions(df: DataFrame) -> int:
     """Partition count the physical plan DECLARES, without building the

@@ -266,6 +266,66 @@ def test_multinomial_bootstrap_exact_totals(spark):
         assert got[m][1] == pytest.approx(statistics.stdev(vals))  # sample std
 
 
+def test_sequence_nll_forced_scoring():
+    """A9 — sequence_nll must (a) reproduce the reference loss formula
+    (label_smoothed_nll_loss, utils.py:6-54) from its own per-step
+    log-probs, and (b) prefer the decoder's own top beam over a
+    corrupted target (the confidence-signal property)."""
+    import math
+
+    from genie_spark.constraints import TagCodes
+    from genie_spark.decode import (
+        DeterministicScorer,
+        _log_softmax,
+        generate_for_text,
+        sequence_nll,
+        top_valid_prediction,
+    )
+    from genie_spark.tokenizer import WordTokenizer
+    from genie_spark.trie import trie_from_names
+
+    ents = sorted(["Alice", "Zurich", "Berlin"])
+    rels = sorted(["born", "dux"])
+    tok = WordTokenizer(ents + rels)
+    codes = TagCodes(tok)
+    ent_t, rel_t = trie_from_names(ents, tok), trie_from_names(rels, tok)
+    scorer = DeterministicScorer(tok)
+
+    text = "Alice born Zurich."
+    beams = generate_for_text(text, scorer, tok, codes, ent_t, rel_t, num_beams=2)
+    pred = top_valid_prediction(beams)
+    ids = tok.encode_pieces(pred) + [tok.eos_token_id]
+    nll, smooth, n, loss = sequence_nll(
+        text, ids, scorer, tok, codes, ent_t, rel_t, epsilon=0.1
+    )
+    assert n == len(ids) and nll > 0 and smooth > nll
+    # formula: loss = ((1-eps)*nll + eps/(V-1)*smooth) / n
+    v = len(tok)
+    assert loss == pytest.approx(((0.9 * nll) + (0.1 / (v - 1)) * smooth) / n)
+
+    # corrupted target (swap the object to a worse-matching entity) must
+    # score a higher per-token NLL than the decoder's own choice
+    worse = pred.replace("Zurich", "Berlin")
+    if worse != pred:
+        ids2 = tok.encode_pieces(worse) + [tok.eos_token_id]
+        nll2, _, n2, _ = sequence_nll(
+            text, ids2, scorer, tok, codes, ent_t, rel_t
+        )
+        assert nll2 / n2 > nll / n
+
+    # manual twin of the first step's contribution
+    ctx = scorer.context(text)
+    from genie_spark.constraints import DecodeState
+
+    st = DecodeState(codes, ent_t, rel_t)
+    lps = _log_softmax(scorer.score(ctx, [], st, list(range(len(tok))), ptr=0))
+    first_nll, *_ = sequence_nll(
+        text, ids[:1], scorer, tok, codes, ent_t, rel_t
+    )
+    assert first_nll == pytest.approx(-lps[ids[0]])
+    assert not math.isnan(loss)
+
+
 def test_evaluation_runner_matches_metric_modules(spark):
     """evaluate_micro/evaluate_macro/evaluate_dataset (the reference's
     get_metrics + evaluator shapes) must agree with the underlying metric
