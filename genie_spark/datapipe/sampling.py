@@ -1,0 +1,185 @@
+"""Deterministic sampling / splitting / mixing for training-data curation.
+
+LLM data pipelines need reproducible subsetting at corpus scale:
+train/val/test splits that never leak across reruns, per-source sampling
+rates ("mix 2 parts web to 1 part books"), and upsampling of scarce
+high-quality strata. Spark's built-in ``df.sample`` is seed-dependent on
+partitioning (a repartitioned rerun samples DIFFERENT rows), so every
+operator here derives its randomness from a content hash of the row's id
+— row-local Column expressions, no RNG, no shuffle, identical at any
+parallelism and re-expressible in DuckDB for the oracle gate.
+
+The uniform for row i under salt s is ``h60(s ␁ i) mod 1e6 / 1e6`` — the
+same h60 primitive the dedup/bootstrap operators use (hashes.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashes import h60_salted, h60_salted_sql
+
+_GRAIN = 1_000_000
+
+
+def _unit(id_col: Column, salt: str) -> Column:
+    """Deterministic uniform in [0, 1) at 1e-6 grain from (salt, id)."""
+    return F.pmod(h60_salted(id_col.cast("string"), F.lit(salt)), F.lit(_GRAIN)) / float(
+        _GRAIN
+    )
+
+
+def unit_sql(id_expr: str, salt: str) -> str:
+    """DuckDB twin of :func:`_unit`."""
+    return f"(({h60_salted_sql(id_expr, repr(salt))}) % {_GRAIN}) / {_GRAIN}.0"
+
+
+def sample_fraction(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows: row survives iff its
+    hash-uniform < fraction. Rerun-stable, partitioning-independent, and
+    a pure Filter (pushes past projections; no shuffle, no state)."""
+    return df.filter(_unit(F.col(id_col), salt) < fraction)
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: Dict[str, float],
+    strata_col: str,
+    id_col: str = "doc_id",
+    salt: str = "strata",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum sampling rates (e.g. per source or per language):
+    ``fractions[stratum]`` of each stratum survives, unlisted strata get
+    ``default_fraction``. One row-local CASE over the hash-uniform — the
+    idiomatic replacement for ``sampleBy`` (whose output depends on
+    partition layout)."""
+    frac = F.lit(float(default_fraction))
+    for k, v in sorted(fractions.items()):
+        frac = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(frac)
+    return df.filter(_unit(F.col(id_col), salt) < frac)
+
+
+def assign_split(
+    df: DataFrame,
+    weights: Dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Disjoint, exhaustive train/val/test assignment: the [0,1) line is
+    cut into consecutive intervals sized by the normalized weights, in
+    sorted split-name order, and each row lands where its hash-uniform
+    falls. Properties a corpus split needs: every row gets exactly one
+    split; membership is a pure function of (salt, id) — stable across
+    reruns, re-partitioning, and incremental corpus growth (old rows
+    never migrate when new rows arrive)."""
+    total = float(sum(weights.values()))
+    u = _unit(F.col(id_col), salt)
+    expr = None
+    acc = 0.0
+    items = sorted(weights.items())
+    for name, w in items[:-1]:
+        acc += float(w) / total
+        cond = u < acc
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)
+
+
+def upsample(
+    df: DataFrame,
+    weight: float,
+    id_col: str = "doc_id",
+    salt: str = "upsample",
+    copy_col: str = "copy",
+) -> DataFrame:
+    """Deterministic fractional upsampling (mixture weights > 1 for
+    scarce high-quality strata): every row appears ``floor(weight)``
+    times, plus one more with probability ``frac(weight)`` decided by
+    its hash-uniform. Row-local ``sequence`` + ``explode`` — the shuffle
+    cost is zero; the fan-out happens at the scan. ``copy_col`` numbers
+    the copies (0-based) so downstream shuffles can decorrelate them."""
+    if weight < 0:
+        raise ValueError("weight must be >= 0")
+    base = int(weight)
+    frac = float(weight) - base
+    n = F.lit(base) + (
+        (_unit(F.col(id_col), salt) < frac).cast("int") if frac > 0 else F.lit(0)
+    )
+    return (
+        df.withColumn("_n", n)
+        .filter(F.col("_n") > 0)
+        .withColumn(copy_col, F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
+        .drop("_n")
+    )
+
+
+def mixture_weights(
+    proportions: Dict[str, float], temperature: float = 1.0
+) -> Dict[str, float]:
+    """Temperature-flattened source mixing (the multilingual-sampling
+    rule p_i^(1/T) / Σ p_j^(1/T)): T=1 keeps natural proportions, T>1
+    upweights the tail. Returns per-source sampling weights normalized
+    to sum 1 — feed the result to :func:`stratified_sample` (values ≤ 1)
+    or scale and feed to :func:`upsample`."""
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    powered = {k: float(v) ** (1.0 / temperature) for k, v in proportions.items()}
+    z = sum(powered.values())
+    return {k: v / z for k, v in powered.items()}
+
+
+def token_windows(
+    df: DataFrame,
+    max_tokens: int,
+    stride: Optional[int] = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Context-window packing prep: split each document's whitespace
+    tokens into windows of ``max_tokens`` (optionally overlapping by
+    ``max_tokens - stride``), one output row per window with
+    (win_idx, win_start, n_win_tokens, window text). Pure higher-order
+    functions over the split array — row-local, codegen'd, no Python,
+    no shuffle; the explode fans out at the scan."""
+    stride = stride or max_tokens
+    if stride <= 0 or max_tokens <= 0:
+        raise ValueError("max_tokens and stride must be > 0")
+    toks = F.split(F.col(text_col), "\\s+")
+    n = F.size(toks)
+    # window starts: 0, stride, 2*stride, ... < n (empty docs get none)
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    wins = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.cast("long").alias("win_start"),
+            F.array_join(F.slice(toks, s + 1, max_tokens), " ").alias("window"),
+            F.least(n - s, F.lit(max_tokens)).cast("long").alias("n_win_tokens"),
+        ),
+    )
+    return (
+        df.withColumn("_wins", wins)
+        .select(
+            F.col(id_col),
+            F.posexplode("_wins").alias("win_idx", "w"),
+        )
+        .select(
+            id_col,
+            F.col("win_idx").cast("long").alias("win_idx"),
+            F.col("w.win_start").alias("win_start"),
+            F.col("w.n_win_tokens").alias("n_win_tokens"),
+            F.col("w.window").alias("window"),
+        )
+    )

@@ -1416,6 +1416,123 @@ def fingerprint_q(spark, sf_dir):
     )
 
 
+# -- deterministic sampling / splitting / packing -----------------------------
+
+
+def _sampling_oracles():
+    from .datapipe.sampling import unit_sql
+
+    return {
+        "u_strata": unit_sql("doc_id", "strata"),
+        "u_split": unit_sql("doc_id", "split"),
+        "u_up": unit_sql("doc_id", "upsample"),
+    }
+
+
+_SAMPLING_U = _sampling_oracles()
+
+
+@_register(
+    "sample_stratified",
+    f"""
+SELECT doc_id::BIGINT AS doc_id, lang
+FROM documents
+WHERE ({_SAMPLING_U['u_strata']}) <
+      CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END
+""",
+)
+def sample_stratified(spark, sf_dir):
+    """Per-stratum deterministic sampling (hash-uniform, rerun- and
+    partitioning-stable — unlike df.sampleBy)."""
+    from .datapipe.sampling import stratified_sample
+
+    out = stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        {"en": 0.5, "de": 0.25},
+        strata_col="lang",
+        default_fraction=0.1,
+    )
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"), "lang")
+
+
+@_register(
+    "split_assign",
+    f"""
+SELECT doc_id::BIGINT AS doc_id,
+       CASE WHEN ({_SAMPLING_U['u_split']}) < 0.8 THEN 'test'
+            WHEN ({_SAMPLING_U['u_split']}) < 0.9 THEN 'train'
+            ELSE 'val' END AS split
+FROM documents
+""",
+)
+def split_assign(spark, sf_dir):
+    """Disjoint exhaustive train/val/test assignment — a pure function of
+    (salt, id): stable under reruns, repartitioning, and corpus growth.
+    (Interval order follows sorted split names: test, train, val.)"""
+    from .datapipe.sampling import assign_split
+
+    out = assign_split(
+        _t(spark, sf_dir, "documents"),
+        {"train": 0.1, "val": 0.1, "test": 0.8},
+    )
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"), "split")
+
+
+@_register(
+    "upsample_mix",
+    f"""
+SELECT doc_id::BIGINT AS doc_id, unnest(range(n))::BIGINT AS copy
+FROM (
+  SELECT doc_id, 2 + (({_SAMPLING_U['u_up']}) < 0.5)::INT AS n
+  FROM documents WHERE lang = 'de'
+)
+""",
+)
+def upsample_mix(spark, sf_dir):
+    """Deterministic fractional upsampling (weight 2.5: every row twice,
+    half the rows a third time) — zero-shuffle explode fan-out."""
+    from .datapipe.sampling import upsample
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("lang") == "de")
+    out = upsample(docs, 2.5)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("copy").cast("bigint").alias("copy"),
+    )
+
+
+@_register(
+    "token_windows",
+    """
+WITH t AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents
+),
+w AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CASE WHEN len(toks) = 0 THEN 0 ELSE len(toks) END, 30)) AS win_start
+  FROM t
+)
+SELECT doc_id::BIGINT AS doc_id,
+       (win_start / 30)::BIGINT AS win_idx,
+       win_start::BIGINT AS win_start,
+       least(len(toks) - win_start, 40)::BIGINT AS n_win_tokens,
+       array_to_string(list_slice(toks, win_start + 1, win_start + 40), ' ') AS window
+FROM w
+""",
+)
+def token_windows_q(spark, sf_dir):
+    """Context-window packing prep: overlapping max-40-token windows at
+    stride 30, one row per window — row-local HOFs, no Python."""
+    from .datapipe.sampling import token_windows
+
+    return token_windows(
+        _t(spark, sf_dir, "documents"), max_tokens=40, stride=30
+    ).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "win_idx", "win_start", "n_win_tokens", "window",
+    )
+
+
 # ---------------------------------------------------------------------------
 # decode-path operators: not static SQL — __spark_entry__.oracle_sql()
 # installs VALUES-literal oracles generated by the pure-Python twin

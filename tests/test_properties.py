@@ -66,6 +66,44 @@ def test_minhash_perm_bounds_and_determinism(num_hashes, h):
         assert 0 <= v < 1 << 62
 
 
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=2**60 - 1),
+    st.integers(min_value=0, max_value=10_000),
+)
+def test_affine_mix_bounds_and_twin(h, salt):
+    """The bootstrap draw remix must stay inside signed-64 for every
+    reachable (hash, salt), match the documented closed form (the
+    DuckDB-SQL twin), and depend on the salt (distinct runs → distinct
+    draw streams, overwhelmingly)."""
+    from genie_spark.datapipe.hashes import (
+        _LO_MASK,
+        _MIX_A,
+        _MIX_B,
+        _MIX_C,
+        MINHASH_M31,
+    )
+
+    def mix(h, r):
+        a = (_MIX_A * (2 * r + 1)) % MINHASH_M31 + 1
+        b = (_MIX_B * (2 * r + 1)) % MINHASH_M31 + 1
+        return ((a * (h >> 30) + _MIX_C) % MINHASH_M31) * (1 << 31) + (
+            (b * (h & _LO_MASK) + _MIX_C) % MINHASH_M31
+        )
+
+    v = mix(h, salt)
+    assert 0 <= v < 1 << 62
+    # intermediate products stay inside signed 64 (ANSI-mode safety):
+    a = (_MIX_A * (2 * salt + 1)) % MINHASH_M31 + 1
+    assert _MIX_A * (2 * salt + 1) < 1 << 63
+    assert a * (h >> 30) + _MIX_C < 1 << 63
+    assert mix(h, salt) == v  # deterministic
+    if h != 0:
+        assert mix(h, salt) != mix(h, salt + 1) or mix(h, salt) != mix(
+            h, salt + 2
+        ), "salt has no effect"
+
+
 @settings(max_examples=40, deadline=None)
 @given(st.data())
 def test_constraint_state_always_parses(data):

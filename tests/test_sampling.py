@@ -1,0 +1,110 @@
+"""Deterministic sampling / splitting / packing operator semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from genie_spark.datapipe.sampling import (
+    assign_split,
+    mixture_weights,
+    sample_fraction,
+    stratified_sample,
+    token_windows,
+    upsample,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_sample_fraction_deterministic_and_partition_invariant(spark, docs):
+    a = {r["doc_id"] for r in sample_fraction(docs, 0.3).select("doc_id").collect()}
+    b = {
+        r["doc_id"]
+        for r in sample_fraction(docs.repartition(13), 0.3).select("doc_id").collect()
+    }
+    assert a == b and 0 < len(a) < docs.count()
+    # monotone: a smaller fraction is a subset of a larger one (same salt)
+    c = {r["doc_id"] for r in sample_fraction(docs, 0.1).select("doc_id").collect()}
+    assert c <= a
+    # rough rate sanity (hash-uniform): within ±40% relative of target
+    n = docs.count()
+    assert 0.6 * 0.3 * n < len(a) < 1.4 * 0.3 * n
+
+
+def test_assign_split_disjoint_exhaustive_and_growth_stable(spark, docs):
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    full = {r["doc_id"]: r["split"] for r in assign_split(docs, w).collect()}
+    assert set(full.values()) == {"train", "val", "test"}
+    assert len(full) == docs.count()  # exactly one split per row
+    # growth stability: assigning on a subset gives the same memberships
+    sub = docs.filter(F.col("doc_id") % 2 == 0)
+    sub_assign = {r["doc_id"]: r["split"] for r in assign_split(sub, w).collect()}
+    assert all(full[k] == v for k, v in sub_assign.items())
+    # rough proportions
+    n = len(full)
+    n_train = sum(1 for v in full.values() if v == "train")
+    assert 0.7 * n < n_train < 0.9 * n
+
+
+def test_stratified_sample_rates_per_stratum(spark, docs):
+    out = stratified_sample(
+        docs, {"en": 1.0, "de": 0.0}, strata_col="lang", default_fraction=0.0
+    )
+    langs = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert langs == {"en"}
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert out.count() == n_en  # fraction 1.0 keeps every row
+
+
+def test_upsample_counts_and_copy_numbering(spark, docs):
+    base = docs.limit(50).cache()
+    n = base.count()
+    out = upsample(base, 2.5, copy_col="copy").cache()
+    total = out.count()
+    # every row twice, plus ~half a third time
+    assert 2 * n <= total <= 3 * n
+    per = out.groupBy("doc_id").agg(
+        F.count("*").alias("k"), F.collect_set("copy").alias("copies")
+    )
+    for r in per.collect():
+        assert r["k"] in (2, 3)
+        assert sorted(r["copies"]) == list(range(r["k"]))
+    # integer weight is exact
+    assert upsample(base, 2.0).count() == 2 * n
+    assert upsample(base, 0.0).count() == 0
+
+
+def test_mixture_weights_temperature():
+    p = {"web": 0.9, "books": 0.1}
+    assert mixture_weights(p, 1.0) == pytest.approx(p)
+    flat = mixture_weights(p, 100.0)
+    assert abs(flat["web"] - flat["books"]) < 0.02  # T→∞ flattens
+    assert sum(flat.values()) == pytest.approx(1.0)
+    with pytest.raises(ValueError):
+        mixture_weights(p, 0.0)
+
+
+def test_token_windows_reconstruction(spark, docs):
+    base = docs.limit(20).cache()
+    # stride == max_tokens: windows partition the token stream exactly
+    wins = token_windows(base, max_tokens=7, stride=7).collect()
+    texts = {r["doc_id"]: r["text"] for r in base.collect()}
+    by_doc = {}
+    for r in sorted(wins, key=lambda r: (r["doc_id"], r["win_idx"])):
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rows in by_doc.items():
+        toks = texts[doc_id].split()
+        joined = " ".join(r["window"] for r in rows).split()
+        assert joined == toks, doc_id
+        assert [r["win_start"] for r in rows] == [7 * i for i in range(len(rows))]
+        assert sum(r["n_win_tokens"] for r in rows) == len(toks)
+    # overlapping windows: each window's tokens match the slice
+    over = token_windows(base, max_tokens=10, stride=6).collect()
+    for r in over:
+        toks = texts[r["doc_id"]].split()
+        s = r["win_start"]
+        assert r["window"].split() == toks[s : s + 10]
