@@ -134,6 +134,10 @@ HEADLINE = [
     "quality_score",
     "token_count",
     "fingerprint",
+    "sample_stratified",
+    "split_assign",
+    "upsample_mix",
+    "token_windows",
 ]
 
 
@@ -223,6 +227,17 @@ def run_default(sf_dir: str, cpus: int) -> dict:
             }
         except Exception as ex:  # never fail the suite over the extra block
             result["scaling"] = {"error": str(ex)[:300]}
+    # The live quick block above is exposed to whatever co-tenant episode
+    # is active during the (short) run — observed corrupting a whole
+    # min-of-2 at 9+ loadavg. Always also carry the committed
+    # full-protocol number of record (replicate=120, min-of-2, framework-
+    # free hw ceiling in the same campaign), stamped with its commit.
+    record_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling_record.json"
+    )
+    if os.path.exists(record_path):
+        with open(record_path, encoding="utf-8") as f:
+            result["scaling_record"] = json.load(f)
     return result
 
 

@@ -174,6 +174,17 @@ def test_multinomial_bootstrap_fully_distributed(spark):
         assert "_pid" in m.group(1), f"unpartitioned window: {m.group(0)}"
 
 
+def test_sampling_ops_shuffle_free(spark):
+    """The curation operators must be pure row-local plans: no Exchange
+    anywhere — sampling is a Filter, splitting a Project, upsampling and
+    windowing explode at the scan."""
+    import genie_spark.entry_queries as eq
+
+    for name in ("sample_stratified", "split_assign", "upsample_mix", "token_windows"):
+        plan = _tree(eq.QUERIES[name](spark, SF_DIR))
+        assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
+
+
 def test_topk_no_global_sort(spark):
     """Brute-force ANN top-k must use TakeOrderedAndProject, not a full
     global Sort."""
