@@ -291,10 +291,15 @@ def beam_search(
     max_length: int = 96,
     length_penalty: float = 0.0,
     bos_first: bool = False,
+    num_return_sequences: Optional[int] = None,
 ) -> List[Beam]:
-    """Constrained beam search; returns ≤num_beams beams sorted by
-    (optionally length-normalized) log-prob desc, deterministic tiebreak
-    on tokens.
+    """Constrained beam search; returns the top ``num_return_sequences``
+    (default: ``num_beams``) beams sorted by (optionally
+    length-normalized) log-prob desc, deterministic tiebreak on tokens.
+    ``num_return_sequences < num_beams`` keeps the full beam width during
+    search and trims only the returned list — the reference's demo
+    configuration (num_beams=10, num_return_sequences=2; Demo.ipynb /
+    hf_generation_params, genie_base_pl.py:453-455).
 
     ``length_penalty`` is the HF/reference normalization (default.yaml:9
     sets 1.0; genie_base_pl.py:497-505): a finished beam's ranking score
@@ -373,7 +378,8 @@ def beam_search(
         b.log_prob = INVALID_LOG_PROB
         finished.append(b)
     finished.sort(key=lambda b: (-b.log_prob, b.tokens))
-    return finished[:num_beams]
+    n_ret = num_beams if num_return_sequences is None else num_return_sequences
+    return finished[:n_ret]
 
 
 def generate_for_text(
@@ -387,6 +393,7 @@ def generate_for_text(
     max_length: int = 96,
     length_penalty: float = 0.0,
     bos_first: bool = False,
+    num_return_sequences: Optional[int] = None,
 ) -> List[dict]:
     """One document → beams as [{text, log_prob}], best first. This is the
     reference-oracle entry point; the Spark UDF calls it per row."""
@@ -401,6 +408,7 @@ def generate_for_text(
         max_length,
         length_penalty=length_penalty,
         bos_first=bos_first,
+        num_return_sequences=num_return_sequences,
     )
     return [
         {"text": tokenizer.decode(b.tokens), "log_prob": b.log_prob} for b in beams

@@ -162,6 +162,7 @@ class GenieExtractor:
         max_length: int = 96,
         length_penalty: float = 0.0,
         bos_first: bool = False,
+        num_return_sequences: Optional[int] = None,
         trie_artifacts: Optional[tuple] = None,
         scorer_factory=None,
         hf_checkpoint: Optional[str] = None,
@@ -184,6 +185,9 @@ class GenieExtractor:
         """
         self.num_beams = num_beams
         self.max_length = max_length
+        # search width vs returned beams (reference hf_generation_params:
+        # num_beams=10, num_return_sequences=2); None = return all beams
+        self.num_return_sequences = num_return_sequences
         # reference decode-parity knobs (default.yaml:9 length_penalty=1.0,
         # ie_prefix_constraints.py:183-184 BOS forcing); defaults keep the
         # deterministic-scorer golden outputs unchanged
@@ -249,6 +253,7 @@ class GenieExtractor:
         bc = self._bc
         num_beams, max_length = self.num_beams, self.max_length
         length_penalty, bos_first = self.length_penalty, self.bos_first
+        n_ret = self.num_return_sequences
         out_schema = StructType(
             df.schema.fields
             + [
@@ -269,6 +274,7 @@ class GenieExtractor:
                         text, scorer, tok, codes, ent, rel,
                         num_beams=num_beams, max_length=max_length,
                         length_penalty=length_penalty, bos_first=bos_first,
+                        num_return_sequences=n_ret,
                     )
                     beams_col.append(
                         [(b["text"], float(b["log_prob"])) for b in beams]

@@ -107,6 +107,9 @@ def parse_args(argv=None):
     ap.add_argument("--rel-catalog")
     ap.add_argument("--lang", default="en")
     ap.add_argument("--num-beams", type=int, default=2)
+    ap.add_argument("--num-return-sequences", type=int, default=None,
+                    help="beams to RETURN (search width stays --num-beams; "
+                    "reference demo uses 10/2)")
     ap.add_argument("--length-penalty", type=float, default=0.0,
                     help="HF/reference beam normalization (reference runs use 1.0)")
     ap.add_argument("--bos-first", action="store_true",
@@ -157,6 +160,7 @@ def main():
 
     extractor = GenieExtractor(
         spark, ents, rels, num_beams=args.num_beams,
+        num_return_sequences=args.num_return_sequences,
         length_penalty=args.length_penalty, bos_first=args.bos_first,
         trie_artifacts=(args.ent_trie, args.rel_trie)
         if args.ent_trie and args.rel_trie else None,

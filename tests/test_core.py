@@ -281,6 +281,40 @@ def test_decoder_bos_first_emits_bos_then_grammar(tok):
     assert ("Alice Smith", "birthplace", "Zurich") in parse_linearization(pred)
 
 
+def test_num_return_sequences_trims_not_narrows(tok):
+    """num_return_sequences < num_beams (reference demo: 10 beams, 2
+    returned) must keep the FULL search width and trim only the returned
+    list — the returned beams are exactly the prefix of the full-width
+    result, and default (None) returns all num_beams."""
+    from genie_spark.decode import beam_search
+
+    ent = trie_from_names(NAMES, tok)
+    rel = trie_from_names(RELS, tok)
+    scorer = DeterministicScorer(tok)
+    text = "Bob founded by Alice Stone. Alice Stone birthplace Zurich."
+    ctx = scorer.context(text)
+    codes = TagCodes(tok)
+    full = beam_search(ctx, scorer, codes, ent, rel, num_beams=6)
+    two = beam_search(
+        ctx, scorer, codes, ent, rel, num_beams=6, num_return_sequences=2
+    )
+    assert len(two) == 2
+    assert [(b.tokens, b.log_prob) for b in two] == [
+        (b.tokens, b.log_prob) for b in full[:2]
+    ]
+    # trimming is NOT the same as searching narrow: a width-2 search may
+    # find different beams than width-6-return-2 (and must match its own
+    # full output instead)
+    narrow = beam_search(ctx, scorer, codes, ent, rel, num_beams=2)
+    assert len(narrow) <= 2
+    explicit = beam_search(
+        ctx, scorer, codes, ent, rel, num_beams=6, num_return_sequences=6
+    )
+    assert [(b.tokens, b.log_prob) for b in explicit] == [
+        (b.tokens, b.log_prob) for b in full
+    ]
+
+
 def test_decoder_length_penalty_normalizes_scores(tok):
     """length_penalty=1.0 (reference default.yaml:9): every finished
     beam's log_prob is cumulative_score / len(tokens), beams are returned
