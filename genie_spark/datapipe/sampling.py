@@ -139,6 +139,31 @@ def mixture_weights(
     return {k: v / z for k, v in powered.items()}
 
 
+def shuffle_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "shuffle",
+    epoch: int = 0,
+    out_col: str = "shuffle_rank",
+) -> DataFrame:
+    """Reproducible global training order: every row gets a dense 0-based
+    rank under the hash ordering ``(h60(salt-epoch ␁ id), id)`` — a
+    deterministic permutation of the corpus that changes per epoch but is
+    identical across reruns, cluster sizes, and partitionings (the
+    property torch-style seeded shuffles lose the moment the data layout
+    changes). Ranks come from the fully distributed range-partition rank
+    (metrics._distributed_rank) — no single-partition sort; writing the
+    result sorted by ``out_col`` (or bucketing on ``floor(rank/batch)``)
+    materializes the epoch's batch order."""
+    keyed = df.withColumn(
+        "_sh", h60_salted(F.col(id_col).cast("string"), F.lit(f"{salt}-{int(epoch)}"))
+    )
+    from ..metrics import _distributed_rank
+
+    ranked, _ = _distributed_rank(keyed, ["_sh", id_col], out_col)
+    return ranked.drop("_sh")
+
+
 def token_windows(
     df: DataFrame,
     max_tokens: int,

@@ -1501,6 +1501,34 @@ def upsample_mix(spark, sf_dir):
     )
 
 
+def _shuffle_h_sql():
+    from .datapipe.hashes import h60_salted_sql
+
+    return h60_salted_sql("doc_id", "'shuffle-0'")
+
+
+@_register(
+    "shuffle_rank",
+    f"""
+SELECT doc_id::BIGINT AS doc_id,
+       (row_number() OVER (ORDER BY h, doc_id) - 1)::BIGINT AS shuffle_rank
+FROM (SELECT doc_id, {_shuffle_h_sql()} AS h FROM documents)
+""",
+)
+def shuffle_rank_q(spark, sf_dir):
+    """Epoch-0 deterministic corpus shuffle: dense rank under the hash
+    permutation, computed with the distributed range-partition rank (no
+    single-partition sort — same machinery as the multinomial
+    bootstrap's sample indexing)."""
+    from .datapipe.sampling import shuffle_order
+
+    out = shuffle_order(_t(spark, sf_dir, "documents"), epoch=0)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("shuffle_rank").cast("bigint").alias("shuffle_rank"),
+    )
+
+
 @_register(
     "token_windows",
     """

@@ -315,7 +315,7 @@ def bootstrap_micro(
     )
 
 
-def _distributed_rank(df: DataFrame, id_col: str, out_col: str = "j"):
+def _distributed_rank(df: DataFrame, id_col, out_col: str = "j"):
     """Global 0-based rank by ``id_col`` with NO single-partition sort and
     no driver-side action: range-repartition by id (disjoint, ordered key
     ranges across partitions), rank locally within each range, then add
@@ -325,14 +325,17 @@ def _distributed_rank(df: DataFrame, id_col: str, out_col: str = "j"):
     is parallelism-invariant for unique ids. Returns (ranked_df,
     total_df) where total_df is a broadcastable 1-row (_n bigint) frame
     derived from the same tiny partition-size table (no second scan of
-    the input subtree)."""
+    the input subtree). ``id_col`` may be a single column name or a list
+    (composite ordering key — must be unique per row for a well-defined
+    rank)."""
     from pyspark.sql import Window
 
-    parts = df.repartitionByRange(F.col(id_col)).withColumn(
+    cols = [id_col] if isinstance(id_col, str) else list(id_col)
+    parts = df.repartitionByRange(*[F.col(c) for c in cols]).withColumn(
         "_pid", F.spark_partition_id()
     )
     parts = parts.withColumn(
-        "_local", F.row_number().over(Window.partitionBy("_pid").orderBy(id_col))
+        "_local", F.row_number().over(Window.partitionBy("_pid").orderBy(*cols))
     )
     sizes = parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     # prefix-sum over ≤ shuffle-partitions rows: a broadcast non-equi

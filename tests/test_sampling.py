@@ -88,6 +88,23 @@ def test_mixture_weights_temperature():
         mixture_weights(p, 0.0)
 
 
+def test_shuffle_order_is_stable_dense_permutation(spark, docs):
+    """Epoch shuffle: a dense 0..n-1 permutation, identical across
+    partitionings (the property seeded framework shuffles lose when the
+    layout changes), different across epochs."""
+    from genie_spark.datapipe.sampling import shuffle_order
+
+    e0 = {r["doc_id"]: r["shuffle_rank"] for r in shuffle_order(docs, epoch=0).collect()}
+    e0b = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in shuffle_order(docs.repartition(13), epoch=0).collect()
+    }
+    assert e0 == e0b
+    assert sorted(e0.values()) == list(range(len(e0)))
+    e1 = {r["doc_id"]: r["shuffle_rank"] for r in shuffle_order(docs, epoch=1).collect()}
+    assert e1 != e0 and sorted(e1.values()) == list(range(len(e1)))
+
+
 def test_token_windows_reconstruction(spark, docs):
     base = docs.limit(20).cache()
     # stride == max_tokens: windows partition the token stream exactly
