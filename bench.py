@@ -235,9 +235,11 @@ def run_default(sf_dir: str, cpus: int) -> dict:
     record_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling_record.json"
     )
-    if os.path.exists(record_path):
+    try:
         with open(record_path, encoding="utf-8") as f:
             result["scaling_record"] = json.load(f)
+    except Exception:
+        pass  # absent/corrupt record never fails the suite
     return result
 
 

@@ -1,0 +1,62 @@
+"""evaluate_from_file CLI: the reference's from-file evaluation entry
+point must reproduce the library metrics and leave the same artifacts."""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest
+
+import evaluate_from_file
+
+
+@pytest.fixture()
+def run_files(tmp_path):
+    lin = " <sub> {} <rel> {} <obj> {} <et>"
+    rows = [
+        {"id": "1", "input": "a", "guess": lin.format("A", "r1", "B"),
+         "target": lin.format("A", "r1", "B")},
+        {"id": "2", "input": "b", "guess": lin.format("C", "r2", "D"),
+         "target": lin.format("C", "r1", "D")},
+        {"id": "3", "input": "c", "guess": "",
+         "target": lin.format("E", "r2", "F")},
+    ]
+    out = tmp_path / "testing_output.json"
+    out.write_text("\n".join(json.dumps(r) for r in rows))
+    rels = tmp_path / "rels.jsonl"
+    rels.write_text('{"relation": "r1"}\n')
+    return str(out), str(rels)
+
+
+def test_cli_metrics_and_artifacts(spark, tmp_path, run_files, capsys):
+    out_path, _ = run_files
+    out_dir = str(tmp_path / "eval")
+    results = evaluate_from_file.main(
+        ["--input", out_path, "--output-dir", out_dir]
+    )
+    # micro: 1 correct of 2 predicted, 3 targeted
+    assert results["micro"]["precision"] == pytest.approx(0.5)
+    assert results["micro"]["recall"] == pytest.approx(1 / 3)
+    for name in ("micro_results.json", "macro_results.json", "macro_per_relation.json"):
+        assert os.path.exists(os.path.join(out_dir, name)), name
+    saved = json.load(open(os.path.join(out_dir, "micro_results.json")))
+    assert saved["precision"] == pytest.approx(0.5)
+    printed = capsys.readouterr().out
+    assert "micro-f1," in printed and "macro-f1," in printed
+
+
+def test_cli_relation_restriction_and_bootstrap(spark, tmp_path, run_files):
+    out_path, rels_path = run_files
+    out_dir = str(tmp_path / "eval_r1")
+    results = evaluate_from_file.main(
+        ["--input", out_path, "--output-dir", out_dir,
+         "--relations", rels_path, "--bootstrap", "5"]
+    )
+    # restricted to r1: pred keeps only sample-1's triple (1 correct of
+    # 1 predicted); target keeps samples 1 and 2 -> recall 0.5
+    mean, std = results["micro"]["precision"]
+    assert 0.0 <= mean <= 1.0 and std >= 0.0
+    assert isinstance(results["micro"]["f1"], tuple)
+    assert set(results["macro"]) == {"precision", "recall", "f1"}
