@@ -247,6 +247,126 @@ def stream_dedup_exact(
     return writer.trigger(processingTime=trigger_interval).start()
 
 
+def stream_dedup_minhash(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    available_now: bool = True,
+    state_ttl: Optional[str] = None,
+    trigger_interval: str = "500 milliseconds",
+    max_bucket_members: Optional[int] = None,
+):
+    """Cross-batch NEAR-dup: streaming MinHash+LSH candidate pairs.
+
+    The batch pipeline (datapipe.dedup.lsh_candidate_pairs) re-joins the
+    whole corpus per run; a continuous crawl instead wants each arriving
+    document checked against everything EVER crawled. Signatures and band
+    keys are computed row-local with the same Column expressions as the
+    batch path (minhash_signature_col — identical hashes, so streaming
+    and batch candidates agree); state lives per (band, band_hash) bucket
+    via ``applyInPandasWithState`` — the member-id list of that bucket.
+    Each new document emits one (id_a, id_b) candidate row per existing
+    member of any bucket it lands in; a pair colliding in several bands
+    is emitted once per band, so readers take ``distinct()`` (same as the
+    batch path's final distinct).
+
+    Scale levers: state is ONLY ids (no text, no signatures) keyed by the
+    same shuffle key as the batch join; ``state_ttl`` ages out cold
+    buckets (same sliding semantics as stream_dedup_exact);
+    ``max_bucket_members`` caps hot boilerplate buckets — further
+    arrivals in a full bucket emit pairs against the retained members
+    only (explicit recall tradeoff, mirroring AQE-skew-join territory in
+    batch mode)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .datapipe.dedup import minhash_signature_col, shingles_col
+
+    if state_ttl and available_now:
+        raise ValueError(
+            "state_ttl needs a continuous processing-time trigger "
+            "(ProcessingTimeTimeout does not fire under availableNow); "
+            "pass available_now=False and stop the returned query"
+        )
+    rows_per_band = num_hashes // bands
+    docs = spark.readStream.schema(DOC_STREAM_SCHEMA).parquet(input_dir)
+    sig = minhash_signature_col(shingles_col(F.col("text"), k), num_hashes)
+    banded = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bkey"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bkey")
+
+    out_type = "id_a bigint, id_b bigint, band int"
+    state_type = "members array<bigint>"
+    ttl_ms = _ttl_ms(state_ttl) if state_ttl else None
+
+    def collide(key, pdf_iter, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        members = list(state.get[0]) if state.exists else []
+        known = set(members)
+        band = int(key[0])
+        pairs = []
+        arrivals = sorted(
+            {int(i) for pdf in pdf_iter for i in pdf["doc_id"] if len(pdf)}
+        )
+        for nid in arrivals:
+            if nid in known:
+                continue  # exact re-fetch of a known member: nothing new
+            pairs.extend(
+                (min(nid, m), max(nid, m), band) for m in members
+            )
+            if max_bucket_members is None or len(members) < max_bucket_members:
+                members.append(nid)
+                known.add(nid)
+        state.update((members,))
+        if ttl_ms:
+            state.setTimeoutDuration(ttl_ms)
+        if pairs:
+            yield pd.DataFrame(pairs, columns=["id_a", "id_b", "band"])
+
+    out = banded.groupBy("band", "bkey").applyInPandasWithState(
+        collide,
+        out_type,
+        state_type,
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl
+        else GroupStateTimeout.NoTimeout,
+    )
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", os.path.join(output_dir, "data"))
+        .option("checkpointLocation", os.path.join(output_dir, "_checkpoint"))
+        .outputMode("append")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.trigger(processingTime=trigger_interval).start()
+
+
 def state_metrics(query) -> dict:
     """State-store footprint of a stateful streaming query, summed over
     its state operators from the most recent progress event that carried

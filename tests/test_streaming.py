@@ -117,6 +117,60 @@ def test_stream_dedup_exact_cross_batch(spark, tmp_path):
     assert got2 == {"alpha text": 1, "beta text": 2, "gamma text": 4}
 
 
+def test_stream_dedup_minhash_matches_batch_candidates(spark, tmp_path):
+    """Streaming near-dup must accumulate EXACTLY the batch LSH candidate
+    set: after each arrival, distinct (id_a, id_b) over all emitted rows
+    equals datapipe.dedup.lsh_candidate_pairs on the union corpus seen so
+    far — cross-batch collisions included (a late near-duplicate pairs
+    with documents from earlier batches via bucket state)."""
+    from genie_spark.datapipe.dedup import lsh_candidate_pairs, minhash_signatures
+    from genie_spark.streaming import stream_dedup_minhash
+
+    in_dir = str(tmp_path / "docs_in")
+    out_dir = str(tmp_path / "near_out")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b1 = [
+        (1, base),
+        (2, base + " lambda"),          # near-dup of 1
+        (3, "one two three four five six seven eight nine ten"),
+    ]
+    b2 = [
+        (9, base + " mu"),              # near-dup of 1 and 2 (arrives later)
+        (4, "cat dog bird fish lion tiger bear wolf fox deer"),
+    ]
+    schema = "doc_id bigint, text string"
+
+    def arrive(rows, mode):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(mode).parquet(in_dir)
+
+    def streamed():
+        try:
+            return {
+                (r["id_a"], r["id_b"])
+                for r in spark.read.parquet(out_dir + "/data").collect()
+            }
+        except Exception:
+            return set()
+
+    def batch(rows):
+        sigs = minhash_signatures(spark.createDataFrame(rows, schema))
+        return {
+            (r["id_a"], r["id_b"])
+            for r in lsh_candidate_pairs(sigs).collect()
+        }
+
+    arrive(b1, "overwrite")
+    stream_dedup_minhash(spark, in_dir, out_dir, available_now=True)
+    assert streamed() == batch(b1)
+    assert (1, 2) in streamed()
+
+    arrive(b2, "append")
+    stream_dedup_minhash(spark, in_dir, out_dir, available_now=True)
+    want = batch(b1 + b2)
+    assert streamed() == want
+    assert {(1, 9), (2, 9)} <= want  # cross-batch collisions via state
+
+
 def test_stream_dedup_ttl_evicts_and_reports_state(spark, tmp_path):
     """The state_ttl eviction story: an aged-out hash is forgotten (its
     next fetch is emitted as new) and state_metrics exposes the seen-set
