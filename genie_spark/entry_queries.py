@@ -1419,6 +1419,63 @@ def fingerprint_q(spark, sf_dir):
 # -- deterministic sampling / splitting / packing -----------------------------
 
 
+@_register(
+    "media_resize_plan",
+    """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         ((doc_id % 64) * 16 + 64)::INT AS width,
+         ((doc_id % 48) * 16 + 64)::INT AS height
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT media_id::BIGINT AS media_id, width::BIGINT AS width, height::BIGINT AS height,
+       ceil(width * least(256.0 / width, 256.0 / height, 1.0))::BIGINT AS out_width,
+       ceil(height * least(256.0 / width, 256.0 / height, 1.0))::BIGINT AS out_height
+FROM m
+""",
+)
+def media_resize_plan(spark, sf_dir):
+    """Aspect-preserving resize planning (JVM-side arithmetic; pixel
+    transform itself is the stubbed decode step)."""
+    from .datapipe.multimodal import media_from_docs, resize_images
+
+    media = media_from_docs(_t(spark, sf_dir, "documents"))
+    out = resize_images(media, max_side=256)
+    return out.select(
+        F.col("media_id").cast("bigint").alias("media_id"),
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.col("out_width").cast("bigint").alias("out_width"),
+        F.col("out_height").cast("bigint").alias("out_height"),
+    )
+
+
+@_register(
+    "media_frame_sample",
+    """
+WITH v AS (
+  SELECT doc_id AS media_id, (n_chars * 10)::INT AS duration_ms
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT media_id::BIGINT AS media_id, duration_ms::BIGINT AS duration_ms,
+       unnest(range(0, greatest(duration_ms - 1, 0) + 1, 1000))::BIGINT AS frame_ts_ms
+FROM v
+""",
+)
+def media_frame_sample(spark, sf_dir):
+    """Video frame-sampling plan: one row per sampled timestamp (JVM
+    sequence+explode; the frame decode itself is the stub)."""
+    from .datapipe.multimodal import frame_sample_plan, media_from_docs
+
+    media = media_from_docs(_t(spark, sf_dir, "documents"))
+    out = frame_sample_plan(media, every_ms=1000)
+    return out.select(
+        F.col("media_id").cast("bigint").alias("media_id"),
+        F.col("duration_ms").cast("bigint").alias("duration_ms"),
+        F.col("frame_ts_ms").cast("bigint").alias("frame_ts_ms"),
+    )
+
+
 def _sampling_oracles():
     from .datapipe.sampling import unit_sql
 
