@@ -56,9 +56,17 @@ def _twin_stack(sf_dir: str):
     return docs, tok, codes, ent_t, rel_t, DeterministicScorer(tok)
 
 
+# oracle_sql() may be invoked repeatedly (per-query drivers); the twin
+# generation pass is deterministic per corpus dir, so cache it
+_PRED_CACHE: dict = {}
+
+
 def _twin_predictions(sf_dir: str):
     """(url, sent_idx, sentence, prediction) per en sentence — the shared
     generation pass of both twin oracles."""
+    hit = _PRED_CACHE.get(sf_dir)
+    if hit is not None:
+        return hit
     from .decode import generate_for_text, top_valid_prediction
     from .extract import split_sentences
 
@@ -73,7 +81,9 @@ def _twin_predictions(sf_dir: str):
                 sent, scorer, tok, codes, ent_t, rel_t, num_beams=2, max_length=96
             )
             out.append((url, idx, sent, top_valid_prediction(beams)))
-    return out, (tok, codes, ent_t, rel_t, scorer)
+    _PRED_CACHE.clear()  # one corpus at a time; these lists are sizable
+    _PRED_CACHE[sf_dir] = (out, (tok, codes, ent_t, rel_t, scorer))
+    return _PRED_CACHE[sf_dir]
 
 
 def flagship_expected_rows(sf_dir: str) -> List[Row]:
