@@ -384,6 +384,11 @@ def bootstrap_micro_multinomial(
     counts = _counts(df, pred, target).select(
         id_col, "n_correct", "n_pred", "n_target"
     )
+    # NOTE: the plan references this frame several times (rank, partition
+    # sizes, total, broadcast join side) and recomputes the subtree —
+    # .persist() was tried and measured SLOWER here (cache build +
+    # memory-store overhead beats the recompute of a narrow 3-int-per-
+    # sample aggregation), so the recompute stands.
     indexed, total = _distributed_rank(counts, id_col)
     src = indexed.select("j")
     if hash_mode == "md5":
