@@ -1587,6 +1587,65 @@ def shuffle_rank_q(spark, sf_dir):
 
 
 @_register(
+    "curation_pipeline",
+    f"""
+WITH q AS (
+  SELECT doc_id, text, lang,
+         (CASE WHEN len(string_split_regex(text, '\\s+')) >= 20 THEN 0.25
+               ELSE len(string_split_regex(text, '\\s+')) / 80.0 END)
+         + (CASE WHEN round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
+                            / greatest(length(text), 1), 6) <= 0.1 THEN 0.25
+                 ELSE greatest(0.0, 0.25 - round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
+                            / greatest(length(text), 1), 6)) END)
+         + least(round(len(list_filter(list_transform(string_split_regex(text, '\\s+'), x -> lower(x)),
+                         x -> list_contains(['the','and','of','a','to','in','is','that','for','with'], x)))::DOUBLE
+                 / greatest(len(string_split_regex(text, '\\s+')), 1), 6) * 3.0, 0.25)
+         + (CASE WHEN round(length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+                            / greatest(len(string_split_regex(text, '\\s+')), 1), 6) BETWEEN 3 AND 10
+                 THEN 0.25 ELSE 0.0 END) AS qscore
+  FROM documents
+),
+gated AS (SELECT * FROM q WHERE lang = 'en' AND round(qscore, 6) >= 0.5),
+keep AS (SELECT md5(text) AS h, min(doc_id) AS keep_id FROM gated GROUP BY 1)
+SELECT g.doc_id::BIGINT AS doc_id,
+       round(g.qscore, 6) AS quality_score,
+       CASE WHEN ({_SAMPLING_U['u_split']}) < 0.8 THEN 'test'
+            WHEN ({_SAMPLING_U['u_split']}) < 0.9 THEN 'train'
+            ELSE 'val' END AS split
+FROM gated g JOIN keep k ON md5(g.text) = k.h AND g.doc_id = k.keep_id
+""",
+)
+def curation_pipeline(spark, sf_dir):
+    """End-to-end curation composition — the operators chained the way a
+    training-data run uses them: quality gate (quality_features) → lang
+    gate → exact dedup (first-id-per-hash survivor) → deterministic
+    train/val/test assignment. Everything row-local or one hash-groupBy;
+    the quality/lang predicates sit below the dedup shuffle so Catalyst
+    prunes before the only wide stage."""
+    from .datapipe.sampling import assign_split
+    from .datapipe.textstats import quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_features(docs).select("doc_id", "quality_score")
+    gated = (
+        docs.join(q, "doc_id")
+        .filter((F.col("lang") == "en") & (F.col("quality_score") >= 0.5))
+    )
+    keep = (
+        gated.groupBy(F.md5("text").alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .drop("_h")
+    )
+    survivors = gated.join(keep, "doc_id")
+    out = assign_split(survivors, {"train": 0.1, "val": 0.1, "test": 0.8})
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "quality_score",
+        "split",
+    )
+
+
+@_register(
     "token_windows",
     """
 WITH t AS (
