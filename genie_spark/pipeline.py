@@ -167,6 +167,7 @@ class GenieExtractor:
         scorer_factory=None,
         hf_checkpoint: Optional[str] = None,
         hf_device: str = "cuda",
+        stack_factory=None,
     ):
         """Scorer selection (executor-side, shipped via the broadcast):
 
@@ -182,6 +183,11 @@ class GenieExtractor:
           model.sample flagship (genie_base_pl.py:435-555). Mutually
           exclusive with trie_artifacts (artifact token ids are
           WordTokenizer-space) and scorer_factory.
+        * ``stack_factory`` — full custom control: a picklable
+          ``payload -> (tok, codes, ent_trie, rel_trie, scorer)``
+          callable (e.g. toy_bpe.toy_bpe_stack_factory, the executable
+          reference for the adapter contract). Mutually exclusive with
+          all of the above.
         """
         self.num_beams = num_beams
         self.max_length = max_length
@@ -199,6 +205,16 @@ class GenieExtractor:
             raise ValueError(
                 "hf_checkpoint builds its own tokenizer-space stack; it "
                 "cannot be combined with trie_artifacts or scorer_factory"
+            )
+        if stack_factory is not None and (
+            hf_checkpoint is not None
+            or scorer_factory is not None
+            or trie_artifacts is not None
+        ):
+            raise ValueError(
+                "stack_factory supplies the whole decode stack; it cannot "
+                "be combined with hf_checkpoint / scorer_factory / "
+                "trie_artifacts"
             )
         if trie_artifacts is not None:
             # preloaded S10 artifacts (save_trie_artifacts): names come
@@ -224,20 +240,24 @@ class GenieExtractor:
             "rel_names": sorted(set(rel_names)),
             **extra,
         }
-        if hf_checkpoint is not None:
+        if stack_factory is not None:
+            payload["stack_factory"] = stack_factory
+        elif hf_checkpoint is not None:
             payload["stack_factory"] = hf_stack_factory
             payload["hf_checkpoint"] = hf_checkpoint
             payload["hf_device"] = hf_device
         elif scorer_factory is not None:
             payload["scorer_factory"] = scorer_factory
+
+        def _qual(fn):
+            return f"{fn.__module__}.{getattr(fn, '__qualname__', repr(fn))}"
+
         # the key must separate stacks that share a catalog but differ in
         # scorer/checkpoint, or worker reuse would serve the wrong scorer
         stack_id = (
-            hf_checkpoint
-            or (
-                scorer_factory
-                and f"{scorer_factory.__module__}.{getattr(scorer_factory, '__qualname__', repr(scorer_factory))}"
-            )
+            (stack_factory and _qual(stack_factory))
+            or hf_checkpoint
+            or (scorer_factory and _qual(scorer_factory))
             or "default"
         )
         payload["cache_key"] = (

@@ -38,56 +38,10 @@ from genie_spark.trie import trie_from_names
 from genie_spark.triples import parse_linearization
 
 
-class FakeBPETokenizer:
-    """Deterministic stand-in for a BART-style BPE tokenizer: greedy
-    3-char chunking with a leading-space 'Ġ' marker, '<'/'>' always their
-    own pieces, BART special ids (bos=0, pad=1, eos=2, unk=3). Built from
-    a corpus so ids are stable."""
-
-    _SPLIT = re.compile(r" ?<| ?>| ?[^\s<>]+")
-
-    def __init__(self, corpus):
-        self.bos_token_id, self.pad_token_id = 0, 1
-        self.eos_token_id, self.unk_token_id = 2, 3
-        vocab = {}
-        seeds = [" <sub>", " <rel>", " <obj>", " <et>"]
-        for name in sorted(set(corpus)):
-            seeds.append(" " + name)
-            seeds.append(name)
-        for s in seeds:
-            for p in self._pieces(s):
-                if p not in vocab:
-                    vocab[p] = len(vocab) + 4
-        self.vocab = vocab
-        self.id2piece = {i: p for p, i in vocab.items()}
-
-    def _pieces(self, text):
-        out = []
-        for m in self._SPLIT.finditer(text):
-            t = m.group()
-            marked = t.startswith(" ")
-            w = t.lstrip(" ")
-            if w in ("<", ">"):
-                out.append(("Ġ" if marked else "") + w)
-                continue
-            for i in range(0, len(w), 3):
-                out.append(("Ġ" if marked and i == 0 else "") + w[i : i + 3])
-        return out
-
-    def __call__(self, text):
-        ids = [self.vocab.get(p, self.unk_token_id) for p in self._pieces(text)]
-        return {"input_ids": [self.bos_token_id] + ids + [self.eos_token_id]}
-
-    def decode(self, ids, skip_special_tokens=True):
-        out = []
-        for i in ids:
-            if skip_special_tokens and i < 4:
-                continue
-            out.append(self.id2piece.get(i, "<unk>"))
-        return "".join(p.replace("Ġ", " ") for p in out)
-
-    def __len__(self):
-        return len(self.vocab) + 4
+# The fake tokenizer now lives in the library as the executable
+# reference for the adapter contract (usable on executors); tests keep
+# the old name.
+from genie_spark.toy_bpe import ToyBPETokenizer as FakeBPETokenizer  # noqa: E402
 
 
 ENTS = ["Albert Einstein", "Zurich", "Mileva Maric", "Switzerland", "photon"]
@@ -266,6 +220,43 @@ def test_scorer_factory_reaches_executors(spark):
     got_def = {r["input"]: r["prediction"] for r in default.collect()}
     assert got_def == _driver_twin(texts, ENTS, RELS, DeterministicScorer)
     assert got_uni != got_def, "injected scorer produced the default output"
+
+
+def test_toy_bpe_stack_runs_distributed(spark):
+    """The HF-shaped stack (HFTokenizerAdapter over a BPE tokenizer,
+    tries + TagCodes in its id space) must run through the DISTRIBUTED
+    mapInPandas pipeline exactly as the real checkpoint path would:
+    outputs match the driver-side twin of the same stack, every emitted
+    name is catalog-closed, and the result is partition-invariant."""
+    from genie_spark.pipeline import GenieExtractor
+    from genie_spark.toy_bpe import toy_bpe_stack_factory
+
+    texts = [
+        "Albert Einstein was born in Zurich.",
+        "Mileva Maric married Albert Einstein in Switzerland.",
+        "the photon paper came from Zurich.",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["input"])
+    ex = GenieExtractor(
+        spark, ENTS, RELS, num_beams=3, stack_factory=toy_bpe_stack_factory
+    )
+    out = {r["input"]: r for r in ex.transform(df).collect()}
+
+    # driver-side twin of the identical stack
+    payload = {"ent_names": sorted(set(ENTS)), "rel_names": sorted(set(RELS))}
+    tok, codes, ent_t, rel_t, scorer = toy_bpe_stack_factory(payload)
+    for t in texts:
+        beams = generate_for_text(
+            t, scorer, tok, codes, ent_t, rel_t, num_beams=3
+        )
+        assert [(b["text"], b["log_prob"]) for b in beams] == [
+            (b["text"], b["log_prob"]) for b in out[t]["beams"]
+        ], t
+        for s, r, o in parse_linearization(out[t]["prediction"] or ""):
+            assert s in ENTS and o in ENTS and r in RELS
+
+    rep = {r["input"]: r["prediction"] for r in ex.transform(df.repartition(7)).collect()}
+    assert rep == {t: out[t]["prediction"] for t in texts}
 
 
 def test_hf_checkpoint_exclusive_with_other_stacks(spark):
