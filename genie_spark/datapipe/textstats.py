@@ -103,6 +103,51 @@ def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+def repetition_features(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Intra-document repetition signals (the Gopher-style rep filters
+    used to drop boilerplate/spam before LLM training): duplicate word
+    n-gram fractions for n=2,3 (1 − distinct/total over the doc's own
+    n-grams) and top-word dominance (most frequent word's share). All
+    row-local higher-order functions — zero shuffle, codegen'd, and
+    filter-composable (``dup_3gram_frac < 0.2 AND top_word_frac < 0.3``
+    prunes at the scan)."""
+    t = F.col(text_col)
+    w = F.split(t, " ")
+    n_words = F.size(w)
+
+    def dup_frac(n: int) -> Column:
+        grams = F.when(
+            n_words >= n,
+            F.transform(
+                F.sequence(F.lit(1), n_words - F.lit(n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", w)))
+        total = F.size(grams)
+        return F.round(
+            (total - F.size(F.array_distinct(grams)))
+            / F.greatest(total, F.lit(1)).cast("double"),
+            6,
+        )
+
+    # most frequent word's share: for each distinct word, count its
+    # occurrences with a filter — O(distinct × n) row-local work, no
+    # shuffle (documents are bounded; corpus size is irrelevant here)
+    distinct_w = F.array_distinct(w)
+    top = F.array_max(
+        F.transform(distinct_w, lambda d: F.size(F.filter(w, lambda x: x == d)))
+    )
+    top_frac = F.round(top / F.greatest(n_words, F.lit(1)).cast("double"), 6)
+    return docs.select(
+        F.col(id_col),
+        dup_frac(2).alias("dup_2gram_frac"),
+        dup_frac(3).alias("dup_3gram_frac"),
+        top_frac.alias("top_word_frac"),
+    )
+
+
 def fingerprints(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:

@@ -1420,6 +1420,32 @@ def fingerprint_q(spark, sf_dir):
 
 
 @_register(
+    "repetition_stats",
+    """
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT doc_id, w,
+    CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)), i -> array_to_string(list_slice(w, i, i + 1), ' '))
+         ELSE [array_to_string(w, ' ')] END AS g2,
+    CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), i -> array_to_string(list_slice(w, i, i + 2), ' '))
+         ELSE [array_to_string(w, ' ')] END AS g3
+  FROM base)
+SELECT doc_id::BIGINT AS doc_id,
+  round((len(g2) - len(list_distinct(g2))) / greatest(len(g2), 1)::DOUBLE, 6) AS dup_2gram_frac,
+  round((len(g3) - len(list_distinct(g3))) / greatest(len(g3), 1)::DOUBLE, 6) AS dup_3gram_frac,
+  round(list_max(list_transform(list_distinct(w), d -> len(list_filter(w, x -> x = d)))) / greatest(len(w), 1)::DOUBLE, 6) AS top_word_frac
+FROM g
+""",
+)
+def repetition_stats(spark, sf_dir):
+    """Gopher-style intra-document repetition filters: duplicate 2/3-gram
+    fractions + top-word dominance (row-local, zero shuffle)."""
+    from .datapipe.textstats import repetition_features
+
+    return repetition_features(_t(spark, sf_dir, "documents"))
+
+
+@_register(
     "media_resize_plan",
     """
 WITH m AS (

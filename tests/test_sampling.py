@@ -105,6 +105,30 @@ def test_shuffle_order_is_stable_dense_permutation(spark, docs):
     assert e1 != e0 and sorted(e1.values()) == list(range(len(e1)))
 
 
+def test_repetition_features_semantics(spark):
+    """Crafted documents: a fully repeated doc maxes the dup fractions, a
+    unique-word doc zeroes them; top-word dominance is exact."""
+    from genie_spark.datapipe.textstats import repetition_features
+
+    rows = [
+        (1, "spam spam spam spam spam spam"),      # total repetition
+        (2, "one two three four five six"),        # no repetition
+        (3, "a b a b a b a b"),                    # alternating bigram dup
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in repetition_features(df).collect()}
+    # doc 1: 5 bigrams all "spam spam" -> dup frac 4/5; top word 6/6
+    assert out[1]["dup_2gram_frac"] == pytest.approx(0.8)
+    assert out[1]["top_word_frac"] == pytest.approx(1.0)
+    # doc 2: all distinct
+    assert out[2]["dup_2gram_frac"] == 0.0
+    assert out[2]["dup_3gram_frac"] == 0.0
+    assert out[2]["top_word_frac"] == pytest.approx(round(1 / 6, 6))
+    # doc 3: 7 bigrams, 2 distinct -> 5/7 dup; top word 4/8
+    assert out[3]["dup_2gram_frac"] == pytest.approx(round(5 / 7, 6))
+    assert out[3]["top_word_frac"] == pytest.approx(0.5)
+
+
 def test_token_windows_reconstruction(spark, docs):
     base = docs.limit(20).cache()
     # stride == max_tokens: windows partition the token stream exactly
