@@ -138,6 +138,9 @@ HEADLINE = [
     "split_assign",
     "upsample_mix",
     "token_windows",
+    "shuffle_rank",
+    "repetition_stats",
+    "curation_pipeline",
 ]
 
 
