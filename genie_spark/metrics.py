@@ -385,10 +385,10 @@ def bootstrap_micro_multinomial(
         id_col, "n_correct", "n_pred", "n_target"
     )
     # NOTE: the plan references this frame several times (rank, partition
-    # sizes, total, broadcast join side) and recomputes the subtree —
-    # .persist() was tried and measured SLOWER here (cache build +
-    # memory-store overhead beats the recompute of a narrow 3-int-per-
-    # sample aggregation), so the recompute stands.
+    # sizes, total, broadcast join side). .persist() was tried and
+    # measured SLOWER end-to-end (10.4s vs 6.3s min-of-N at sf0.1):
+    # AQE's runtime exchange reuse already deduplicates the heavy
+    # subtrees, so the cache only added build + memory-store overhead.
     indexed, total = _distributed_rank(counts, id_col)
     src = indexed.select("j")
     if hash_mode == "md5":
