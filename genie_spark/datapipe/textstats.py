@@ -150,6 +150,33 @@ def repetition_features(
     )
 
 
+# RE2-safe patterns (no lookaround/backrefs) so the Java-regex Spark path
+# and the RE2 DuckDB oracle match token-for-token
+EMAIL_PATTERN = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+URL_PATTERN = "https?://[A-Za-z0-9./_-]+"
+
+
+def contact_flags(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII / contact-surface flags for curation policy filters: per-doc
+    email and URL match counts plus a has_contact boolean. Row-local
+    regexp_extract_all — zero shuffle; the boolean composes into scan
+    predicates (``NOT has_contact``) for policy-gated training sets.
+    Deliberately pattern-conservative (RE2-safe, no \\S/\\w class
+    divergence) so the counts are engine-exact; a production deployment
+    layers jurisdiction-specific pattern packs on the same shape."""
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_PATTERN), 0))
+    n_urls = F.size(F.regexp_extract_all(t, F.lit(URL_PATTERN), 0))
+    return docs.select(
+        F.col(id_col),
+        n_emails.alias("n_emails"),
+        n_urls.alias("n_urls"),
+        ((n_emails > 0) | (n_urls > 0)).alias("has_contact"),
+    )
+
+
 def fingerprints(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:

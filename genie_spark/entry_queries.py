@@ -1420,6 +1420,54 @@ def fingerprint_q(spark, sf_dir):
 
 
 @_register(
+    "contact_flags",
+    """
+WITH enriched AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 4 = 0
+                      THEN ' contact: user' || doc_id || '@example.com or https://example.org/u/' || doc_id
+                      ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id::BIGINT AS doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(text, 'https?://[A-Za-z0-9./_-]+'))::BIGINT AS n_urls,
+       (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) > 0
+        OR len(regexp_extract_all(text, 'https?://[A-Za-z0-9./_-]+')) > 0) AS has_contact
+FROM enriched
+""",
+)
+def contact_flags_q(spark, sf_dir):
+    """PII/contact-surface flags. The synthetic corpus contains no
+    contact strings, so the query fabricates deterministic ones in-plan
+    for a quarter of the docs (both engines apply the identical concat)
+    — the regex path is exercised with non-trivial counts."""
+    from .datapipe.textstats import contact_flags
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.pmod("doc_id", F.lit(4)) == 0,
+                F.concat(
+                    F.lit(" contact: user"), F.col("doc_id").cast("string"),
+                    F.lit("@example.com or https://example.org/u/"),
+                    F.col("doc_id").cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = contact_flags(docs)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_emails").cast("bigint").alias("n_emails"),
+        F.col("n_urls").cast("bigint").alias("n_urls"),
+        "has_contact",
+    )
+
+
+@_register(
     "repetition_stats",
     """
 WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -129,6 +129,23 @@ def test_repetition_features_semantics(spark):
     assert out[3]["top_word_frac"] == pytest.approx(0.5)
 
 
+def test_contact_flags_semantics(spark):
+    from genie_spark.datapipe.textstats import contact_flags
+
+    rows = [
+        (1, "reach me at jane.doe+x@sub.example.co.uk today"),
+        (2, "see https://example.org/a/b_c and http://plain.example/d"),
+        (3, "no contact surface here at all"),
+        (4, "two mails: a@b.io c.d@e-f.org plus https://x.y/z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in contact_flags(df).collect()}
+    assert out[1]["n_emails"] == 1 and out[1]["has_contact"]
+    assert out[2]["n_urls"] == 2 and out[2]["n_emails"] == 0
+    assert out[3]["n_emails"] == 0 and out[3]["n_urls"] == 0 and not out[3]["has_contact"]
+    assert out[4]["n_emails"] == 2 and out[4]["n_urls"] == 1
+
+
 def test_token_windows_reconstruction(spark, docs):
     base = docs.limit(20).cache()
     # stride == max_tokens: windows partition the token stream exactly
