@@ -38,12 +38,19 @@ from typing import List, Tuple
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_P_CLOSE_RE = re.compile(r"</p\s*>")
+# Whitespace class pinned to JAVA's \s = [ \t\n\x0B\f\r] (ASCII only).
+# Python's \s additionally matches Unicode whitespace (NBSP \xa0,
+# ideographic space, …), so a bare \s in the Python twin would silently
+# break the byte-identical-per-url invariant on real web text — the JVM
+# column path is canonical (it runs the 100 TB corpus), and the twin
+# must match IT, not the other way around.
+_JWS = " \\t\\n\\x0b\\f\\r"
+_P_CLOSE_RE = re.compile(f"</p[{_JWS}]*>")
 _TAG_RE = re.compile(r"<[^>]*>")
-_SENT_SPLIT_RE = re.compile(r"(?<=[.])\s")
-_WS_RE = re.compile(r"\s{2,}")
+_SENT_SPLIT_RE = re.compile(f"(?<=[.])[{_JWS}]")
+_WS_RE = re.compile(f"[{_JWS}]{{2,}}")
 
-# Java-regex twins of the above (identical syntax for these patterns)
+# Java-regex forms (a bare \s IS this class in Java)
 P_CLOSE_PATTERN = "</p\\s*>"
 TAG_PATTERN = "<[^>]*>"
 SENT_SPLIT_PATTERN = "(?<=[.])\\s"
@@ -67,7 +74,10 @@ def split_sentences(text: str) -> List[str]:
         if len(para) == 0:
             continue
         for sent in _SENT_SPLIT_RE.split(para):
-            if not sent.strip():
+            # .strip(" "), not .strip(): Spark's trim removes only 0x20
+            # (measured), while Python strip() eats tabs/NBSP — a
+            # tab-only unit would diverge between the twins
+            if not sent.strip(" "):
                 continue
             out.append(_WS_RE.sub(" ", sent + " "))
     return out
@@ -110,11 +120,11 @@ def split_sentences_bounded_pos(
             acc += sent + " "
             if any(s < pos < e for (s, e) in boundaries):
                 continue  # split point inside an entity name: keep merging
-            if acc.strip():
+            if acc.strip(" "):  # match Spark trim: 0x20 only
                 out.append((_WS_RE.sub(" ", acc), start, pos))
             acc = ""
             start = pos
-        if acc.strip():  # paragraph ended while blocked: flush
+        if acc.strip(" "):  # paragraph ended while blocked: flush
             out.append((_WS_RE.sub(" ", acc), start, pos))
     return out
 

@@ -279,6 +279,36 @@ def test_materialize_graph_salted_equals_plain(spark, pages, catalogs):
     assert a == b and len(a) > 0
 
 
+def test_sentence_split_twins_hostile_whitespace(spark):
+    """Non-ASCII and exotic whitespace must NOT break the byte-identical
+    twin invariant: Python's bare \\s matches NBSP/ideographic space
+    while Java's is ASCII-only, and Spark's trim removes only 0x20 — the
+    Python twin is pinned to the JVM semantics (the 100 TB path is
+    canonical), verified here on inputs the synthetic corpus never
+    produces."""
+    from genie_spark.extract import sentences_df, split_sentences
+
+    texts = [
+        "a. b.\tc.\xa0d. e",            # NBSP after a dot: Java does NOT split
+        "x.　y. z",                  # ideographic space
+        "tabs.\t\tonly\t. end.",
+        "nb\xa0sp. multi  space.   q",
+        ". . .",
+        "\t. \t.",                       # tab-only units: trim vs strip
+        "v\x0bt. w",                     # vertical tab IS Java \s
+        "mix.\r\ncr. lf",
+    ]
+    df = spark.createDataFrame(
+        [(f"u{i}", t) for i, t in enumerate(texts)], ["url", "text"]
+    )
+    got: dict = {}
+    for r in sentences_df(df, "text").select("url", "sent_idx", "input").collect():
+        got.setdefault(r["url"], []).append((r["sent_idx"], r["input"]))
+    for i, t in enumerate(texts):
+        want = list(enumerate(split_sentences(t)))
+        assert sorted(got.get(f"u{i}", [])) == want, (i, t)
+
+
 def test_bounded_split_byte_identical(spark):
     """Boundary-aware split: Column fold and pure-Python twin must agree
     byte-for-byte, including suppression inside boundaries, multi-
