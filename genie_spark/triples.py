@@ -29,8 +29,12 @@ TAG_SPLIT_PATTERN = "<sub>|<rel>|<obj>|<et>"
 
 
 def parse_linearization(text: str, dedup: bool = True) -> List[Tuple[str, str, str]]:
-    """Linearized string → list of (s, r, o), preserving first-seen order."""
-    parts = [p.strip() for p in TAG_SPLIT_RE.split(text) if p.strip()]
+    """Linearized string → list of (s, r, o), preserving first-seen order.
+
+    ``.strip(" ")`` (0x20 only), not ``.strip()``: the Column twin uses
+    Spark's ``trim``, which removes only spaces — a field containing a
+    tab or NBSP must round-trip identically through both forms."""
+    parts = [p.strip(" ") for p in TAG_SPLIT_RE.split(text) if p.strip(" ")]
     triples = [tuple(parts[i : i + 3]) for i in range(0, len(parts) - 2, 3)]
     if not dedup:
         return triples
@@ -44,9 +48,13 @@ def parse_linearization(text: str, dedup: bool = True) -> List[Tuple[str, str, s
 
 
 def format_linearization(triples: Sequence[Tuple[str, str, str]]) -> str:
-    """List of (s, r, o) → linearized string (leading space per triple)."""
+    """List of (s, r, o) → linearized string (leading space per triple).
+    Fields are trimmed with Spark's semantics (0x20 only — see
+    :func:`parse_linearization`)."""
     return "".join(
-        " <sub> {} <rel> {} <obj> {} <et>".format(s.strip(), r.strip(), o.strip())
+        " <sub> {} <rel> {} <obj> {} <et>".format(
+            s.strip(" "), r.strip(" "), o.strip(" ")
+        )
         for s, r, o in triples
     )
 

@@ -73,6 +73,10 @@ def test_parse_triples_col_matches_python(spark):
         " <sub> A <rel> r <obj> B <et> <sub> C",  # trailing partial chunk
         "",
         "no tags at all",
+        # hostile whitespace: tab/NBSP inside fields — both forms must
+        # trim ONLY 0x20 (Spark trim semantics), keeping these bytes
+        " <sub> tab\there <rel> nb\xa0sp <obj> \tlead <et>",
+        " <sub> \xa0 <rel> x <obj> y <et>",  # NBSP-only field survives
     ]
     df = spark.createDataFrame([(s,) for s in lins], ["lin"]).withColumn(
         "triples", parse_triples_col(F.col("lin"))
