@@ -1,0 +1,76 @@
+"""URL normalization + URL-keyed dedup for crawl pipelines.
+
+A crawl re-fetches the same page under cosmetically different URLs
+(tracking params, fragments, host-case, trailing slashes); URL-keyed
+dedup before any text processing is the cheapest dedup tier — one
+row-local normalization plus one hash-groupBy, no content reads. The
+normalizer is deliberately rule-explicit (documented below) rather than
+RFC-complete, and every rule is a Column expression with an exact DuckDB
+twin so the operator sits under the hash gate.
+
+Normalization rules (applied in order):
+1. scheme and host lowercased (path/query case preserved);
+2. fragment dropped;
+3. ``utm_*`` query parameters dropped (param order otherwise preserved);
+4. a single trailing slash dropped from the path (so ``/a/`` == ``/a``
+   and a bare ``https://h/`` == ``https://h``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# RE2-safe (also valid Java regex) component extractors
+_SCHEME = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+_HOST = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_PATH = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+_QUERY = "\\?([^#]*)"
+
+
+def normalize_url_col(url: Column) -> Column:
+    scheme = F.lower(F.regexp_extract(url, _SCHEME, 1))
+    host = F.lower(F.regexp_extract(url, _HOST, 1))
+    path = F.regexp_replace(F.regexp_extract(url, _PATH, 1), "/$", "")
+    query = F.regexp_extract(url, _QUERY, 1)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.startswith("utm_"),
+    )
+    qpart = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, path, qpart)
+
+
+def normalize_url_sql(url_expr: str) -> str:
+    """DuckDB twin of :func:`normalize_url_col`."""
+    scheme = f"lower(regexp_extract({url_expr}, '{_SCHEME}', 1))"
+    host = f"lower(regexp_extract({url_expr}, '{_HOST}', 1))"
+    path = f"regexp_replace(regexp_extract({url_expr}, '{_PATH}', 1), '/$', '')"
+    query = f"regexp_extract({url_expr}, '\\?([^#]*)', 1)"
+    kept = (
+        f"list_filter(string_split({query}, '&'),"
+        f" p -> p <> '' AND NOT starts_with(p, 'utm_'))"
+    )
+    qpart = (
+        f"CASE WHEN len({kept}) > 0 THEN '?' || array_to_string({kept}, '&')"
+        f" ELSE '' END"
+    )
+    return f"({scheme} || '://' || {host} || {path} || {qpart})"
+
+
+def dedup_by_url(
+    pages: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-keyed dedup: normalize, keep the smallest id per normalized
+    URL. Returns (norm_url, keep_id, n_dups) — one hash-groupBy over
+    short strings, the same scale shape as exact text dedup but without
+    touching document content."""
+    return (
+        pages.select(
+            normalize_url_col(F.col(url_col)).alias("norm_url"), F.col(id_col)
+        )
+        .groupBy("norm_url")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )

@@ -1419,6 +1419,59 @@ def fingerprint_q(spark, sf_dir):
 # -- deterministic sampling / splitting / packing -----------------------------
 
 
+def _url_dedup_oracle():
+    from .datapipe.urls import normalize_url_sql
+
+    return f"""
+WITH variants AS (
+  SELECT doc_id * 2 AS vid,
+         'https://' || source || '/doc/' || doc_id AS url
+  FROM documents
+  UNION ALL
+  SELECT doc_id * 2 + 1 AS vid,
+         'HTTPS://' || upper(source) || '/doc/' || doc_id ||
+         '/?utm_source=x&utm_medium=y#frag' AS url
+  FROM documents
+)
+SELECT {normalize_url_sql('url')} AS norm_url,
+       min(vid)::BIGINT AS keep_id,
+       count(*)::BIGINT AS n_dups
+FROM variants GROUP BY 1
+"""
+
+
+@_register("dedup_url", _url_dedup_oracle())
+def dedup_url(spark, sf_dir):
+    """URL-keyed dedup over fabricated crawl variants: every page appears
+    once canonically and once with uppercased host, trailing slash,
+    tracking params, and a fragment — normalization must fold each pair
+    to one key (n_dups=2 everywhere, canonical vid kept)."""
+    from .datapipe.urls import dedup_by_url
+
+    docs = _t(spark, sf_dir, "documents")
+    canonical = docs.select(
+        (F.col("doc_id") * 2).alias("vid"),
+        F.concat(
+            F.lit("https://"), "source", F.lit("/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    messy = docs.select(
+        (F.col("doc_id") * 2 + 1).alias("vid"),
+        F.concat(
+            F.lit("HTTPS://"), F.upper("source"), F.lit("/doc/"),
+            F.col("doc_id").cast("string"),
+            F.lit("/?utm_source=x&utm_medium=y#frag"),
+        ).alias("url"),
+    )
+    out = dedup_by_url(canonical.unionAll(messy), url_col="url", id_col="vid")
+    return out.select(
+        "norm_url",
+        F.col("keep_id").cast("bigint").alias("keep_id"),
+        F.col("n_dups").cast("bigint").alias("n_dups"),
+    )
+
+
 @_register(
     "contact_flags",
     """

@@ -129,6 +129,21 @@ def test_repetition_features_semantics(spark):
     assert out[3]["top_word_frac"] == pytest.approx(0.5)
 
 
+def test_url_normalization_rules(spark):
+    from genie_spark.datapipe.urls import normalize_url_col
+
+    cases = [
+        ("HTTPS://Example.COM/A/b/", "https://example.com/A/b"),     # host lower, path case kept, trailing /
+        ("http://h/p?utm_source=x&q=1&utm_b=2#f", "http://h/p?q=1"),  # utm + fragment dropped, order kept
+        ("https://h/?utm_only=1", "https://h"),                       # empty query + root slash collapse
+        ("https://h/p?b=2&a=1", "https://h/p?b=2&a=1"),               # param order preserved
+        ("https://h", "https://h"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [r["n"] for r in df.select(normalize_url_col(F.col("url")).alias("n")).collect()]
+    assert got == [want for _, want in cases]
+
+
 def test_contact_flags_semantics(spark):
     from genie_spark.datapipe.textstats import contact_flags
 
