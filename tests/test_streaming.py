@@ -199,7 +199,7 @@ def test_stream_dedup_ttl_evicts_and_reports_state(spark, tmp_path):
         except Exception:
             return []
 
-    def run_until(pred, timeout_s=120):
+    def run_until(pred, timeout_s=300):  # shared host: generous deadline
         q = stream_dedup_exact(
             spark, in_dir, out_dir, available_now=False,
             state_ttl="2 seconds", trigger_interval="300 milliseconds",
@@ -231,8 +231,10 @@ def test_stream_dedup_ttl_evicts_and_reports_state(spark, tmp_path):
     assert m["numRowsTotal"] == 1 and m["memoryUsedBytes"] > 0
 
     # let the TTL lapse; the restarted query fires the timeout and evicts
-    # the alpha hash (observable as a state-row removal)
-    time.sleep(3)
+    # the alpha hash (observable as a state-row removal). Sleep well past
+    # the 2s TTL: under co-tenant load the previous query's final
+    # timeout registration can land late
+    time.sleep(6)
     arrive([(2, "filler text")], "append")
     run_until(
         lambda q: ("filler text", 2) in sink_rows()
