@@ -98,8 +98,13 @@ class HFTokenizerAdapter:
 
     def decode(self, ids: Iterable[int], skip_special_tokens: bool = True) -> str:
         """HF decode, normalized to the linearization surface the parser
-        expects (no leading space)."""
-        return self.hf.decode(list(ids), skip_special_tokens=skip_special_tokens).strip()
+        expects (no leading space). strip(" ") — NOT bare strip() — per the
+        twin-divergence rule: Spark's trim removes only 0x20, so a BPE
+        decode emitting a leading tab/NBSP must round-trip identically on
+        both the Column and Python sides."""
+        return self.hf.decode(
+            list(ids), skip_special_tokens=skip_special_tokens
+        ).strip(" ")
 
     def __len__(self) -> int:
         return len(self.hf)

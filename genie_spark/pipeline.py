@@ -260,10 +260,26 @@ class GenieExtractor:
             or (scorer_factory and _qual(scorer_factory))
             or "default"
         )
+        # Hash the FULL name lists: a catalog refresh that preserves counts
+        # and the first-N sorted names must still produce a distinct key, or
+        # a reused Python worker would serve stale tries (silent wrong
+        # triples). One md5 over the joined byte string is microseconds even
+        # at ~6M names, and — unlike Python's salted hash() — stable across
+        # driver processes.
+        import hashlib
+
+        catalog_digest = hashlib.md5()
+        for name in payload["ent_names"]:
+            catalog_digest.update(name.encode("utf-8", "surrogatepass"))
+            catalog_digest.update(b"\x1f")
+        catalog_digest.update(b"\x1e")
+        for name in payload["rel_names"]:
+            catalog_digest.update(name.encode("utf-8", "surrogatepass"))
+            catalog_digest.update(b"\x1f")
         payload["cache_key"] = (
             len(payload["ent_names"]),
             len(payload["rel_names"]),
-            hash(tuple(payload["ent_names"][:100]) + tuple(payload["rel_names"])),
+            catalog_digest.hexdigest(),
             stack_id,
         )
         self._bc = spark.sparkContext.broadcast(payload)

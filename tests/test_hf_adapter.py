@@ -259,6 +259,25 @@ def test_toy_bpe_stack_runs_distributed(spark):
     assert rep == {t: out[t]["prediction"] for t in texts}
 
 
+def test_adapter_decode_strips_only_0x20(adapter):
+    """decode() must normalize with strip(" "), never bare strip(): Spark's
+    trim removes only 0x20, so a BPE decode emitting leading/trailing
+    tab/NBSP must keep those bytes to stay byte-identical with the
+    Column-side convention (the round-3 twin-divergence rule)."""
+
+    class HostileDecodeBPE(FakeBPETokenizer):
+        def decode(self, ids, skip_special_tokens=True):
+            return "\t\xa0 " + super().decode(ids, skip_special_tokens) + " \xa0\t"
+
+    hostile = HFTokenizerAdapter(HostileDecodeBPE(ENTS + RELS))
+    ids = hostile.encode("Zurich")
+    got = hostile.decode(ids)
+    assert got.startswith("\t\xa0") and got.endswith("\xa0\t"), repr(got)
+    assert got.strip(" \t\xa0") == "Zurich", repr(got)
+    # and the normal path still yields the bare surface form
+    assert adapter.decode(adapter.encode("Zurich")) == "Zurich"
+
+
 def test_hf_checkpoint_exclusive_with_other_stacks(spark):
     from genie_spark.pipeline import GenieExtractor
 

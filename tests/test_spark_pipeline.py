@@ -407,6 +407,35 @@ def test_extractor_accepts_trie_artifacts(spark, tmp_path):
     assert key(loaded) == key(base)
 
 
+def test_worker_cache_key_hashes_full_catalog(spark):
+    """Two catalogs with equal ent/rel counts and identical first-100
+    sorted entity names (differing only beyond position 100) must get
+    DISTINCT worker-cache keys, and the second extractor's tries must
+    actually reach reused Python workers — the round-3 hazard was a
+    truncated cache key silently serving stale tries."""
+    rels = sorted(synth.RELATIONS)
+    base = [f"Aent {i:03d}" for i in range(118)]
+    ents_a = base + ["Zed Alpha", "Zed Beta"]
+    ents_b = base + ["Zed Alpha", "Zed Gamma"]  # differs at sorted pos 119
+
+    ex_a = GenieExtractor(spark, ents_a, rels, num_beams=2)
+    ex_b = GenieExtractor(spark, ents_b, rels, num_beams=2)
+    ka, kb = ex_a._bc.value["cache_key"], ex_b._bc.value["cache_key"]
+    assert ka[:2] == kb[:2], "counts are equal by construction"
+    assert ka != kb, "full-catalog hash must separate the keys"
+
+    # distributed staleness check: run A first (warms worker caches), then
+    # B over a sentence only B's catalog can ground. A stale stack could
+    # never emit "Zed Gamma" (not in A's trie).
+    df = spark.createDataFrame(
+        [("u0", 0, "Zed Gamma birthplace Zed Alpha.")],
+        ["url", "sent_idx", "input"],
+    ).repartition(1)
+    ex_a.transform(df).collect()
+    pred_b = ex_b.transform(df).collect()[0]["prediction"]
+    assert pred_b is not None and "Zed Gamma" in pred_b, pred_b
+
+
 def test_pipeline_partition_invariance_with_decode_knobs(spark):
     """The reference-parity decode knobs (length_penalty=1.0 + forced BOS)
     must stay partition-invariant through the distributed mapInPandas
