@@ -164,6 +164,107 @@ class DecodeState:
         return out
 
 
+class FreeDecodeState:
+    """Trie-less decode state for free (unconstrained) generation — the
+    reference's ``free_generation=true`` path (genie_base_pl.py:92-94:
+    tries are only loaded when constrained, and ``model.sample`` runs with
+    no prefix-constraint fn; genie_base_hf.py:1-36 serves this baseline).
+
+    Every non-special vocab token plus EOS is allowed at every step; the
+    grammar is never ENFORCED. The tag-group status is still TRACKED (a
+    sliding 3-token window counting completed ``< tag >`` groups, the
+    incremental form of :func:`allowed_for_prefix`'s scan) so that
+    status-aware scorers see the same positional features a trained model
+    internalizes — without it, a heuristic scorer could never terminate
+    sensibly in free mode.
+    """
+
+    is_free = True
+
+    __slots__ = (
+        "codes",
+        "vocab",
+        "status",
+        "finished",
+        "triples_done",
+        "need_bos",
+        "name_len",
+        "_p2",
+        "_p1",
+    )
+
+    def __init__(
+        self,
+        codes: TagCodes,
+        vocab: Sequence[int],
+        bos_first: bool = False,
+    ):
+        """``vocab`` is the shared allowed-id list (see
+        ``decode.free_vocab_ids``); it is returned by reference from
+        :meth:`allowed`, never mutated."""
+        self.codes = codes
+        self.vocab = vocab
+        self.status = OB
+        self.finished = False
+        self.triples_done = 0
+        self.need_bos = bos_first
+        self.name_len = 0  # phase-0 content tokens in the open field
+        self._p2: Optional[int] = None  # sliding window: tokens at -2, -1
+        self._p1: Optional[int] = None
+
+    def clone(self) -> "FreeDecodeState":
+        c = FreeDecodeState.__new__(FreeDecodeState)
+        c.codes, c.vocab = self.codes, self.vocab
+        c.status, c.finished, c.triples_done = (
+            self.status,
+            self.finished,
+            self.triples_done,
+        )
+        c.need_bos, c.name_len = self.need_bos, self.name_len
+        c._p2, c._p1 = self._p2, self._p1
+        return c
+
+    @property
+    def phase(self) -> int:
+        """Derived grammar phase (same meaning as DecodeState.phase):
+        1 = the last token was '<', 2 = the last two were '< tag',
+        0 otherwise. Purely observational in free mode."""
+        c = self.codes
+        if self._p1 == c.lt:
+            return 1
+        if self._p2 == c.lt and self._p1 in c.tagset:
+            return 2
+        return 0
+
+    def push(self, tok: int) -> None:
+        c = self.codes
+        if self.finished:
+            return
+        if self.need_bos:
+            self.need_bos = False
+            return
+        if tok == c.eos:
+            self.finished = True
+            return
+        if self._p2 == c.lt and self._p1 in c.tagset and tok == c.gt:
+            # a '< tag >' group completed (matches the full-scan count:
+            # groups can never overlap because each starts with '<')
+            self.status = (self.status + 1) % 4
+            if self.status == OB:
+                self.triples_done += 1
+            self.name_len = 0
+        elif self.status != OB and tok != c.lt and self.phase == 0:
+            self.name_len += 1
+        self._p2, self._p1 = self._p1, tok
+
+    def allowed(self) -> List[int]:
+        if self.finished:
+            return []
+        if self.need_bos:
+            return [self.codes.bos]
+        return self.vocab  # shared list, by contract never mutated
+
+
 def allowed_for_prefix(
     prefix: Sequence[int],
     codes: TagCodes,

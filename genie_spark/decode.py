@@ -39,7 +39,7 @@ from bisect import bisect_left
 from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
 
-from .constraints import OB, DecodeState, TagCodes
+from .constraints import OB, DecodeState, FreeDecodeState, TagCodes
 from .tokenizer import EOS as EOS_ID
 from .tokenizer import WordTokenizer
 
@@ -70,6 +70,17 @@ class DeterministicScorer:
     # before the first triple completes, stopping is near-forbidden — the
     # model's job is to emit at least one fact when any is extractable
     EOS_NO_TRIPLE_PENALTY = -24.0
+    # free-generation only (state.is_free): what a model trained on the
+    # linearization format internalizes — follow the tag grammar, close
+    # each field after ~a mention's worth of tokens. CLOSE_NAME_BONUS sits
+    # BELOW WEAK_BONUS on purpose: with the doc consumed mid-field, the
+    # model hallucinates previously-seen tokens into the field (weak 1.0
+    # beats close 0.5) rather than emitting empty fields — the ungrounded-
+    # output failure mode free generation exhibits in the paper's
+    # constrained-vs-free comparison. Gated so the constrained path's
+    # logits stay bit-identical.
+    GRAMMAR_BONUS = 8.0
+    CLOSE_NAME_BONUS = 0.5
 
     def __init__(self, tokenizer: WordTokenizer):
         self.tok = tokenizer
@@ -158,6 +169,22 @@ class DeterministicScorer:
         copy_b, decay, weak = self.COPY_BONUS, self.POS_DECAY, self.WEAK_BONUS
         get_pos = positions.get
         tok_bytes = self._tok_bytes
+        # free-generation features (state.is_free, FreeDecodeState): the
+        # grammar is not enforced by the allowed set, so the scorer plays
+        # the role a trained model would — follow the tag grammar and
+        # close each field after a short mention. All of these branches
+        # are dead in constrained mode (free is False, and phase-1/2
+        # constrained steps have singleton allowed sets anyway), keeping
+        # the constrained logits bit-identical.
+        free = getattr(state, "is_free", False)
+        if free:
+            phase = state.phase
+            tag_tok = codes.tags[state.status]
+            gt_tok = codes.gt
+            grammar_b, close_b = self.GRAMMAR_BONUS, self.CLOSE_NAME_BONUS
+            # a field closes once it holds ~a mention (2 tokens); the
+            # +1.0 puts the close decision above any copy bonus + noise
+            close_ready = state.name_len >= 2
         out = []
         append = out.append
         for t in allowed:
@@ -170,9 +197,28 @@ class DeterministicScorer:
                     logit += self.EOS_NO_TRIPLE_PENALTY
                 else:
                     logit += self.EOS_READY_BONUS if exhausted else self.EOS_EARLY_PENALTY
+            elif free and phase == 1:
+                if t == tag_tok:
+                    logit += grammar_b
+            elif free and phase == 2:
+                if t == gt_tok:
+                    logit += grammar_b
             elif t == lt and status_ob:
-                # open another triple while copyable content remains
-                logit += 0.0 if exhausted else self.EOS_READY_BONUS - 2.0
+                if free:
+                    # opening a triple must outbid copying stray content
+                    # between triples (copy_b + max noise < +9); once a
+                    # triple is out and the doc is consumed, defer to EOS
+                    if no_triple or not exhausted:
+                        logit += grammar_b + 1.0
+                else:
+                    # open another triple while copyable content remains
+                    logit += 0.0 if exhausted else self.EOS_READY_BONUS - 2.0
+            elif free and t == lt:
+                # in-name close decision (status S/R/O, phase 0)
+                if close_ready:
+                    logit += grammar_b + 1.0
+                elif exhausted:
+                    logit += close_b
             elif t not in structural:
                 pos = get_pos(t)
                 if pos:
@@ -272,6 +318,21 @@ class HFSeq2SeqScorer:  # pragma: no cover - needs torch/transformers
         return logits[list(allowed)].tolist()
 
 
+def free_vocab_ids(tokenizer) -> List[int]:
+    """Allowed-id list for free (unconstrained) generation: every vocab id
+    except the suppressed specials (pad/bos/unk) — EOS stays in, it is how
+    a beam finishes. Mirrors HF ``generate``'s suppressed-specials
+    convention for the reference's ``free_generation=true`` path
+    (genie_base_pl.py:92-94). Compute once per worker and share across
+    rows (pipeline does); the list is read-only by contract."""
+    drop = {
+        getattr(tokenizer, "pad_token_id", None),
+        getattr(tokenizer, "bos_token_id", None),
+        getattr(tokenizer, "unk_token_id", None),
+    }
+    return [i for i in range(len(tokenizer)) if i not in drop]
+
+
 def _log_softmax(logits: Sequence[float]) -> List[float]:
     m = max(logits)
     exp = math.exp
@@ -292,6 +353,7 @@ def beam_search(
     length_penalty: float = 0.0,
     bos_first: bool = False,
     num_return_sequences: Optional[int] = None,
+    free_vocab: Optional[Sequence[int]] = None,
 ) -> List[Beam]:
     """Constrained beam search; returns the top ``num_return_sequences``
     (default: ``num_beams``) beams sorted by (optionally
@@ -307,16 +369,36 @@ def beam_search(
     cumulative scores — the right setting for the deterministic scorer,
     where normalization degenerately favors padding duplicate triples.
     ``bos_first`` forces BOS as the first generated token
-    (ie_prefix_constraints.py:183-184)."""
+    (ie_prefix_constraints.py:183-184).
+
+    FREE GENERATION: pass ``entities_trie=None`` AND ``relations_trie=None``
+    plus ``free_vocab`` (see :func:`free_vocab_ids`) to run UNconstrained —
+    the reference's ``free_generation=true`` path (genie_base_pl.py:92-94:
+    tries only load when constrained; model.sample runs with no
+    constraint fn; genie_base_hf.py:1-36 is that baseline). Any
+    non-special token is allowed at every step; the output need not be a
+    well-formed linearization and emitted names need not be catalog
+    entries."""
 
     def norm(score: float, n_tokens: int) -> float:
         if length_penalty == 0.0 or n_tokens == 0:
             return score
         return score / (n_tokens**length_penalty)
 
-    live = [
-        Beam(0.0, [], DecodeState(codes, entities_trie, relations_trie, bos_first))
-    ]
+    if entities_trie is None or relations_trie is None:
+        if entities_trie is not None or relations_trie is not None:
+            raise ValueError(
+                "free generation requires BOTH tries to be None (got one)"
+            )
+        if free_vocab is None:
+            raise ValueError(
+                "free generation (tries=None) requires free_vocab — see "
+                "decode.free_vocab_ids"
+            )
+        state0 = FreeDecodeState(codes, free_vocab, bos_first)
+    else:
+        state0 = DecodeState(codes, entities_trie, relations_trie, bos_first)
+    live = [Beam(0.0, [], state0)]
     finished: List[Beam] = []
     from heapq import nsmallest
 
@@ -394,10 +476,18 @@ def generate_for_text(
     length_penalty: float = 0.0,
     bos_first: bool = False,
     num_return_sequences: Optional[int] = None,
+    free_vocab: Optional[Sequence[int]] = None,
 ) -> List[dict]:
     """One document → beams as [{text, log_prob}], best first. This is the
-    reference-oracle entry point; the Spark UDF calls it per row."""
+    reference-oracle entry point; the Spark UDF calls it per row.
+
+    Pass ``entities_trie=None, relations_trie=None`` for free generation
+    (see :func:`beam_search`); ``free_vocab`` is derived from the
+    tokenizer when not supplied (supply it when calling in a loop to skip
+    the per-call rebuild)."""
     ctx = scorer.context(text)
+    if entities_trie is None and relations_trie is None and free_vocab is None:
+        free_vocab = free_vocab_ids(tokenizer)
     beams = beam_search(
         ctx,
         scorer,
@@ -409,6 +499,7 @@ def generate_for_text(
         length_penalty=length_penalty,
         bos_first=bos_first,
         num_return_sequences=num_return_sequences,
+        free_vocab=free_vocab,
     )
     return [
         {"text": tokenizer.decode(b.tokens), "log_prob": b.log_prob} for b in beams

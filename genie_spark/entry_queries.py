@@ -1841,6 +1841,36 @@ def graph_extract_triples(spark, sf_dir):
     )
 
 
+@_register("free_extract_triples")
+def free_extract_triples(spark, sf_dir):
+    """Unconstrained generation baseline — the reference's
+    ``free_generation=true`` run mode (genie_base_pl.py:92-94: tries only
+    load when constrained; genie_base_hf.py:1-36): the same decode stack
+    with the full non-special vocabulary allowed at every step. Output is
+    the raw prediction surface plus how many WELL-FORMED triples it
+    parses into — with an untrained heuristic scorer the emitted names
+    are typically ungrounded (not catalog entries), the failure mode the
+    paper's constrained-vs-free comparison quantifies (twin oracle:
+    oracle_twin.free_oracle_sql)."""
+    import __spark_entry__ as entry_mod
+
+    from .pipeline import GenieExtractor, extract_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = entry_mod._docs_as_pages(docs)
+    ents, rels = entry_mod._corpus_catalogs(docs)
+    ex = GenieExtractor(spark, ents, rels, num_beams=2, constrained=False)
+    out = extract_pipeline(
+        spark, pages, ents, rels, lang="en", num_beams=2, extractor=ex
+    )
+    return out.select(
+        "url",
+        F.col("sent_idx").cast("bigint").alias("sent_idx"),
+        "prediction",
+        F.size("pred_triples").cast("bigint").alias("n_triples"),
+    )
+
+
 @_register("extraction_confidence")
 def extraction_confidence(spark, sf_dir):
     """A9 per-sample form — forced scoring of each emitted prediction

@@ -58,19 +58,26 @@ def _twin_stack(sf_dir: str):
 
 # oracle_sql() may be invoked repeatedly (per-query drivers); the twin
 # generation pass is deterministic per corpus dir, so cache it
+# (key: (sf_dir, constrained))
 _PRED_CACHE: dict = {}
 
 
-def _twin_predictions(sf_dir: str):
+def _twin_predictions(sf_dir: str, constrained: bool = True):
     """(url, sent_idx, sentence, prediction) per en sentence — the shared
-    generation pass of both twin oracles."""
-    hit = _PRED_CACHE.get(sf_dir)
+    generation pass of the twin oracles. ``constrained=False`` runs the
+    trie-less free-generation twin (decode.beam_search with tries=None)."""
+    key = (sf_dir, constrained)
+    hit = _PRED_CACHE.get(key)
     if hit is not None:
         return hit
-    from .decode import generate_for_text, top_valid_prediction
+    from .decode import free_vocab_ids, generate_for_text, top_valid_prediction
     from .extract import split_sentences
 
     docs, tok, codes, ent_t, rel_t, scorer = _twin_stack(sf_dir)
+    fv = None
+    if not constrained:
+        ent_t = rel_t = None
+        fv = free_vocab_ids(tok)
     out = []
     for doc_id, text, lang, source in docs:
         if lang != "en":
@@ -78,12 +85,16 @@ def _twin_predictions(sf_dir: str):
         url = f"https://{source}/doc/{doc_id}"
         for idx, sent in enumerate(split_sentences(text)):
             beams = generate_for_text(
-                sent, scorer, tok, codes, ent_t, rel_t, num_beams=2, max_length=96
+                sent, scorer, tok, codes, ent_t, rel_t, num_beams=2,
+                max_length=96, free_vocab=fv,
             )
             out.append((url, idx, sent, top_valid_prediction(beams)))
-    _PRED_CACHE.clear()  # one corpus at a time; these lists are sizable
-    _PRED_CACHE[sf_dir] = (out, (tok, codes, ent_t, rel_t, scorer))
-    return _PRED_CACHE[sf_dir]
+    # one corpus at a time (these lists are sizable), but both decode
+    # modes of that corpus stay cached — oracle_sql() asks for each
+    for k in [k for k in _PRED_CACHE if k[0] != sf_dir]:
+        del _PRED_CACHE[k]
+    _PRED_CACHE[key] = (out, (tok, codes, ent_t, rel_t, scorer))
+    return _PRED_CACHE[key]
 
 
 def flagship_expected_rows(sf_dir: str) -> List[Row]:
@@ -158,6 +169,38 @@ SELECT count(*)::BIGINT AS n_scored,
        round((sum(CAST(round(loss * 1000000, 0) AS BIGINT)) / 1000000.0) / count(*), 6) AS loss_per_seq
 FROM per
 """
+
+
+def free_expected_rows(sf_dir: str) -> List[tuple]:
+    """Twin of free_extract_triples: per en sentence,
+    (url, sent_idx, prediction, n_triples) from the UNconstrained decode
+    (tries=None — the reference's free_generation=true baseline)."""
+    from .triples import parse_linearization
+
+    preds, _ = _twin_predictions(sf_dir, constrained=False)
+    return [
+        (url, idx, pred, len(parse_linearization(pred or "")))
+        for url, idx, _sent, pred in preds
+    ]
+
+
+def free_oracle_sql(sf_dir: str) -> str:
+    """free_extract_triples rows as a VALUES literal."""
+    rows = free_expected_rows(sf_dir)
+    if not rows:
+        return (
+            "SELECT CAST(NULL AS VARCHAR) AS url, CAST(NULL AS BIGINT) AS sent_idx,"
+            " CAST(NULL AS VARCHAR) AS prediction, CAST(NULL AS BIGINT) AS n_triples"
+            " WHERE FALSE"
+        )
+    values = ",\n".join(
+        f"({_sql_str(u)}, {i}, {_sql_str(p)}, {n})" for (u, i, p, n) in rows
+    )
+    return (
+        "SELECT url, sent_idx::BIGINT AS sent_idx,"
+        " prediction::VARCHAR AS prediction, n_triples::BIGINT AS n_triples"
+        " FROM (VALUES\n" + values + "\n) AS t(url, sent_idx, prediction, n_triples)"
+    )
 
 
 def _sql_str(v: Optional[str]) -> str:

@@ -168,8 +168,18 @@ class GenieExtractor:
         hf_checkpoint: Optional[str] = None,
         hf_device: str = "cuda",
         stack_factory=None,
+        constrained: bool = True,
     ):
-        """Scorer selection (executor-side, shipped via the broadcast):
+        """``constrained=False`` switches to FREE generation — the
+        reference's ``free_generation=true`` run mode (genie_base_pl.py:
+        92-94: tries only load when constrained and model.sample runs
+        without a constraint fn; genie_base_hf.py:1-36 is that baseline).
+        The decode stack (tokenizer/scorer) is identical; only the
+        per-step allowed set changes to the full non-special vocabulary,
+        so output need not be well-formed and names need not be catalog
+        entries.
+
+        Scorer selection (executor-side, shipped via the broadcast):
 
         * default — DeterministicScorer over WordTokenizer (sandbox/oracle
           path).
@@ -199,6 +209,7 @@ class GenieExtractor:
         # deterministic-scorer golden outputs unchanged
         self.length_penalty = length_penalty
         self.bos_first = bos_first
+        self.constrained = constrained
         if hf_checkpoint is not None and (
             trie_artifacts is not None or scorer_factory is not None
         ):
@@ -290,6 +301,7 @@ class GenieExtractor:
         num_beams, max_length = self.num_beams, self.max_length
         length_penalty, bos_first = self.length_penalty, self.bos_first
         n_ret = self.num_return_sequences
+        constrained = self.constrained
         out_schema = StructType(
             df.schema.fields
             + [
@@ -303,6 +315,15 @@ class GenieExtractor:
             import pandas as pd
 
             tok, codes, ent, rel, scorer = _worker_setup(bc.value)
+            if constrained:
+                fv = None
+            else:
+                from .decode import free_vocab_ids
+
+                # free mode: tries are ignored, allowed set = full vocab
+                # (built once per worker, shared across rows)
+                ent = rel = None
+                fv = free_vocab_ids(tok)
             for pdf in batches:
                 beams_col, pred_col = [], []
                 for text in pdf[text_col]:
@@ -310,7 +331,7 @@ class GenieExtractor:
                         text, scorer, tok, codes, ent, rel,
                         num_beams=num_beams, max_length=max_length,
                         length_penalty=length_penalty, bos_first=bos_first,
-                        num_return_sequences=n_ret,
+                        num_return_sequences=n_ret, free_vocab=fv,
                     )
                     beams_col.append(
                         [(b["text"], float(b["log_prob"])) for b in beams]
