@@ -141,6 +141,7 @@ HEADLINE = [
     "shuffle_rank",
     "repetition_stats",
     "curation_pipeline",
+    "free_extract_triples",
 ]
 
 
@@ -514,7 +515,42 @@ def main():
         result = run_gen_only(args.sf_dir, args.cpus, args.replicate)
     else:
         result = run_default(args.sf_dir, args.cpus)
-    print(json.dumps(result))
+
+    # The FULL result always lands on disk: the driver's stdout capture is
+    # a bounded tail, and round 3's artifact was truncated mid-JSON when
+    # the line outgrew it (BENCH_r03 "parsed": null). The stdout line is
+    # kept compact — headline numbers + per-query timings + a pointer —
+    # while every nested detail (scaling levels, hw baseline, record) is
+    # in the file.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "suite_latest.json"
+    )
+    try:
+        os.makedirs(os.path.dirname(full_path), exist_ok=True)
+        with open(full_path, "w", encoding="utf-8") as f:
+            json.dump(result, f, indent=1)
+            f.write("\n")
+    except OSError:
+        full_path = None  # read-only checkout: stdout still carries the core
+
+    compact = {
+        k: v
+        for k, v in result.items()
+        if k not in ("scaling", "scaling_record", "hw_baseline", "levels")
+    }
+    sc = result.get("scaling") or {}
+    if "efficiency" in sc:
+        compact["scaling_efficiency"] = sc["efficiency"]
+    rec = result.get("scaling_record") or {}
+    if "cluster_normalized_efficiency" in rec:
+        compact["scaling_record_cne"] = rec["cluster_normalized_efficiency"]
+    if "levels" in result:  # --scaling mode: keep the per-level seconds
+        compact["levels"] = {
+            str(k): v.get("seconds") for k, v in result["levels"].items()
+        }
+    if full_path:
+        compact["full"] = full_path
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
