@@ -12,8 +12,25 @@ evaluator, prints the reference's ``name, score`` / ``mean +- std``
 lines, and writes ``{micro,macro}_results.json`` under --output-dir —
 the same artifacts the reference run leaves behind.
 
+Two more evaluators switch on from extra inputs, mirroring the
+reference's full evaluator roster (genie/evaluate_from_file.py:90-174):
+
+* ``--train-split`` (KILT or testing-output jsonl) enables the Bucket
+  evaluator — the train split is rescanned for relation occurrence
+  counts (the reference re-instantiates the train datamodule for this),
+  per-relation scores aggregate into floor(log2(count)) buckets, and
+  ``bucket_results.json`` carries the per-bucket metrics plus the
+  reference's ``val_relations_per_bucket`` / ``val_triples_per_bucket``
+  companions. Plot rendering (plot_helpers.py) is presentation, not
+  computed here.
+* ``--zs-relations`` (JSON: {group: [relation, ...]}) enables the
+  zero-shot group evaluator (MicroMetricsZSEvaluator) and writes
+  ``zs_results.json``; relations missing from every group score under
+  'seen'.
+
     python evaluate_from_file.py --input testing_output.json \
-        --output-dir /tmp/eval --bootstrap 50 [--relations rels.jsonl]
+        --output-dir /tmp/eval --bootstrap 50 [--relations rels.jsonl] \
+        [--train-split train.jsonl] [--zs-relations zs_groups.json]
 """
 
 from __future__ import annotations
@@ -37,6 +54,12 @@ def main(argv=None) -> dict:
                     help="bootstrap resamples for micro CIs (reference: 50)")
     ap.add_argument("--bootstrap-mode", choices=["multinomial", "poisson"],
                     default="multinomial")
+    ap.add_argument("--train-split",
+                    help="train-split jsonl (KILT or testing-output format); "
+                    "enables the Bucket evaluator")
+    ap.add_argument("--zs-relations",
+                    help="JSON file {group: [relation, ...]}; enables the "
+                    "zero-shot group evaluator")
     ap.add_argument("--cpus", type=int, default=0,
                     help="local[<n>] master; 0 = use the active/spark-submit master")
     args = ap.parse_args(argv)
@@ -88,6 +111,71 @@ def main(argv=None) -> dict:
         os.path.join(args.output_dir, "macro_per_relation.json"),
         orient="records", indent=2,
     )
+
+    _METRIC_NAMES = ("precision", "recall", "f1")
+    if args.train_split:
+        from genie_spark.metrics import bucket_metrics, relation_occurrences
+
+        # the train-split rescan the reference does through its
+        # datamodule (evaluate_from_file.py:90-119) — here one scan +
+        # one count aggregation; both KILT and testing-output shapes
+        # expose the parsed target triples through read_testing_output
+        train = read_testing_output(spark, args.train_split)
+        counts = relation_occurrences(train, "target")
+        brows = sorted(
+            bucket_metrics(df, counts).collect(), key=lambda r: r["bucket"]
+        )
+        bucket_obj: dict = {
+            m: {str(r["bucket"]): float(r[m]) for r in brows}
+            for m in _METRIC_NAMES
+        }
+        # the reference's companion counts in the same results file
+        bucket_obj["val_relations_per_bucket"] = {
+            str(r["bucket"]): int(r["n_relations"]) for r in brows
+        }
+        bucket_obj["val_triples_per_bucket"] = {
+            str(r["bucket"]): int(r["n_target"]) for r in brows
+        }
+        for r in brows:
+            for m in _METRIC_NAMES:
+                print(f"bucket-b{r['bucket']}-{m}, {float(r[m]):.3f}")
+        with open(
+            os.path.join(args.output_dir, "bucket_results.json"), "w",
+            encoding="utf-8",
+        ) as f:
+            json.dump(bucket_obj, f, indent=4, sort_keys=True)
+        results["bucket"] = bucket_obj
+
+    if args.zs_relations:
+        from genie_spark.metrics import zero_shot_metrics
+
+        with open(args.zs_relations, encoding="utf-8") as f:
+            groups = json.load(f)
+        rel_groups = spark.createDataFrame(
+            [(rel, g) for g, rl in groups.items() for rel in rl],
+            ["rel", "group"],
+        )
+        zrows = sorted(
+            zero_shot_metrics(df, rel_groups).collect(),
+            key=lambda r: r["group"],
+        )
+        zs_obj = {
+            r["group"]: {
+                **{m: float(r[m]) for m in _METRIC_NAMES},
+                "n_target": int(r["n_target"]),
+            }
+            for r in zrows
+        }
+        for r in zrows:
+            for m in _METRIC_NAMES:
+                print(f"zs-{r['group']}-{m}, {float(r[m]):.3f}")
+        with open(
+            os.path.join(args.output_dir, "zs_results.json"), "w",
+            encoding="utf-8",
+        ) as f:
+            json.dump(zs_obj, f, indent=4, sort_keys=True)
+        results["zs"] = zs_obj
+
     return results
 
 

@@ -47,6 +47,54 @@ def test_cli_metrics_and_artifacts(spark, tmp_path, run_files, capsys):
     assert "micro-f1," in printed and "macro-f1," in printed
 
 
+def test_cli_all_four_evaluators(spark, tmp_path, run_files, capsys):
+    """Micro + Macro + Bucket (train-split rescan) + ZS from one CLI run,
+    mirroring the reference's full evaluator roster
+    (genie/evaluate_from_file.py:90-174)."""
+    out_path, _ = run_files
+    lin = " <sub> {} <rel> {} <obj> {} <et>"
+    # train split: r1 occurs 4x -> bucket floor(log2(4)) = 2; r2 once ->
+    # bucket 0 (the reference buckets by train occurrence count)
+    train_rows = [
+        {"id": f"t{i}", "target": lin.format("X", "r1", "Y").replace("X", f"X{i}")}
+        for i in range(4)
+    ] + [{"id": "t9", "target": lin.format("P", "r2", "Q")}]
+    train = tmp_path / "train.jsonl"
+    train.write_text("\n".join(json.dumps(r) for r in train_rows))
+    zs = tmp_path / "zs_groups.json"
+    zs.write_text(json.dumps({"dropped": ["r2"], "ignored": ["r9"]}))
+
+    out_dir = str(tmp_path / "eval_full")
+    results = evaluate_from_file.main(
+        ["--input", out_path, "--output-dir", out_dir,
+         "--train-split", str(train), "--zs-relations", str(zs)]
+    )
+
+    # bucket 2 holds r1 only: P = 1/1, R = 1/2 over the val rows
+    b = results["bucket"]
+    assert b["precision"]["2"] == pytest.approx(1.0)
+    assert b["recall"]["2"] == pytest.approx(0.5)
+    assert b["precision"]["0"] == pytest.approx(0.0)  # r2: 0 of 1 correct
+    assert b["val_relations_per_bucket"] == {"2": 1, "0": 1}
+    assert b["val_triples_per_bucket"] == {"2": 2, "0": 1}
+
+    # zs: r2 is 'dropped' (0 correct); r1 falls back to 'seen'
+    z = results["zs"]
+    assert z["dropped"]["precision"] == pytest.approx(0.0)
+    assert z["dropped"]["n_target"] == 1
+    assert z["seen"]["precision"] == pytest.approx(1.0)
+    assert z["seen"]["recall"] == pytest.approx(0.5)
+    assert "ignored" not in z  # no val rows under that group
+
+    for name in ("micro_results.json", "macro_results.json",
+                 "bucket_results.json", "zs_results.json"):
+        assert os.path.exists(os.path.join(out_dir, name)), name
+    saved = json.load(open(os.path.join(out_dir, "bucket_results.json")))
+    assert saved["val_triples_per_bucket"] == {"0": 1, "2": 2}
+    printed = capsys.readouterr().out
+    assert "bucket-b2-f1," in printed and "zs-dropped-f1," in printed
+
+
 def test_cli_relation_restriction_and_bootstrap(spark, tmp_path, run_files):
     out_path, rels_path = run_files
     out_dir = str(tmp_path / "eval_r1")
