@@ -24,8 +24,13 @@ import sys
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--format", choices=["rebel", "nre", "fewrel"], required=True)
-    ap.add_argument("--input", required=True, help="raw dataset JSONL")
+    ap.add_argument(
+        "--format", choices=["rebel", "nre", "nre_geo", "fewrel"], required=True
+    )
+    ap.add_argument(
+        "--input", required=True,
+        help="raw dataset JSONL (nre_geo: the trip-split .pickle)",
+    )
     ap.add_argument("--ent-catalog", required=True)
     ap.add_argument("--rel-catalog", required=True)
     ap.add_argument("--output", required=True, help="KILT JSONL directory")
@@ -40,7 +45,9 @@ def main() -> None:
         REBEL_SCHEMA,
         convert_fewrel,
         convert_nre,
+        convert_nre_geo,
         convert_rebel,
+        read_nre_geo_pickle,
     )
     from genie_spark.sources import read_catalog, write_jsonl
 
@@ -56,13 +63,17 @@ def main() -> None:
 
     ents = read_catalog(spark, args.ent_catalog)
     rels = read_catalog(spark, args.rel_catalog)
-    schema, convert = {
-        "rebel": (REBEL_SCHEMA, convert_rebel),
-        "nre": (NRE_SCHEMA, convert_nre),
-        "fewrel": (FEWREL_SCHEMA, convert_fewrel),
-    }[args.format]
-    raw = spark.read.schema(schema).json(args.input)
-    out = convert(raw, ents, rels)
+    if args.format == "nre_geo":
+        raw = read_nre_geo_pickle(spark, args.input)
+        out = convert_nre_geo(raw, ents, rels)
+    else:
+        schema, convert = {
+            "rebel": (REBEL_SCHEMA, convert_rebel),
+            "nre": (NRE_SCHEMA, convert_nre),
+            "fewrel": (FEWREL_SCHEMA, convert_fewrel),
+        }[args.format]
+        raw = spark.read.schema(schema).json(args.input)
+        out = convert(raw, ents, rels)
     write_jsonl(out, args.output, mode="overwrite")
     n = spark.read.json(args.output).count()
     print(json.dumps({"format": args.format, "rows_written": n, "output": args.output}))

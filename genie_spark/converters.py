@@ -276,6 +276,52 @@ def convert_nre(
 
 
 # ---------------------------------------------------------------------------
+# Geo-NRE (convert_nre_geo_data2kilt.py:66-127): the NRE conversion over a
+# trip-split pickle, with the entity_tokens_mask carried through as metadata
+# ---------------------------------------------------------------------------
+
+GEO_NRE_SCHEMA = (
+    "sample_id bigint, x string, y array<string>, "
+    "entity_tokens_mask array<bigint>"
+)
+
+
+def read_nre_geo_pickle(spark, path: str) -> DataFrame:
+    """Trip-split pickle — a list of ``(x, y, entity_tokens_mask)`` tuples
+    (convert_nre_geo_data2kilt.py:72-79) — as Geo-NRE sample rows; ids are
+    the enumerate index, exactly as the reference assigns them.
+
+    Driver-side ``pickle.load``: trip splits are small curated files, not
+    the 100 TB path, and the reference loads the whole pickle in one
+    process too."""
+    import pickle
+
+    with open(path, "rb") as f:
+        dataset = pickle.load(f)
+    rows = [
+        (i, x, [str(t) for t in y], [int(b) for b in mask])
+        for i, (x, y, mask) in enumerate(dataset)
+    ]
+    return spark.createDataFrame(rows, GEO_NRE_SCHEMA)
+
+
+def convert_nre_geo(
+    df: DataFrame, ent_catalog: DataFrame, rel_catalog: DataFrame
+) -> DataFrame:
+    """Geo-NRE trip split → KILT rows: the composed path the reference's
+    convert_nre_geo_data2kilt.py runs — flat-id-list chunking (same as
+    NRE) + the catalog annotation join (annotate_kilt ≙
+    TripletUtils.process_triple_of_ids with the same status roll-up,
+    :89-109) — with ``entity_tokens_mask`` joined back onto the KILT row
+    (the reference keeps it under meta_obj, :79)."""
+    kilt = convert_nre(df.select("sample_id", "x", "y"), ent_catalog, rel_catalog)
+    masks = df.select(
+        F.col("sample_id").cast("string").alias("id"), "entity_tokens_mask"
+    )
+    return kilt.join(masks, "id")
+
+
+# ---------------------------------------------------------------------------
 # FewRel (convert_fewrel_data2kilt.py:66-141)
 # ---------------------------------------------------------------------------
 

@@ -141,6 +141,49 @@ def test_convert_nre(spark, catalogs):
     assert r3["target"] == ""  # reference formats an empty triple list
 
 
+def test_convert_nre_geo_pickle_roundtrip(spark, catalogs, tmp_path):
+    """Geo-NRE composed path (convert_nre_geo_data2kilt.py:66-127): trip
+    pickle → sample rows → KILT with annotation + the entity_tokens_mask
+    metadata, round-tripped through write_jsonl."""
+    import pickle
+
+    from genie_spark.converters import convert_nre_geo, read_nre_geo_pickle
+
+    ents, rels = catalogs
+    dataset = [
+        ("alice born zurich", ["Q1", "P1", "Q2"], [1, 0, 1]),
+        ("unknown tail", ["Q1", "P1", "Q9"], [1, 0]),
+        ("two facts plus label", ["Q1", "P1", "Q2", "Q3", "P1", "Q1"], [0, 0, 0, 1]),
+    ]
+    p = tmp_path / "trip_dataset.pickle"
+    with open(p, "wb") as f:
+        pickle.dump(dataset, f)
+
+    df = read_nre_geo_pickle(spark, str(p))
+    assert df.count() == 3
+    rows = {r["id"]: r for r in convert_nre_geo(df, ents, rels).collect()}
+    assert rows["0"]["instance_matching_status"] == "title"
+    assert rows["0"]["target"] == " <sub> Alice Smith <rel> birthplace <obj> Zurich <et>"
+    assert list(rows["0"]["entity_tokens_mask"]) == [1, 0, 1]
+    assert rows["1"]["instance_matching_status"] == "no_match"
+    assert rows["1"]["target"] is None
+    assert rows["2"]["instance_matching_status"] == "label"
+    assert list(rows["2"]["entity_tokens_mask"]) == [0, 0, 0, 1]
+
+    out = str(tmp_path / "kilt_out")
+    write_jsonl(convert_nre_geo(df, ents, rels), out, mode="overwrite")
+    back = {r["id"]: r for r in read_kilt(spark, out).collect()}
+    assert set(back) == {"0", "1", "2"}
+    assert back["0"]["target"] == rows["0"]["target"]
+    # the mask survives the jsonl round-trip (outside KILT_SCHEMA, so
+    # re-read it with the mask column included)
+    import pyspark.sql.functions as _F
+
+    raw = spark.read.json(out)
+    masks = {r["id"]: list(r["entity_tokens_mask"]) for r in raw.select("id", "entity_tokens_mask").collect()}
+    assert masks["2"] == [0, 0, 0, 1]
+
+
 def test_convert_fewrel(spark, catalogs):
     ents, rels = catalogs
     df = spark.createDataFrame(
