@@ -71,7 +71,7 @@ _MIX_C = int(_hashlib.md5(b"affine-mix-c").hexdigest()[:7], 16) | 1
 
 
 def affine_mix(h: Column, salt: Column) -> Column:
-    """Salt-keyed wrapped-affine remix of a 60-bit base hash → [0, 2^61).
+    """Salt-keyed wrapped-affine remix of a 60-bit base hash → [0, 2^62).
 
     One md5 per INPUT (the base ``h60``), then pure 64-bit-safe arithmetic
     per (input, salt) pair — the same wrap-mod-M31 construction as the

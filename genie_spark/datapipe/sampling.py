@@ -37,6 +37,13 @@ def unit_sql(id_expr: str, salt: str) -> str:
     return f"(({h60_salted_sql(id_expr, repr(salt))}) % {_GRAIN}) / {_GRAIN}.0"
 
 
+def residue_sql(id_expr: str, salt: str) -> str:
+    """DuckDB twin of the INTEGER hash residue (``h60 % _GRAIN``) that
+    :func:`assign_split` compares against :func:`split_thresholds` cut
+    points — integer-exact on both engines, no float boundary cases."""
+    return f"(({h60_salted_sql(id_expr, repr(salt))}) % {_GRAIN})"
+
+
 def sample_fraction(
     df: DataFrame,
     fraction: float,
@@ -68,6 +75,25 @@ def stratified_sample(
     return df.filter(_unit(F.col(id_col), salt) < frac)
 
 
+def split_thresholds(weights: Dict[str, float]):
+    """Cumulative interval cut points in INTEGER grain units (ppm of
+    ``_GRAIN``), in sorted split-name order. Shared by the Column form and
+    any SQL twin so both compare the integer hash residue against the
+    exact same integers — float-accumulated thresholds could disagree
+    with a hand-written literal exactly at boundary residues (u == k/1e6
+    on a cut point). The final cut is pinned to ``_GRAIN`` so assignment
+    is always exhaustive regardless of float accumulation error."""
+    total = float(sum(weights.values()))
+    items = sorted(weights.items())
+    out = []
+    acc = 0.0
+    for name, w in items:
+        acc += float(w)
+        out.append((name, int(round(acc / total * _GRAIN))))
+    out[-1] = (out[-1][0], _GRAIN)
+    return out
+
+
 def assign_split(
     df: DataFrame,
     weights: Dict[str, float],
@@ -81,17 +107,18 @@ def assign_split(
     falls. Properties a corpus split needs: every row gets exactly one
     split; membership is a pure function of (salt, id) — stable across
     reruns, re-partitioning, and incremental corpus growth (old rows
-    never migrate when new rows arrive)."""
-    total = float(sum(weights.values()))
-    u = _unit(F.col(id_col), salt)
+    never migrate when new rows arrive). Comparison happens on the
+    integer hash residue against :func:`split_thresholds` cut points —
+    no float accumulation on the decision path."""
+    cuts = split_thresholds(weights)
+    r = F.pmod(
+        h60_salted(F.col(id_col).cast("string"), F.lit(salt)), F.lit(_GRAIN)
+    )
     expr = None
-    acc = 0.0
-    items = sorted(weights.items())
-    for name, w in items[:-1]:
-        acc += float(w) / total
-        cond = u < acc
+    for name, cut in cuts[:-1]:
+        cond = r < F.lit(cut)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
-    last = items[-1][0]
+    last = cuts[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(last)
     return df.withColumn(out_col, expr)
 

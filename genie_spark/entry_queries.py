@@ -1604,16 +1604,27 @@ def media_frame_sample(spark, sf_dir):
 
 
 def _sampling_oracles():
-    from .datapipe.sampling import unit_sql
+    from .datapipe.sampling import residue_sql, unit_sql
 
     return {
         "u_strata": unit_sql("doc_id", "strata"),
-        "u_split": unit_sql("doc_id", "split"),
+        "r_split": residue_sql("doc_id", "split"),
         "u_up": unit_sql("doc_id", "upsample"),
     }
 
 
 _SAMPLING_U = _sampling_oracles()
+
+
+def _split_cuts():
+    # integer ppm cut points shared with assign_split — the oracle
+    # compares the integer residue against the exact same literals
+    from .datapipe.sampling import split_thresholds
+
+    return dict(split_thresholds({"train": 0.1, "val": 0.1, "test": 0.8}))
+
+
+_SPLIT_CUTS = _split_cuts()
 
 
 @_register(
@@ -1643,8 +1654,8 @@ def sample_stratified(spark, sf_dir):
     "split_assign",
     f"""
 SELECT doc_id::BIGINT AS doc_id,
-       CASE WHEN ({_SAMPLING_U['u_split']}) < 0.8 THEN 'test'
-            WHEN ({_SAMPLING_U['u_split']}) < 0.9 THEN 'train'
+       CASE WHEN ({_SAMPLING_U['r_split']}) < {_SPLIT_CUTS['test']} THEN 'test'
+            WHEN ({_SAMPLING_U['r_split']}) < {_SPLIT_CUTS['train']} THEN 'train'
             ELSE 'val' END AS split
 FROM documents
 """,
@@ -1736,8 +1747,8 @@ gated AS (SELECT * FROM q WHERE lang = 'en' AND round(qscore, 6) >= 0.5),
 keep AS (SELECT md5(text) AS h, min(doc_id) AS keep_id FROM gated GROUP BY 1)
 SELECT g.doc_id::BIGINT AS doc_id,
        round(g.qscore, 6) AS quality_score,
-       CASE WHEN ({_SAMPLING_U['u_split']}) < 0.8 THEN 'test'
-            WHEN ({_SAMPLING_U['u_split']}) < 0.9 THEN 'train'
+       CASE WHEN ({_SAMPLING_U['r_split']}) < {_SPLIT_CUTS['test']} THEN 'test'
+            WHEN ({_SAMPLING_U['r_split']}) < {_SPLIT_CUTS['train']} THEN 'train'
             ELSE 'val' END AS split
 FROM gated g JOIN keep k ON md5(g.text) = k.h AND g.doc_id = k.keep_id
 """,

@@ -18,6 +18,7 @@ driven by Spark's offset log instead of a data-hash chunking.
 from __future__ import annotations
 
 import os
+import re
 from typing import List, Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -147,8 +148,14 @@ def _ttl_ms(ttl) -> int:
     (pyspark's GroupState.setTimeoutDuration only takes ints)."""
     if isinstance(ttl, int):
         return ttl
-    n, unit = ttl.split()
-    return int(float(n) * _TTL_UNITS[unit.lower()])
+    m = re.fullmatch(r"\s*(\d+(?:\.\d+)?)\s+([A-Za-z]+)\s*", str(ttl))
+    if not m or m.group(2).lower() not in _TTL_UNITS:
+        units = "|".join(sorted(set(_TTL_UNITS)))
+        raise ValueError(
+            f"bad state_ttl {ttl!r}: pass int milliseconds or "
+            f"'<number> <unit>' with unit one of {units}"
+        )
+    return int(float(m.group(1)) * _TTL_UNITS[m.group(2).lower()])
 
 
 def stream_dedup_exact(

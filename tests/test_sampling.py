@@ -50,6 +50,37 @@ def test_assign_split_disjoint_exhaustive_and_growth_stable(spark, docs):
     assert 0.7 * n < n_train < 0.9 * n
 
 
+def test_split_thresholds_integer_grain_boundaries(spark, docs):
+    """Cut points are integers in ppm grain, exhaustive by construction,
+    and the Column assignment matches a pure-Python integer-residue twin
+    exactly — including weight vectors whose float accumulation is
+    inexact (three thirds) where a float-threshold form could misplace
+    boundary residues."""
+    from genie_spark.datapipe.hashes import h60_salted_sql
+    from genie_spark.datapipe.sampling import split_thresholds
+
+    import duckdb
+
+    cuts = split_thresholds({"a": 1, "b": 1, "c": 1})
+    assert [c for _, c in cuts] == [333333, 666667, 1_000_000]
+    assert all(isinstance(c, int) for _, c in cuts)
+    # final cut always pinned to the grain regardless of accumulation
+    assert split_thresholds({"x": 0.1, "y": 0.7, "z": 0.2})[-1][1] == 1_000_000
+
+    w = {"a": 1, "b": 1, "c": 1}
+    got = {r["doc_id"]: r["split"] for r in assign_split(docs, w).collect()}
+    # integer-residue twin through DuckDB's identical h60 formula
+    res = duckdb.sql(
+        "SELECT i, (" + h60_salted_sql("i", "'split'") + ") % 1000000 AS r "
+        "FROM (SELECT unnest(range(0, 500))::VARCHAR AS i)"
+    ).fetchall()
+    names = [n for n, _ in cuts]
+    for i, r in res:
+        want = next(n for n, c in cuts if r < c)
+        if int(i) in got:
+            assert got[int(i)] == want, (i, r)
+
+
 def test_stratified_sample_rates_per_stratum(spark, docs):
     out = stratified_sample(
         docs, {"en": 1.0, "de": 0.0}, strata_col="lang", default_fraction=0.0

@@ -287,3 +287,17 @@ def test_stream_page_rates_watermark_windows(spark, tmp_path):
     }
     # hour-0 windows finalized (incl. the late u4); hour-3 window withheld
     assert got == {(0, "en"): 3, (0, "de"): 1}
+
+
+def test_ttl_ms_parsing_and_errors():
+    from genie_spark.streaming import _ttl_ms
+
+    assert _ttl_ms(1500) == 1500
+    assert _ttl_ms("2 seconds") == 2000
+    assert _ttl_ms("1.5 minutes") == 90_000
+    assert _ttl_ms(" 30  days ") == 30 * 86_400_000
+    import pytest as _pytest
+
+    for bad in ("500ms", "2seconds", "1 min", "fast", "", "2 2 seconds"):
+        with _pytest.raises(ValueError, match="state_ttl"):
+            _ttl_ms(bad)
