@@ -61,16 +61,44 @@ def normalize_url_sql(url_expr: str) -> str:
 
 
 def dedup_by_url(
-    pages: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+    pages: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    keep: str = "first",
+    ts_col: str = None,
 ) -> DataFrame:
-    """URL-keyed dedup: normalize, keep the smallest id per normalized
+    """URL-keyed dedup: normalize, keep one representative per normalized
     URL. Returns (norm_url, keep_id, n_dups) — one hash-groupBy over
     short strings, the same scale shape as exact text dedup but without
-    touching document content."""
-    return (
-        pages.select(
-            normalize_url_col(F.col(url_col)).alias("norm_url"), F.col(id_col)
+    touching document content.
+
+    Keep policies:
+
+    * ``keep='first'`` (default): smallest id — a stable canonical
+      representative independent of fetch order.
+    * ``keep='latest'`` (requires ``ts_col``): the row with the maximal
+      ``(ts, id)`` — what a crawl pipeline actually wants: the NEWEST
+      fetch of a page wins, id breaks timestamp ties deterministically.
+      Implemented as a struct max, which stays partial-aggregatable
+      (map-side combine) like min and, unlike ``max_by``, is
+      deterministic on ties.
+    """
+    if keep not in ("first", "latest"):
+        raise ValueError(f"keep must be 'first' or 'latest', got {keep!r}")
+    cols = [normalize_url_col(F.col(url_col)).alias("norm_url"), F.col(id_col)]
+    if keep == "latest":
+        if ts_col is None:
+            raise ValueError("keep='latest' requires ts_col")
+        cols.append(F.col(ts_col))
+        keep_agg = (
+            F.max(F.struct(F.col(ts_col).alias("t"), F.col(id_col).alias("i")))
+            .getField("i")
+            .alias("keep_id")
         )
+    else:
+        keep_agg = F.min(id_col).alias("keep_id")
+    return (
+        pages.select(*cols)
         .groupBy("norm_url")
-        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+        .agg(keep_agg, F.count("*").alias("n_dups"))
     )

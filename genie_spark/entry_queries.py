@@ -919,20 +919,26 @@ def _h60_sql(expr: str) -> str:
 
 
 # shared shingle CTE (word 3-shingles, distinct per doc; docs shorter than
-# 3 words contribute the whole text — matches shingles_col semantics)
-_SHINGLES_SQL = """
+# 3 words contribute the whole text — matches shingles_col semantics).
+# Parameterized by source table so cascade oracles can run the chain over
+# an upstream CTE instead of the base documents table.
+def _shingles_sql(table: str = "documents") -> str:
+    return f"""
   w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
                generate_subscripts(string_split(text, ' '), 1) AS ord
-        FROM documents),
+        FROM {table}),
   nw AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1),
   sh AS (
     SELECT DISTINCT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS shingle
     FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
              JOIN w c ON a.doc_id = c.doc_id AND c.ord = a.ord + 2
     UNION
-    SELECT d.doc_id, d.text FROM documents d JOIN nw ON d.doc_id = nw.doc_id AND nw.n < 3
+    SELECT d.doc_id, d.text FROM {table} d JOIN nw ON d.doc_id = nw.doc_id AND nw.n < 3
   )
 """
+
+
+_SHINGLES_SQL = _shingles_sql()
 
 
 @_register(
@@ -968,10 +974,12 @@ def _minhash_params_sql() -> str:
     return f"(VALUES {vals}) AS v(j, a, b, c)"
 
 
-_MINHASH_ORACLE = f"""
-WITH {_SHINGLES_SQL},
+def _minhash_chain_sql(table: str = "documents") -> str:
+    """WITH-body (no leading WITH) computing the MinHash near-dup chain
+    over ``{table}(doc_id, text)`` — ends in CTE ``est(id_a, id_b, ej)``."""
+    return f"""{_shingles_sql(table)},
 hbase AS (SELECT doc_id, {_h60_sql("shingle")} AS h FROM sh),
-params AS (SELECT * FROM {{params}}),
+params AS (SELECT * FROM {_minhash_params_sql()}),
 mh AS (
   SELECT doc_id, j,
          min(((a * (h >> 30) + c) % 2147483647) * 2147483648
@@ -993,9 +1001,13 @@ est AS (
   SELECT c.id_a, c.id_b,
          len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2]))::DOUBLE / {_MINHASH_N} AS ej
   FROM cand c JOIN sig sa ON c.id_a = sa.doc_id JOIN sig sb ON c.id_b = sb.doc_id
+)"""
+
+
+_MINHASH_ORACLE = (
+    f"WITH {_minhash_chain_sql('documents')}\n"
+    f"SELECT id_a, id_b, round(ej, 6) AS est_jaccard FROM est WHERE ej >= {_MINHASH_T}"
 )
-SELECT id_a, id_b, round(ej, 6) AS est_jaccard FROM est WHERE ej >= {_MINHASH_T}
-"""
 
 
 @_register("dedup_minhash_lsh", None)
@@ -1010,7 +1022,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
-ORACLES["dedup_minhash_lsh"] = _MINHASH_ORACLE.format(params=_minhash_params_sql())
+ORACLES["dedup_minhash_lsh"] = _MINHASH_ORACLE
 
 
 @_register(
@@ -1419,20 +1431,65 @@ def fingerprint_q(spark, sf_dir):
 # -- deterministic sampling / splitting / packing -----------------------------
 
 
-def _url_dedup_oracle():
-    from .datapipe.urls import normalize_url_sql
+def _url_variants_df(spark, sf_dir, with_text=False, with_ts=False):
+    """Fabricated crawl variants: every page fetched twice — once with a
+    canonical URL, once with uppercased host, trailing slash, tracking
+    params, and a fragment. Deterministic fetch timestamps (mod-10 affine
+    hashes of doc_id) tie every 5th page so the (ts, id) tie-break is
+    exercised, and either fetch can be the newer one."""
+    docs = _t(spark, sf_dir, "documents")
+    extra = (["text"] if with_text else [])
+    canonical = docs.select(
+        (F.col("doc_id") * 2).alias("vid"),
+        F.concat(
+            F.lit("https://"), "source", F.lit("/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        *(
+            [F.pmod(F.col("doc_id") * F.lit(7).cast("long"), F.lit(10).cast("long"))
+             .cast("long").alias("ts")]
+            if with_ts else []
+        ),
+        *extra,
+    )
+    messy = docs.select(
+        (F.col("doc_id") * 2 + 1).alias("vid"),
+        F.concat(
+            F.lit("HTTPS://"), F.upper("source"), F.lit("/doc/"),
+            F.col("doc_id").cast("string"),
+            F.lit("/?utm_source=x&utm_medium=y#frag"),
+        ).alias("url"),
+        *(
+            [F.pmod(F.col("doc_id") * F.lit(3).cast("long"), F.lit(10).cast("long"))
+             .cast("long").alias("ts")]
+            if with_ts else []
+        ),
+        *extra,
+    )
+    return canonical.unionAll(messy)
 
-    return f"""
-WITH variants AS (
+
+def _url_variants_sql(with_text=False, with_ts=False):
+    text = ", text" if with_text else ""
+    ts_a = ", (doc_id * 7) % 10 AS ts" if with_ts else ""
+    ts_b = ", (doc_id * 3) % 10" if with_ts else ""
+    return f"""variants AS (
   SELECT doc_id * 2 AS vid,
-         'https://' || source || '/doc/' || doc_id AS url
+         'https://' || source || '/doc/' || doc_id AS url{ts_a}{text}
   FROM documents
   UNION ALL
   SELECT doc_id * 2 + 1 AS vid,
          'HTTPS://' || upper(source) || '/doc/' || doc_id ||
-         '/?utm_source=x&utm_medium=y#frag' AS url
+         '/?utm_source=x&utm_medium=y#frag' AS url{ts_b}{text}
   FROM documents
-)
+)"""
+
+
+def _url_dedup_oracle():
+    from .datapipe.urls import normalize_url_sql
+
+    return f"""
+WITH {_url_variants_sql()}
 SELECT {normalize_url_sql('url')} AS norm_url,
        min(vid)::BIGINT AS keep_id,
        count(*)::BIGINT AS n_dups
@@ -1448,28 +1505,91 @@ def dedup_url(spark, sf_dir):
     to one key (n_dups=2 everywhere, canonical vid kept)."""
     from .datapipe.urls import dedup_by_url
 
-    docs = _t(spark, sf_dir, "documents")
-    canonical = docs.select(
-        (F.col("doc_id") * 2).alias("vid"),
-        F.concat(
-            F.lit("https://"), "source", F.lit("/doc/"),
-            F.col("doc_id").cast("string"),
-        ).alias("url"),
+    out = dedup_by_url(
+        _url_variants_df(spark, sf_dir), url_col="url", id_col="vid"
     )
-    messy = docs.select(
-        (F.col("doc_id") * 2 + 1).alias("vid"),
-        F.concat(
-            F.lit("HTTPS://"), F.upper("source"), F.lit("/doc/"),
-            F.col("doc_id").cast("string"),
-            F.lit("/?utm_source=x&utm_medium=y#frag"),
-        ).alias("url"),
-    )
-    out = dedup_by_url(canonical.unionAll(messy), url_col="url", id_col="vid")
     return out.select(
         "norm_url",
         F.col("keep_id").cast("bigint").alias("keep_id"),
         F.col("n_dups").cast("bigint").alias("n_dups"),
     )
+
+
+def _url_latest_oracle():
+    from .datapipe.urls import normalize_url_sql
+
+    return f"""
+WITH {_url_variants_sql(with_ts=True)}
+SELECT {normalize_url_sql('url')} AS norm_url,
+       max(struct_pack(t := ts, i := vid))['i']::BIGINT AS keep_id,
+       count(*)::BIGINT AS n_dups
+FROM variants GROUP BY 1
+"""
+
+
+@_register("dedup_url_latest", _url_latest_oracle())
+def dedup_url_latest(spark, sf_dir):
+    """URL-keyed dedup with the keep='latest' policy a crawl pipeline
+    actually wants: the NEWEST fetch of each page wins (max (ts, id)
+    struct, id breaking timestamp ties deterministically). Timestamps are
+    fabricated so some pages' canonical fetch is newer, some pages' messy
+    re-fetch is newer, and every 5th page ties."""
+    from .datapipe.urls import dedup_by_url
+
+    variants = _url_variants_df(spark, sf_dir, with_ts=True)
+    out = dedup_by_url(
+        variants, url_col="url", id_col="vid", keep="latest", ts_col="ts"
+    )
+    return out.select(
+        "norm_url",
+        F.col("keep_id").cast("bigint").alias("keep_id"),
+        F.col("n_dups").cast("bigint").alias("n_dups"),
+    )
+
+
+def _cascade_oracle():
+    from .datapipe.urls import normalize_url_sql
+
+    return f"""
+WITH {_url_variants_sql(with_text=True)},
+kept AS (
+  SELECT {normalize_url_sql('url')} AS norm_url, min(vid) AS keep_id
+  FROM variants GROUP BY 1
+),
+docs2 AS (
+  SELECT v.vid AS doc_id, v.text
+  FROM variants v JOIN kept k ON v.vid = k.keep_id
+),
+{_minhash_chain_sql('docs2')}
+SELECT id_a, id_b, round(ej, 6) AS est_jaccard FROM est WHERE ej >= {_MINHASH_T}
+"""
+
+
+@_register("dedup_cascade", None)
+def dedup_cascade(spark, sf_dir):
+    """Production multi-tier dedup cascade: tier 1 folds crawl re-fetches
+    by normalized URL (cheapest — never reads content bytes), tier 2 runs
+    MinHash+LSH near-dup over the survivors only. This is the ordering a
+    real pipeline uses: pay content shingling only for pages that survive
+    the URL fold. The survivor join is a left-semi on the kept ids, so
+    content flows through exactly once."""
+    from .datapipe.dedup import minhash_jaccard_pairs
+    from .datapipe.urls import dedup_by_url
+
+    variants = _url_variants_df(spark, sf_dir, with_text=True)
+    kept = dedup_by_url(variants, url_col="url", id_col="vid").select("keep_id")
+    survivors = variants.join(
+        kept, variants["vid"] == kept["keep_id"], "left_semi"
+    ).select(F.col("vid").alias("doc_id"), "text")
+    return minhash_jaccard_pairs(
+        survivors,
+        num_hashes=_MINHASH_N,
+        bands=_MINHASH_BANDS,
+        threshold=_MINHASH_T,
+    )
+
+
+ORACLES["dedup_cascade"] = _cascade_oracle()
 
 
 @_register(

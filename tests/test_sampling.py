@@ -175,6 +175,32 @@ def test_url_normalization_rules(spark):
     assert got == [want for _, want in cases]
 
 
+def test_dedup_by_url_keep_policies(spark):
+    from genie_spark.datapipe.urls import dedup_by_url
+
+    rows = [  # (doc_id, ts, url) — three fetches of one page, one of another
+        (10, 5, "https://h/p"),
+        (11, 9, "HTTPS://H/p/"),          # newest fetch of page p
+        (12, 9, "https://h/p?utm_x=1"),   # ties ts with 11 → max id wins
+        (20, 1, "https://h/q"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "ts", "url"])
+
+    first = {r["norm_url"]: r["keep_id"] for r in dedup_by_url(df).collect()}
+    assert first == {"https://h/p": 10, "https://h/q": 20}
+
+    latest = {
+        r["norm_url"]: (r["keep_id"], r["n_dups"])
+        for r in dedup_by_url(df, keep="latest", ts_col="ts").collect()
+    }
+    assert latest == {"https://h/p": (12, 3), "https://h/q": (20, 1)}
+
+    with pytest.raises(ValueError, match="requires ts_col"):
+        dedup_by_url(df, keep="latest")
+    with pytest.raises(ValueError, match="keep must be"):
+        dedup_by_url(df, keep="newest")
+
+
 def test_contact_flags_semantics(spark):
     from genie_spark.datapipe.textstats import contact_flags
 
