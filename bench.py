@@ -142,6 +142,10 @@ HEADLINE = [
     "repetition_stats",
     "curation_pipeline",
     "free_extract_triples",
+    "dedup_cascade",
+    "decontaminate",
+    "line_dedup",
+    "quality_gate",
 ]
 
 
@@ -501,6 +505,13 @@ def main():
     ap.add_argument("--hw-baseline", action="store_true")
     ap.add_argument("--load-worker", action="store_true")
     ap.add_argument("--replicate", type=int, default=40)
+    ap.add_argument(
+        "--lo", type=int, default=8,
+        help="small parallelism level for --scaling (default 8); e.g. "
+        "--lo 4 --hi 16 gives a pair with less same-chip turbo falloff",
+    )
+    ap.add_argument("--hi", type=int, default=32,
+                    help="large parallelism level for --scaling (default 32)")
     args = ap.parse_args()
 
     if args.load_worker:
@@ -508,8 +519,8 @@ def main():
         return
     if args.scaling:
         result = run_scaling(
-            args.sf_dir, args.replicate, equalize_chip=args.equalize_chip,
-            hw_baseline=args.hw_baseline,
+            args.sf_dir, args.replicate, lo=args.lo, hi=args.hi,
+            equalize_chip=args.equalize_chip, hw_baseline=args.hw_baseline,
         )
     elif args.gen_only:
         result = run_gen_only(args.sf_dir, args.cpus, args.replicate)

@@ -386,3 +386,111 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/PaLM-style n-gram collision
+    check): flag every training document sharing at least one word
+    ``n``-gram with the held-out evaluation set. Returns
+    (id, n_hit_grams) — one row per CONTAMINATED doc with its count of
+    distinct shared n-grams; anti-join the ids to drop them
+    (:func:`decontaminated`).
+
+    Scale shape: the eval side is collapsed to DISTINCT n-grams and
+    broadcast (eval sets are ~1e3–1e6 grams vs a 10^12-doc corpus), so
+    the training side is one scan + row-local shingling + broadcast hash
+    join — the corpus is never shuffled; the final groupBy touches only
+    the (rare) colliding rows. Shingling reuses :func:`shingles_col`
+    (docs shorter than ``n`` words contribute their whole text, so exact
+    copies of short eval items are still caught)."""
+    tg = docs.select(
+        F.col(id_col), F.explode(shingles_col(F.col(text_col), n)).alias("gram")
+    )
+    eg = eval_docs.select(
+        F.explode(shingles_col(F.col(text_col), n)).alias("gram")
+    ).distinct()
+    return (
+        tg.join(F.broadcast(eg), "gram")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram").alias("n_hit_grams"))
+    )
+
+
+def decontaminated(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """The clean corpus: ``docs`` minus every document flagged by
+    :func:`decontaminate` (left-anti on the contaminated ids)."""
+    hits = decontaminate(docs, eval_docs, text_col, id_col, n).select(id_col)
+    return docs.join(hits, id_col, "left_anti")
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_words: int = 8,
+) -> DataFrame:
+    """CCNet/RefinedWeb-style line-level dedup: split each document into
+    lines, drop every line whose content already appeared earlier in the
+    corpus (first occurrence by (doc id, position) wins — including
+    within-document repeats), and reassemble the surviving lines in
+    order. The synthetic corpus has no newlines, so "lines" are fixed
+    ``line_words``-word chunks; a real crawl splits on '\\n' instead
+    (same plan shape). Returns (id, clean_text, n_lines_kept,
+    n_lines_dropped) for every input doc (a fully-boilerplate doc keeps
+    an empty clean_text).
+
+    Scale shape: the only content shuffle is the groupBy on the 128-bit
+    line digest (fixed-width key, partial-aggregated min struct — never
+    the line text); reassembly shuffles kept lines once on the doc id.
+    Line order is restored via array_sort over (pos, line) structs, not
+    a global sort."""
+    w = words_col(F.col(text_col))
+    n_lines_c = F.ceil(F.size(w) / F.lit(float(line_words))).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines_c - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(w, i * F.lit(line_words) + 1, line_words)
+        ),
+    )
+    ex = docs.select(
+        F.col(id_col), F.posexplode(lines).alias("pos", "line")
+    ).withColumn("lh", F.md5("line"))
+    keeper = ex.groupBy("lh").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))
+        ).alias("k")
+    )
+    kept = ex.join(keeper, "lh").where(
+        (F.col(id_col) == F.col("k.i")) & (F.col("pos") == F.col("k.p"))
+    )
+    per_doc = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_lines_kept"),
+    )
+    totals = docs.select(F.col(id_col), F.size(lines).alias("n_lines"))
+    return totals.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+        (F.col("n_lines") - F.coalesce("n_lines_kept", F.lit(0))).alias(
+            "n_lines_dropped"
+        ),
+    )

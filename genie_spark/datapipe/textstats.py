@@ -54,10 +54,9 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return out.withColumn("lang_guess", F.when(best <= 0, "unknown").otherwise(guess))
 
 
-def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Length / punctuation-ratio / stopword-ratio / mean-word-length
-    features + a composite quality score in [0,1]."""
-    t = F.col(text_col)
+def _quality_cols(t: Column) -> "dict[str, Column]":
+    """The quality feature expressions, keyed by output column name —
+    shared by ``quality_features`` and the single-pass ``quality_gate``."""
     n_chars = F.length(t)
     words = F.split(t, "\\s+")
     n_words = F.size(words)
@@ -82,14 +81,22 @@ def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc
         + F.least(stop_ratio * F.lit(3.0), F.lit(0.25))
         + F.when((mean_wlen >= 3) & (mean_wlen <= 10), 0.25).otherwise(0.0)
     )
+    return {
+        "n_chars_m": n_chars,
+        "n_words": n_words,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stop_ratio,
+        "mean_word_len": mean_wlen,
+        "quality_score": F.round(score, 6),
+    }
+
+
+def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Length / punctuation-ratio / stopword-ratio / mean-word-length
+    features + a composite quality score in [0,1]."""
+    cols = _quality_cols(F.col(text_col))
     return docs.select(
-        F.col(id_col),
-        n_chars.alias("n_chars_m"),
-        n_words.alias("n_words"),
-        punct_ratio.alias("punct_ratio"),
-        stop_ratio.alias("stopword_ratio"),
-        mean_wlen.alias("mean_word_len"),
-        F.round(score, 6).alias("quality_score"),
+        F.col(id_col), *[c.alias(name) for name, c in cols.items()]
     )
 
 
@@ -113,7 +120,15 @@ def repetition_features(
     row-local higher-order functions — zero shuffle, codegen'd, and
     filter-composable (``dup_3gram_frac < 0.2 AND top_word_frac < 0.3``
     prunes at the scan)."""
-    t = F.col(text_col)
+    cols = _repetition_cols(F.col(text_col))
+    return docs.select(
+        F.col(id_col), *[c.alias(name) for name, c in cols.items()]
+    )
+
+
+def _repetition_cols(t: Column) -> "dict[str, Column]":
+    """The repetition feature expressions, keyed by output column name —
+    shared by ``repetition_features`` and the single-pass ``quality_gate``."""
     w = F.split(t, " ")
     n_words = F.size(w)
 
@@ -142,12 +157,11 @@ def repetition_features(
         F.transform(distinct_w, lambda d: F.size(F.filter(w, lambda x: x == d)))
     )
     top_frac = F.round(top / F.greatest(n_words, F.lit(1)).cast("double"), 6)
-    return docs.select(
-        F.col(id_col),
-        dup_frac(2).alias("dup_2gram_frac"),
-        dup_frac(3).alias("dup_3gram_frac"),
-        top_frac.alias("top_word_frac"),
-    )
+    return {
+        "dup_2gram_frac": dup_frac(2),
+        "dup_3gram_frac": dup_frac(3),
+        "top_word_frac": top_frac,
+    }
 
 
 # RE2-safe patterns (no lookaround/backrefs) so the Java-regex Spark path
@@ -174,6 +188,71 @@ def contact_flags(
         n_emails.alias("n_emails"),
         n_urls.alias("n_urls"),
         ((n_emails > 0) | (n_urls > 0)).alias("has_contact"),
+    )
+
+
+def redact_contacts(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII redaction (the write-side companion of ``contact_flags``):
+    replace every email with ``<EMAIL>`` and every URL with ``<URL>``.
+    Emails are replaced first; the URL pattern cannot match the inserted
+    ``<EMAIL>`` token and the email pattern cannot match inside a URL
+    (no ``@``), so the two passes are order-exact. Row-local
+    regexp_replace — zero shuffle, one scan at any corpus size."""
+    t = F.col(text_col)
+    clean = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_PATTERN, "<EMAIL>"), URL_PATTERN, "<URL>"
+    )
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_PATTERN), 0))
+    n_urls = F.size(F.regexp_extract_all(t, F.lit(URL_PATTERN), 0))
+    return docs.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        n_emails.alias("n_redacted_emails"),
+        n_urls.alias("n_redacted_urls"),
+    )
+
+
+def quality_gate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 20,
+    max_words: int = 90,
+    max_punct_ratio: float = 0.1,
+    min_stopword_ratio: float = 0.02,
+    max_top_word_frac: float = 0.2,
+    max_dup_3gram_frac: float = 0.1,
+) -> DataFrame:
+    """Composite keep/drop gate over the quality + repetition features —
+    the single-pass filter a curation pipeline actually runs (Gopher-style
+    document filtering). Both feature families are row-local Column
+    expressions, so the gate is ONE select over ONE scan (no join);
+    ``fail_reasons`` lists the tripped checks in a fixed order so drops
+    are auditable, and ``passed`` composes into scan predicates for the
+    downstream extraction stage."""
+    t = F.col(text_col)
+    cols = {**_quality_cols(t), **_repetition_cols(t)}
+    checks = [
+        ("too_short", cols["n_words"] < min_words),
+        ("too_long", cols["n_words"] > max_words),
+        ("high_punct", cols["punct_ratio"] > max_punct_ratio),
+        ("low_stopword", cols["stopword_ratio"] < min_stopword_ratio),
+        ("top_word", cols["top_word_frac"] > max_top_word_frac),
+        ("dup_3gram", cols["dup_3gram_frac"] > max_dup_3gram_frac),
+    ]
+    reasons = F.concat_ws(
+        ";", *[F.when(cond, F.lit(name)) for name, cond in checks]
+    )
+    return docs.select(
+        F.col(id_col),
+        cols["n_words"].alias("n_words"),
+        cols["quality_score"].alias("quality_score"),
+        cols["top_word_frac"].alias("top_word_frac"),
+        cols["dup_3gram_frac"].alias("dup_3gram_frac"),
+        reasons.alias("fail_reasons"),
+        (reasons == "").alias("passed"),
     )
 
 

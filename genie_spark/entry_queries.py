@@ -1617,7 +1617,30 @@ def contact_flags_q(spark, sf_dir):
     — the regex path is exercised with non-trivial counts."""
     from .datapipe.textstats import contact_flags
 
-    docs = _t(spark, sf_dir, "documents").select(
+    out = contact_flags(_contact_enriched_docs(spark, sf_dir))
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_emails").cast("bigint").alias("n_emails"),
+        F.col("n_urls").cast("bigint").alias("n_urls"),
+        "has_contact",
+    )
+
+
+# shared with contact_flags: deterministic contact-string fabrication (the
+# synthetic corpus has no PII) — both engines apply the identical concat
+_CONTACT_ENRICH_SQL = """
+enriched AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 4 = 0
+                      THEN ' contact: user' || doc_id || '@example.com or https://example.org/u/' || doc_id
+                      ELSE '' END AS text
+  FROM documents
+)
+"""
+
+
+def _contact_enriched_docs(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat(
             F.col("text"),
@@ -1631,12 +1654,197 @@ def contact_flags_q(spark, sf_dir):
             ).otherwise(F.lit("")),
         ).alias("text"),
     )
-    out = contact_flags(docs)
+
+
+def _redact_oracle():
+    from .datapipe.textstats import EMAIL_PATTERN, URL_PATTERN
+
+    return f"""
+WITH {_CONTACT_ENRICH_SQL}
+SELECT doc_id::BIGINT AS doc_id,
+       regexp_replace(regexp_replace(text, '{EMAIL_PATTERN}', '<EMAIL>', 'g'),
+                      '{URL_PATTERN}', '<URL>', 'g') AS clean_text,
+       len(regexp_extract_all(text, '{EMAIL_PATTERN}'))::BIGINT AS n_redacted_emails,
+       len(regexp_extract_all(text, '{URL_PATTERN}'))::BIGINT AS n_redacted_urls
+FROM enriched
+"""
+
+
+@_register("redact_contacts", _redact_oracle())
+def redact_contacts_q(spark, sf_dir):
+    """PII redaction over the contact-enriched corpus: every fabricated
+    email → <EMAIL>, every URL → <URL>, with per-doc redaction counts.
+    Row-local regexp_replace, zero shuffle."""
+    from .datapipe.textstats import redact_contacts
+
+    out = redact_contacts(_contact_enriched_docs(spark, sf_dir))
     return out.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
-        F.col("n_emails").cast("bigint").alias("n_emails"),
-        F.col("n_urls").cast("bigint").alias("n_urls"),
-        "has_contact",
+        "clean_text",
+        F.col("n_redacted_emails").cast("bigint").alias("n_redacted_emails"),
+        F.col("n_redacted_urls").cast("bigint").alias("n_redacted_urls"),
+    )
+
+
+def _grams_sql(k: int, arr: str = "w") -> str:
+    """DuckDB expression: distinct word ``k``-grams of list column ``arr``
+    with the whole-text fallback for short docs — the twin of
+    ``dedup.shingles_col(text, k)``."""
+    return (
+        f"CASE WHEN len({arr}) >= {k} THEN list_distinct(list_transform("
+        f"range(1, len({arr}) - {k - 2}), i -> array_to_string("
+        f"list_slice({arr}, i, i + {k - 1}), ' ')))"
+        f" ELSE [array_to_string({arr}, ' ')] END"
+    )
+
+
+_DECONTAM_N = 8
+_DECONTAM_ORACLE = f"""
+WITH tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tg AS (SELECT doc_id, unnest({_grams_sql(_DECONTAM_N)}) AS gram FROM tw),
+ev AS (SELECT list_slice(w, 1, 12) AS w FROM tw WHERE doc_id % 37 = 0),
+eg AS (SELECT DISTINCT unnest({_grams_sql(_DECONTAM_N)}) AS gram FROM ev)
+SELECT tg.doc_id::BIGINT AS doc_id,
+       count(DISTINCT tg.gram)::BIGINT AS n_hit_grams
+FROM tg JOIN eg USING (gram) GROUP BY 1
+"""
+
+
+@_register("decontaminate", _DECONTAM_ORACLE)
+def decontaminate_q(spark, sf_dir):
+    """Benchmark decontamination: the eval set is fabricated as the
+    first-12-word slice of every 37th document (a held-out "test
+    question" extracted from a crawl page), so each eval item genuinely
+    cross-contaminates its source doc through shared 8-grams rather than
+    by identity. Eval grams are broadcast; the corpus is never
+    shuffled."""
+    from .datapipe.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.pmod("doc_id", F.lit(37)) == 0).select(
+        "doc_id",
+        F.array_join(F.slice(F.split("text", " "), 1, 12), " ").alias("text"),
+    )
+    out = decontaminate(docs, eval_docs, n=_DECONTAM_N)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_hit_grams").cast("bigint").alias("n_hit_grams"),
+    )
+
+
+_LINE_WORDS = 8
+_LINE_DEDUP_ORACLE = f"""
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+l AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(w, (i - 1) * {_LINE_WORDS} + 1,
+                                    (i - 1) * {_LINE_WORDS} + {_LINE_WORDS}), ' ') AS line
+  FROM (SELECT doc_id, w,
+               unnest(range(1, ceil(len(w) / {_LINE_WORDS}.0)::INT + 1)) AS i
+        FROM base)),
+keep AS (
+  SELECT doc_id, pos, line FROM l
+  QUALIFY row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, pos) = 1),
+agg AS (
+  SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM keep GROUP BY 1),
+tot AS (SELECT doc_id, ceil(len(w) / {_LINE_WORDS}.0)::INT AS n_lines FROM base)
+SELECT t.doc_id::BIGINT AS doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       coalesce(a.n_kept, 0)::BIGINT AS n_lines_kept,
+       (t.n_lines - coalesce(a.n_kept, 0))::BIGINT AS n_lines_dropped
+FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
+"""
+
+
+@_register("line_dedup", _LINE_DEDUP_ORACLE)
+def line_dedup_q(spark, sf_dir):
+    """CCNet-style corpus-wide line dedup: first occurrence of each
+    8-word line (by doc id, position) survives, repeats drop, docs are
+    reassembled in order. The only content shuffle keys on the 128-bit
+    line digest."""
+    from .datapipe.dedup import line_dedup
+
+    out = line_dedup(
+        _t(spark, sf_dir, "documents"), line_words=_LINE_WORDS
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "clean_text",
+        F.col("n_lines_kept").cast("bigint").alias("n_lines_kept"),
+        F.col("n_lines_dropped").cast("bigint").alias("n_lines_dropped"),
+    )
+
+
+_GATE_ORACLE = """
+WITH f AS (
+  SELECT doc_id,
+         len(string_split_regex(text, '\\s+')) AS n_words,
+         round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
+               / greatest(length(text), 1), 6) AS punct_ratio,
+         round(len(list_filter(list_transform(string_split_regex(text, '\\s+'), x -> lower(x)),
+                               x -> list_contains(['the','and','of','a','to','in','is','that','for','with'], x)))::DOUBLE
+               / greatest(len(string_split_regex(text, '\\s+')), 1), 6) AS stopword_ratio,
+         round(length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+               / greatest(len(string_split_regex(text, '\\s+')), 1), 6) AS mean_word_len
+  FROM documents
+),
+fq AS (
+  SELECT doc_id, n_words, punct_ratio, stopword_ratio,
+         round((CASE WHEN n_words >= 20 THEN 0.25 ELSE n_words / 80.0 END)
+               + (CASE WHEN punct_ratio <= 0.1 THEN 0.25 ELSE greatest(0.0, 0.25 - punct_ratio) END)
+               + least(stopword_ratio * 3.0, 0.25)
+               + (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10 THEN 0.25 ELSE 0.0 END), 6) AS quality_score
+  FROM f
+),
+base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT doc_id, w,
+    CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), i -> array_to_string(list_slice(w, i, i + 2), ' '))
+         ELSE [array_to_string(w, ' ')] END AS g3
+  FROM base),
+r AS (
+  SELECT doc_id,
+    round((len(g3) - len(list_distinct(g3))) / greatest(len(g3), 1)::DOUBLE, 6) AS dup_3gram_frac,
+    round(list_max(list_transform(list_distinct(w), d -> len(list_filter(w, x -> x = d)))) / greatest(len(w), 1)::DOUBLE, 6) AS top_word_frac
+  FROM g),
+j AS (SELECT fq.*, r.dup_3gram_frac, r.top_word_frac FROM fq JOIN r ON fq.doc_id = r.doc_id)
+SELECT doc_id::BIGINT AS doc_id, n_words::BIGINT AS n_words, quality_score,
+       top_word_frac, dup_3gram_frac,
+       concat_ws(';',
+         CASE WHEN n_words < 20 THEN 'too_short' END,
+         CASE WHEN n_words > 90 THEN 'too_long' END,
+         CASE WHEN punct_ratio > 0.1 THEN 'high_punct' END,
+         CASE WHEN stopword_ratio < 0.02 THEN 'low_stopword' END,
+         CASE WHEN top_word_frac > 0.2 THEN 'top_word' END,
+         CASE WHEN dup_3gram_frac > 0.1 THEN 'dup_3gram' END) AS fail_reasons,
+       (concat_ws(';',
+         CASE WHEN n_words < 20 THEN 'too_short' END,
+         CASE WHEN n_words > 90 THEN 'too_long' END,
+         CASE WHEN punct_ratio > 0.1 THEN 'high_punct' END,
+         CASE WHEN stopword_ratio < 0.02 THEN 'low_stopword' END,
+         CASE WHEN top_word_frac > 0.2 THEN 'top_word' END,
+         CASE WHEN dup_3gram_frac > 0.1 THEN 'dup_3gram' END) = '') AS passed
+FROM j
+"""
+
+
+@_register("quality_gate", _GATE_ORACLE)
+def quality_gate_q(spark, sf_dir):
+    """Gopher-style keep/drop gate: single-pass composition of the
+    quality and repetition feature families with auditable fail_reasons.
+    Thresholds chosen so the synthetic corpus trips every exercisable
+    check (short/long/low-stopword/top-word/dup-3gram) on some docs and
+    passes others."""
+    from .datapipe.textstats import quality_gate
+
+    out = quality_gate(_t(spark, sf_dir, "documents"))
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_words").cast("bigint").alias("n_words"),
+        "quality_score", "top_word_frac", "dup_3gram_frac",
+        "fail_reasons", "passed",
     )
 
 

@@ -81,6 +81,70 @@ def test_simhash_identical_for_dup(spark, docs):
     assert sh[0] != sh[4]
 
 
+def test_decontaminate_flags_ngram_overlap(spark, docs):
+    from genie_spark.datapipe.dedup import decontaminate, decontaminated
+
+    # eval item = a 3-gram slice of doc 0; contaminates docs 0, 1 (shared
+    # prefix) and 2 (exact dup of 0), not 3/4
+    eval_docs = spark.createDataFrame(
+        [(100, "alpha beta gamma")], ["doc_id", "text"]
+    )
+    hits = {
+        r["doc_id"]: r["n_hit_grams"]
+        for r in decontaminate(docs, eval_docs, n=3).collect()
+    }
+    assert hits == {0: 1, 1: 1, 2: 1}
+    clean = sorted(
+        r["doc_id"] for r in decontaminated(docs, eval_docs, n=3).collect()
+    )
+    assert clean == [3, 4]
+
+
+def test_line_dedup_first_occurrence_and_reassembly(spark):
+    from genie_spark.datapipe.dedup import line_dedup
+
+    rows = [  # 2-word lines: doc 1 repeats its own line; doc 2 repeats doc 1's
+        (1, "a b c d a b"),          # lines: "a b", "c d", "a b"(dup)
+        (2, "c d e f"),              # lines: "c d"(dup of doc1), "e f"
+        (3, "a b"),                  # fully boilerplate vs doc 1
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in line_dedup(df, line_words=2).collect()}
+    assert out[1]["clean_text"] == "a b c d"
+    assert (out[1]["n_lines_kept"], out[1]["n_lines_dropped"]) == (2, 1)
+    assert out[2]["clean_text"] == "e f"
+    assert (out[2]["n_lines_kept"], out[2]["n_lines_dropped"]) == (1, 1)
+    assert out[3]["clean_text"] == ""
+    assert (out[3]["n_lines_kept"], out[3]["n_lines_dropped"]) == (0, 1)
+
+
+def test_redact_contacts_replaces_all_matches(spark):
+    from genie_spark.datapipe.textstats import redact_contacts
+
+    df = spark.createDataFrame(
+        [(1, "mail a@b.io and c@d.org or see https://x.y/z now")],
+        ["doc_id", "text"],
+    )
+    r = redact_contacts(df).collect()[0]
+    assert r["clean_text"] == "mail <EMAIL> and <EMAIL> or see <URL> now"
+    assert (r["n_redacted_emails"], r["n_redacted_urls"]) == (2, 1)
+
+
+def test_quality_gate_reasons_and_pass(spark):
+    from genie_spark.datapipe.textstats import quality_gate
+
+    rows = [
+        (1, "the data is good and it has many plain words for "
+            "the gate to like in a normal document shape here ok"),
+        (2, "spam spam spam spam spam spam"),  # short + no stopwords + top-word + dup3
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in quality_gate(df).collect()}
+    assert out[1]["passed"] and out[1]["fail_reasons"] == ""
+    assert not out[2]["passed"]
+    assert out[2]["fail_reasons"] == "too_short;low_stopword;top_word;dup_3gram"
+
+
 def test_brute_force_vs_lsh_topk(spark):
     import random
 
