@@ -185,6 +185,39 @@ def test_sampling_ops_shuffle_free(spark):
         assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
 
 
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """Decontamination must broadcast the eval-set gram side — the corpus
+    side joins without a shuffle (BroadcastHashJoin, no SortMergeJoin)."""
+    import genie_spark.entry_queries as eq
+
+    plan = _tree(eq.QUERIES["decontaminate"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_line_dedup_no_global_sort(spark):
+    """Line dedup reassembles documents via array_sort over collected
+    (pos, line) structs — the plan must contain no global (total-order)
+    Sort; only join/agg exchanges are allowed."""
+    import re
+
+    import genie_spark.entry_queries as eq
+
+    df = eq.QUERIES["line_dedup"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"Sort \[[^\]]*\], true,", plan), "global sort in plan"
+
+
+def test_quality_gate_single_scan_no_shuffle(spark):
+    """The composite gate is one row-local select: no Exchange, no join —
+    exactly one scan of the documents table."""
+    import genie_spark.entry_queries as eq
+
+    plan = _tree(eq.QUERIES["quality_gate"](spark, SF_DIR))
+    assert "Exchange" not in plan, f"quality_gate shuffles:\n{plan}"
+    assert plan.count("Scan parquet") == 1
+
+
 def test_topk_no_global_sort(spark):
     """Brute-force ANN top-k must use TakeOrderedAndProject, not a full
     global Sort."""
