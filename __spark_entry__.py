@@ -84,11 +84,13 @@ def oracle_sql() -> dict[str, str]:
         confidence_oracle_sql,
         flagship_oracle_sql,
         free_oracle_sql,
+        graph_oracle_sql,
         val_nll_oracle_sql,
     )
 
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
     oracles["graph_extract_triples"] = flagship_oracle_sql(sf_dir)
+    oracles["graph_materialize"] = graph_oracle_sql(sf_dir)
     oracles["free_extract_triples"] = free_oracle_sql(sf_dir)
     oracles["extraction_confidence"] = confidence_oracle_sql(sf_dir)
     oracles["val_nll"] = val_nll_oracle_sql(sf_dir)

@@ -169,11 +169,14 @@ def materialize_graph(
         linked = dedup_triples(
             linked, keys=("s_id", "r_id", "o_id", "url"), salt_buckets=salt_buckets
         )
-    # one shuffle does both dedup and provenance aggregation
+    # one shuffle does both dedup and provenance aggregation. min (not
+    # first): when several surface forms link to one id, first() is
+    # aggregation-order-dependent — min keeps the graph rows
+    # partition-invariant, the invariant the whole decode path holds.
     grouped = linked.groupBy("s_id", "r_id", "o_id").agg(
-        F.first("s", ignorenulls=True).alias("subj_name"),
-        F.first("r", ignorenulls=True).alias("pred_name"),
-        F.first("o", ignorenulls=True).alias("obj_name"),
+        F.min("s").alias("subj_name"),
+        F.min("r").alias("pred_name"),
+        F.min("o").alias("obj_name"),
         F.countDistinct("url").alias("n_sources"),
         F.min("url").alias("first_url"),
     )

@@ -234,23 +234,31 @@ def quality_gate(
     downstream extraction stage."""
     t = F.col(text_col)
     cols = {**_quality_cols(t), **_repetition_cols(t)}
+    # materialize every feature once in an inner projection: each is
+    # referenced 2-3 times below, and re-expanding the HOF trees per
+    # reference measurably slows the scan (6.4s vs ~4s at sf0.1).
+    # CollapseProject keeps multi-referenced non-trivial aliases
+    # materialized, so the outer expressions are cheap column refs.
+    feat = docs.select(
+        F.col(id_col), *[c.alias(name) for name, c in cols.items()]
+    )
     checks = [
-        ("too_short", cols["n_words"] < min_words),
-        ("too_long", cols["n_words"] > max_words),
-        ("high_punct", cols["punct_ratio"] > max_punct_ratio),
-        ("low_stopword", cols["stopword_ratio"] < min_stopword_ratio),
-        ("top_word", cols["top_word_frac"] > max_top_word_frac),
-        ("dup_3gram", cols["dup_3gram_frac"] > max_dup_3gram_frac),
+        ("too_short", F.col("n_words") < min_words),
+        ("too_long", F.col("n_words") > max_words),
+        ("high_punct", F.col("punct_ratio") > max_punct_ratio),
+        ("low_stopword", F.col("stopword_ratio") < min_stopword_ratio),
+        ("top_word", F.col("top_word_frac") > max_top_word_frac),
+        ("dup_3gram", F.col("dup_3gram_frac") > max_dup_3gram_frac),
     ]
     reasons = F.concat_ws(
         ";", *[F.when(cond, F.lit(name)) for name, cond in checks]
     )
-    return docs.select(
+    return feat.select(
         F.col(id_col),
-        cols["n_words"].alias("n_words"),
-        cols["quality_score"].alias("quality_score"),
-        cols["top_word_frac"].alias("top_word_frac"),
-        cols["dup_3gram_frac"].alias("dup_3gram_frac"),
+        "n_words",
+        "quality_score",
+        "top_word_frac",
+        "dup_3gram_frac",
         reasons.alias("fail_reasons"),
         (reasons == "").alias("passed"),
     )

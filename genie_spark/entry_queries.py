@@ -2180,6 +2180,40 @@ def graph_extract_triples(spark, sf_dir):
     )
 
 
+@_register("graph_materialize")
+def graph_materialize_q(spark, sf_dir):
+    """The north-star downstream stage under the hash gate: flagship
+    extraction → explode → surface→id canonicalization (broadcast joins)
+    → SALTED global triple dedup (salt_buckets=8 — the two-phase skew
+    form runs in the gated plan, not only in its parity test) → one
+    shuffle-sharing groupBy for dedup + provenance (n_sources,
+    first_url). Ids are internal (corpus-catalog positions); the gated
+    projection is the name triple + provenance, which the twin oracle
+    reproduces as plain SQL over the flagship VALUES literal
+    (oracle_twin.graph_oracle_sql)."""
+    import __spark_entry__ as entry_mod
+
+    from .canonicalize import materialize_graph
+
+    _, out = _flagship_extraction(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    ents, rels = entry_mod._corpus_catalogs(docs)
+    ents_df = spark.createDataFrame(
+        [(i, n, "corpus") for i, n in enumerate(ents)],
+        ["id", "name", "provenance"],
+    )
+    rels_df = spark.createDataFrame(
+        [(i, n, "corpus") for i, n in enumerate(rels)],
+        ["id", "name", "provenance"],
+    )
+    g = materialize_graph(out, ents_df, rels_df, salt_buckets=8)
+    return g.select(
+        "subj_name", "pred_name", "obj_name",
+        F.col("n_sources").cast("bigint").alias("n_sources"),
+        "first_url",
+    )
+
+
 @_register("free_extract_triples")
 def free_extract_triples(spark, sf_dir):
     """Unconstrained generation baseline — the reference's

@@ -203,6 +203,24 @@ def free_oracle_sql(sf_dir: str) -> str:
     )
 
 
+def graph_oracle_sql(sf_dir: str) -> str:
+    """Twin of graph_materialize: the downstream dedup/canonicalize/
+    provenance stage is pure relational algebra over the flagship
+    extraction, so its oracle is plain SQL wrapped around the flagship
+    VALUES literal. The corpus-derived catalog maps every decoded surface
+    to a unique id (name↔id bijective), so grouping by (s, r, o) names
+    equals grouping by the id triple, and min(name) per group is the name
+    itself."""
+    inner = flagship_oracle_sql(sf_dir)
+    return f"""
+WITH flag AS ({inner})
+SELECT s AS subj_name, r AS pred_name, o AS obj_name,
+       count(DISTINCT url)::BIGINT AS n_sources,
+       min(url) AS first_url
+FROM flag WHERE s IS NOT NULL GROUP BY 1, 2, 3
+"""
+
+
 def _sql_str(v: Optional[str]) -> str:
     if v is None:
         return "CAST(NULL AS VARCHAR)"
