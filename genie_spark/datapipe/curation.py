@@ -1,0 +1,97 @@
+"""Page-level curation composition: the pre-extraction cleaning cascade a
+production crawl→KG pipeline runs, assembled from the datapipe operators
+in the order that minimizes content reads at scale:
+
+1. URL-keyed crawl dedup (cheapest — no content bytes touched)
+2. benchmark decontamination (broadcast eval grams, corpus never shuffled)
+3. quality gate (row-local, one scan)
+4. PII redaction (row-local rewrite)
+5. corpus-wide line dedup (the one content shuffle, over survivors only)
+
+Each stage is optional; :func:`curate_pages` applies the enabled ones
+lazily (no actions — the whole cascade is one logical plan feeding the
+extraction stage). Pages are keyed by ``url`` (the page shape's id).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import decontaminate, line_dedup
+from .textstats import quality_gate, redact_contacts
+from .urls import dedup_by_url
+
+
+def dedup_pages_by_url(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: Optional[str] = None,
+) -> DataFrame:
+    """Row-level companion of :func:`dedup_by_url`: returns the surviving
+    PAGES (full rows), not the key table. With ``ts_col`` the newest
+    fetch of each normalized URL wins (keep='latest'); without it the
+    lexicographically-smallest exact URL wins. Among refetches that share
+    the kept exact URL, the newest ``ts_col`` row is kept (assumes one
+    row per (url, ts) — the crawl-table grain)."""
+    keep = "latest" if ts_col is not None else "first"
+    kept = dedup_by_url(
+        pages, url_col=url_col, id_col=url_col, keep=keep, ts_col=ts_col
+    ).select(F.col("keep_id").alias(url_col))
+    out = pages.join(kept, url_col, "left_semi")
+    if ts_col is not None:
+        newest = out.groupBy(url_col).agg(F.max(ts_col).alias(ts_col))
+        out = out.join(newest, [url_col, ts_col], "left_semi")
+    return out
+
+
+def curate_pages(
+    pages: DataFrame,
+    url_dedup: bool = False,
+    ts_col: Optional[str] = None,
+    eval_docs: Optional[DataFrame] = None,
+    gate: bool = False,
+    redact: bool = False,
+    dedup_lines: bool = False,
+    text_col: str = "text",
+    url_col: str = "url",
+) -> DataFrame:
+    """Apply the enabled curation stages in production order. Returns the
+    curated pages with the same schema (text rewritten in place by the
+    redaction / line-dedup stages; pages dropped by the filter stages)."""
+    if url_dedup:
+        pages = dedup_pages_by_url(pages, url_col=url_col, ts_col=ts_col)
+    if eval_docs is not None:
+        hits = decontaminate(
+            pages, eval_docs, text_col=text_col, id_col=url_col
+        ).select(url_col)
+        pages = pages.join(hits, url_col, "left_anti")
+    if gate:
+        passed = (
+            quality_gate(pages, text_col=text_col, id_col=url_col)
+            .filter(F.col("passed"))
+            .select(url_col)
+        )
+        pages = pages.join(passed, url_col, "left_semi")
+    if redact:
+        clean = redact_contacts(pages, text_col=text_col, id_col=url_col).select(
+            url_col, "clean_text"
+        )
+        pages = (
+            pages.join(clean, url_col)
+            .withColumn(text_col, F.col("clean_text"))
+            .drop("clean_text")
+        )
+    if dedup_lines:
+        ld = line_dedup(pages, text_col=text_col, id_col=url_col).select(
+            url_col, "clean_text"
+        )
+        pages = (
+            pages.join(ld, url_col)
+            .withColumn(text_col, F.col("clean_text"))
+            .drop("clean_text")
+            .filter(F.length(text_col) > 0)
+        )
+    return pages

@@ -2150,16 +2150,34 @@ def token_windows_q(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+_FLAGSHIP_CACHE: Dict[tuple, tuple] = {}
+
+
 def _flagship_extraction(spark, sf_dir):
-    """Shared flagship run: (extractor, per-sentence output DataFrame)."""
+    """Shared flagship run: (extractor, per-sentence output DataFrame).
+    The extractor (catalog collect + trie broadcast) is cached per
+    sf_dir — graph_extract_triples, graph_materialize and
+    extraction_confidence all start from the same constrained run, and
+    rebuilding the broadcast per query would triple the catalog cost in
+    the suite and the driver gate. The output plan is rebuilt per call
+    (plans are cheap; the broadcast is not)."""
     import __spark_entry__ as entry_mod
 
     from .pipeline import GenieExtractor, extract_pipeline
 
     docs = _t(spark, sf_dir, "documents")
-    pages = entry_mod._docs_as_pages(docs)
-    ents, rels = entry_mod._corpus_catalogs(docs)
-    ex = GenieExtractor(spark, ents, rels, num_beams=2)
+    # keyed by (app id, sf_dir): a broadcast from a stopped session must
+    # never be served to a new one
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _FLAGSHIP_CACHE.get(key)
+    if cached is None:
+        pages = entry_mod._docs_as_pages(docs)
+        ents, rels = entry_mod._corpus_catalogs(docs)
+        ex = GenieExtractor(spark, ents, rels, num_beams=2)
+        cached = (ex, pages, ents, rels)
+        _FLAGSHIP_CACHE.clear()  # one corpus/session at a time
+        _FLAGSHIP_CACHE[key] = cached
+    ex, pages, ents, rels = cached
     out = extract_pipeline(
         spark, pages, ents, rels, lang="en", num_beams=2, extractor=ex
     )

@@ -79,10 +79,13 @@ def load_catalogs(spark: SparkSession, args, pages: DataFrame):
             for r in spark.read.parquet(args.rel_catalog).select("name").collect()
         ]
         return ents, rels
-    # closed-world catalog from the corpus vocabulary (deterministic)
+    # closed-world catalog from the corpus vocabulary (deterministic).
+    # Words containing '<' are excluded: '<' is the tag-grammar char and
+    # the redaction stage introduces <EMAIL>/<URL> tokens — neither may
+    # ever become a catalog name (same rule as sources.read_catalog F10).
     words = (
         pages.select(F.explode(F.split("text", " ")).alias("w"))
-        .filter(F.length("w") >= 3)
+        .filter((F.length("w") >= 3) & (~F.col("w").contains("<")))
         .distinct()
         .collect()
     )
@@ -131,6 +134,21 @@ def parse_args(argv=None):
                     help="local[<n>] master for sandbox runs; 0 = use spark-submit master")
     ap.add_argument("--as-documents", action="store_true",
                     help="input is a documents(doc_id,text,lang,...) table; adapt to page shape")
+    # pre-extraction curation cascade (datapipe/curation.py, applied in
+    # production order: url-dedup -> decontaminate -> gate -> redact ->
+    # line-dedup; all lazy, all optional)
+    ap.add_argument("--dedup-url", action="store_true",
+                    help="fold crawl re-fetches by normalized URL (newest "
+                    "warc_ts fetch wins) before extraction")
+    ap.add_argument("--decontaminate-eval",
+                    help="parquet of held-out eval docs (text column); pages "
+                    "sharing any 8-gram with it are dropped")
+    ap.add_argument("--quality-gate", action="store_true",
+                    help="drop pages failing the Gopher-style quality gate")
+    ap.add_argument("--redact-contacts", action="store_true",
+                    help="rewrite emails/URLs in page text to <EMAIL>/<URL>")
+    ap.add_argument("--line-dedup", action="store_true",
+                    help="corpus-wide first-occurrence line dedup of page text")
     if cfg_ns.config:
         with open(cfg_ns.config, encoding="utf-8") as f:
             cfg = json.load(f)
@@ -152,6 +170,30 @@ def main():
     t_start = time.time()
 
     pages = load_pages(spark, args)
+
+    curation_on = (
+        args.dedup_url or args.decontaminate_eval or args.quality_gate
+        or args.redact_contacts or args.line_dedup
+    )
+    if curation_on:
+        from genie_spark.datapipe.curation import curate_pages
+
+        eval_docs = (
+            spark.read.parquet(args.decontaminate_eval)
+            if args.decontaminate_eval else None
+        )
+        pages = curate_pages(
+            pages,
+            url_dedup=args.dedup_url,
+            ts_col="warc_ts" if args.dedup_url else None,
+            eval_docs=eval_docs,
+            gate=args.quality_gate,
+            redact=args.redact_contacts,
+            dedup_lines=args.line_dedup,
+        )
+
+    # catalogs derive from the CURATED corpus: dropped/redacted text must
+    # not contribute vocabulary
     ents, rels = load_catalogs(spark, args, pages)
 
     from genie_spark.checkpoint import lineage_df, run_checkpointed
@@ -224,6 +266,13 @@ def main():
         "graph_triples": n_rows,
         "wall_s": round(wall, 3),
         "lineage_chunks": lin.count() if lin is not None else 0,
+        "curation": {
+            "dedup_url": bool(args.dedup_url),
+            "decontaminate": bool(args.decontaminate_eval),
+            "quality_gate": bool(args.quality_gate),
+            "redact_contacts": bool(args.redact_contacts),
+            "line_dedup": bool(args.line_dedup),
+        },
     }
     print(json.dumps(summary))
     spark.stop()
