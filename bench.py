@@ -146,6 +146,7 @@ HEADLINE = [
     "decontaminate",
     "line_dedup",
     "quality_gate",
+    "graph_materialize",
 ]
 
 

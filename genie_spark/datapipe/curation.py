@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import decontaminate, line_dedup
-from .textstats import quality_gate, redact_contacts
+from .textstats import gate_passed_col, redact_col
 from .urls import dedup_by_url
 
 
@@ -69,21 +69,11 @@ def curate_pages(
         ).select(url_col)
         pages = pages.join(hits, url_col, "left_anti")
     if gate:
-        passed = (
-            quality_gate(pages, text_col=text_col, id_col=url_col)
-            .filter(F.col("passed"))
-            .select(url_col)
-        )
-        pages = pages.join(passed, url_col, "left_semi")
+        # row-local filter form — no join, composes into the scan
+        pages = pages.filter(gate_passed_col(F.col(text_col)))
     if redact:
-        clean = redact_contacts(pages, text_col=text_col, id_col=url_col).select(
-            url_col, "clean_text"
-        )
-        pages = (
-            pages.join(clean, url_col)
-            .withColumn(text_col, F.col("clean_text"))
-            .drop("clean_text")
-        )
+        # row-local in-place rewrite — no join
+        pages = pages.withColumn(text_col, redact_col(F.col(text_col)))
     if dedup_lines:
         ld = line_dedup(pages, text_col=text_col, id_col=url_col).select(
             url_col, "clean_text"

@@ -191,6 +191,15 @@ def contact_flags(
     )
 
 
+def redact_col(t: Column) -> Column:
+    """The redacted-text expression (emails → ``<EMAIL>``, URLs →
+    ``<URL>``) — row-local, so it composes into streaming selects and
+    in-place column rewrites without a join."""
+    return F.regexp_replace(
+        F.regexp_replace(t, EMAIL_PATTERN, "<EMAIL>"), URL_PATTERN, "<URL>"
+    )
+
+
 def redact_contacts(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -201,9 +210,7 @@ def redact_contacts(
     (no ``@``), so the two passes are order-exact. Row-local
     regexp_replace — zero shuffle, one scan at any corpus size."""
     t = F.col(text_col)
-    clean = F.regexp_replace(
-        F.regexp_replace(t, EMAIL_PATTERN, "<EMAIL>"), URL_PATTERN, "<URL>"
-    )
+    clean = redact_col(t)
     n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_PATTERN), 0))
     n_urls = F.size(F.regexp_extract_all(t, F.lit(URL_PATTERN), 0))
     return docs.select(
@@ -211,6 +218,55 @@ def redact_contacts(
         clean.alias("clean_text"),
         n_emails.alias("n_redacted_emails"),
         n_urls.alias("n_redacted_urls"),
+    )
+
+
+def gate_reasons_col(
+    n_words: Column,
+    punct_ratio: Column,
+    stopword_ratio: Column,
+    top_word_frac: Column,
+    dup_3gram_frac: Column,
+    min_words: int = 20,
+    max_words: int = 90,
+    max_punct_ratio: float = 0.1,
+    min_stopword_ratio: float = 0.02,
+    max_top_word_frac: float = 0.2,
+    max_dup_3gram_frac: float = 0.1,
+) -> Column:
+    """The ordered fail_reasons expression over already-computed feature
+    columns (empty string = passed). Pure Column math, so it composes
+    into streaming selects and scan-predicate filters."""
+    checks = [
+        ("too_short", n_words < min_words),
+        ("too_long", n_words > max_words),
+        ("high_punct", punct_ratio > max_punct_ratio),
+        ("low_stopword", stopword_ratio < min_stopword_ratio),
+        ("top_word", top_word_frac > max_top_word_frac),
+        ("dup_3gram", dup_3gram_frac > max_dup_3gram_frac),
+    ]
+    return F.concat_ws(
+        ";", *[F.when(cond, F.lit(name)) for name, cond in checks]
+    )
+
+
+def gate_passed_col(t: Column, **thresholds) -> Column:
+    """Single-expression keep/drop boolean over the raw text column —
+    the filter form of :func:`quality_gate` for streams and cascade
+    stages that only need the verdict (row-local, join-free). Recomputes
+    the feature expressions inline; use :func:`quality_gate` when the
+    feature values themselves are needed."""
+    cols = {**_quality_cols(t), **_repetition_cols(t)}
+    return (
+        gate_reasons_col(
+            n_words=cols["n_words"],
+            punct_ratio=cols["punct_ratio"],
+            stopword_ratio=cols["stopword_ratio"],
+            top_word_frac=cols["top_word_frac"],
+            dup_3gram_frac=cols["dup_3gram_frac"],
+            **thresholds,
+        )
+        == ""
     )
 
 
@@ -232,26 +288,27 @@ def quality_gate(
     ``fail_reasons`` lists the tripped checks in a fixed order so drops
     are auditable, and ``passed`` composes into scan predicates for the
     downstream extraction stage."""
-    t = F.col(text_col)
-    cols = {**_quality_cols(t), **_repetition_cols(t)}
     # materialize every feature once in an inner projection: each is
     # referenced 2-3 times below, and re-expanding the HOF trees per
     # reference measurably slows the scan (6.4s vs ~4s at sf0.1).
     # CollapseProject keeps multi-referenced non-trivial aliases
     # materialized, so the outer expressions are cheap column refs.
+    cols = {**_quality_cols(F.col(text_col)), **_repetition_cols(F.col(text_col))}
     feat = docs.select(
         F.col(id_col), *[c.alias(name) for name, c in cols.items()]
     )
-    checks = [
-        ("too_short", F.col("n_words") < min_words),
-        ("too_long", F.col("n_words") > max_words),
-        ("high_punct", F.col("punct_ratio") > max_punct_ratio),
-        ("low_stopword", F.col("stopword_ratio") < min_stopword_ratio),
-        ("top_word", F.col("top_word_frac") > max_top_word_frac),
-        ("dup_3gram", F.col("dup_3gram_frac") > max_dup_3gram_frac),
-    ]
-    reasons = F.concat_ws(
-        ";", *[F.when(cond, F.lit(name)) for name, cond in checks]
+    reasons = gate_reasons_col(
+        n_words=F.col("n_words"),
+        punct_ratio=F.col("punct_ratio"),
+        stopword_ratio=F.col("stopword_ratio"),
+        top_word_frac=F.col("top_word_frac"),
+        dup_3gram_frac=F.col("dup_3gram_frac"),
+        min_words=min_words,
+        max_words=max_words,
+        max_punct_ratio=max_punct_ratio,
+        min_stopword_ratio=min_stopword_ratio,
+        max_top_word_frac=max_top_word_frac,
+        max_dup_3gram_frac=max_dup_3gram_frac,
     )
     return feat.select(
         F.col(id_col),

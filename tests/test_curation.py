@@ -64,6 +64,39 @@ def test_curate_pages_decontaminate_and_redact(spark, pages):
     assert "a@b.io" not in rows["https://h/p9"]
 
 
+def test_streaming_gate_and_redact(spark, tmp_path):
+    """The gate and redaction forms are pure Column expressions, so they
+    compose directly onto a readStream — stateless streaming curation
+    with no stream-stream join."""
+    from genie_spark.datapipe.textstats import gate_passed_col, redact_col
+
+    in_dir = str(tmp_path / "stream_in")
+    out_dir = str(tmp_path / "stream_out")
+    ck_dir = str(tmp_path / "ck")
+    rows = [
+        ("u1", "the data is good and it has many plain words for the gate "
+               "to like in a normal document with a@b.io inside"),
+        ("u2", "spam spam spam spam spam spam"),  # gate drops
+    ]
+    spark.createDataFrame(rows, "url string, text string").write.mode(
+        "overwrite"
+    ).parquet(in_dir)
+    stream = (
+        spark.readStream.schema("url string, text string").parquet(in_dir)
+        .filter(gate_passed_col(F.col("text")))
+        .withColumn("text", redact_col(F.col("text")))
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir).option("checkpointLocation", ck_dir)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["url"]: r["text"] for r in spark.read.parquet(out_dir).collect()}
+    assert set(got) == {"u1"}
+    assert "<EMAIL>" in got["u1"] and "a@b.io" not in got["u1"]
+
+
 def test_run_pipeline_e2e_with_curation(spark, tmp_path):
     """Full CLI run over sf0.001 docs with the cascade enabled: the
     pipeline must complete, write a graph, and report the curation
