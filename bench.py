@@ -129,6 +129,8 @@ HEADLINE = [
     "ann_lsh_multiprobe_topk",
     "ann_ivf_topk",
     "ann_ivf_kmeans_topk",
+    "ann_pq_topk",
+    "ann_pq_rerank_topk",
     "embedding_neardup_lsh",
     "lang_id",
     "quality_score",

@@ -612,3 +612,224 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) / (a.n * b.n) >= {threshold}
 """
+
+
+# ---------------------------------------------------------------------------
+# product quantization (ADC) — the memory-compression ANN tier
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    m: int = 4,
+    k_sub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> List[List[List[float]]]:
+    """PQ codebooks: the ``k_sub`` smallest-hash corpus vectors (the same
+    deterministic seed rule as :func:`ivf_centroids`) sliced into ``m``
+    subspaces — codebook[j][c] is seed c's j-th subvector. Driver data:
+    m × k_sub × (dim/m) floats. Production would Lloyd-refine each
+    subspace codebook with the :func:`ivf_kmeans_centroids` machinery;
+    the seeded form keeps the oracle compact while exercising the full
+    PQ structure (encode → ADC)."""
+    seeds = ivf_centroids(emb, k_sub, vec_col, id_col)
+    dim = len(seeds[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return [[s[j * sub:(j + 1) * sub] for s in seeds] for j in range(m)]
+
+
+def _py_dot(a, b) -> float:
+    # sequential left-to-right accumulation — the same order DuckDB's
+    # list_sum and Spark's F.aggregate fold in, so all three engines
+    # produce the identical double before the 9dp round
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def pq_code_cols(vec_col: Column, codebooks) -> List[Column]:
+    """Per-subspace code assignment: argmax over codewords of
+    round(dot(x_j, c) − 0.5·‖c‖², 9) — the L2 argmin in dot form (the
+    ‖x_j‖² term is constant per row and drops out). First-max ties break
+    to the lower code id. Entirely row-local Column math: encoding a
+    10^12-vector corpus is one scan, no shuffle — the point of PQ is
+    that the stored code (m small ints) replaces the dim-float vector,
+    an ~(8·dim)/m-fold memory compression for the ANN serving tier."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    out = []
+    for j in range(m):
+        sl = F.slice(vec_col, j * sub + 1, sub)
+        scores = F.array(
+            *[
+                F.round(
+                    dot_col(sl, F.array(*[F.lit(float(x)) for x in w]))
+                    - F.lit(0.5 * _py_dot(w, w)),
+                    9,
+                )
+                for w in codebooks[j]
+            ]
+        )
+        out.append(
+            (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+        )
+    return out
+
+
+def pq_topk(
+    emb: DataFrame,
+    query: Sequence[float],
+    codebooks,
+    k: int = 10,
+    rerank: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: the query is NOT quantized; each
+    corpus vector contributes Σ_j dot(q_j, codeword_{j,code_j}), looked
+    up from the m × k_sub table computed once driver-side and inlined as
+    literals. The approximate cosine divides by the PQ norm
+    √(Σ_j ‖codeword‖²). Both sums are explicit fixed-order + chains (not
+    aggregates), so Spark and the DuckDB twin add in the same order.
+    Plan shape: row-local lookups + TakeOrderedAndProject — no shuffle,
+    no global sort."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    q = [float(x) for x in query]
+    qnorm = _py_dot(q, q) ** 0.5
+    codes = pq_code_cols(F.col(vec_col), codebooks)
+    with_codes = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        *[c.alias(f"_c{j}") for j, c in enumerate(codes)],
+    )
+    adc = None
+    n2 = None
+    for j in range(m):
+        qj = q[j * sub:(j + 1) * sub]
+        t_lit = F.array(
+            *[F.lit(round(_py_dot(qj, w), 9)) for w in codebooks[j]]
+        )
+        n_lit = F.array(
+            *[F.lit(round(_py_dot(w, w), 9)) for w in codebooks[j]]
+        )
+        tj = F.element_at(t_lit, F.col(f"_c{j}") + 1)
+        nj = F.element_at(n_lit, F.col(f"_c{j}") + 1)
+        adc = tj if adc is None else adc + tj
+        n2 = nj if n2 is None else n2 + nj
+    scored = with_codes.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.round(adc / (F.lit(qnorm) * F.sqrt(n2)), 6).alias("adc_cosine"),
+    )
+    if rerank:
+        # two-stage serving: the ADC lookup prunes to a small pool, exact
+        # cosine re-ranks the pool ONLY — the standard production PQ
+        # shape (quantization error stays out of the final ordering; the
+        # full-precision vectors are read for `rerank` rows, not the
+        # corpus)
+        pool = scored.orderBy(
+            F.desc("adc_cosine"), F.asc(id_col)
+        ).limit(rerank)
+        q_lit = F.array(*[F.lit(x) for x in q])
+        return (
+            pool.select(
+                F.col(id_col),
+                F.round(cosine_col(F.col(vec_col), q_lit), 6).alias("cosine"),
+            )
+            .orderBy(F.desc("cosine"), F.asc(id_col))
+            .limit(k)
+        )
+    return scored.select(id_col, "adc_cosine").orderBy(
+        F.desc("adc_cosine"), F.asc(id_col)
+    ).limit(k)
+
+
+def pq_topk_sql(
+    query: Sequence[float],
+    m: int = 4,
+    k_sub: int = 16,
+    dim: int = 64,
+    k: int = 10,
+    rerank: int = 0,
+) -> str:
+    """DuckDB twin of :func:`pq_codebooks` + :func:`pq_code_cols` +
+    :func:`pq_topk`, fully data-derived (seed pick, per-subspace argmax
+    encode, 4-term fixed-order ADC chain), so the one static oracle
+    string is correct at every scale factor."""
+    from .hashes import h60_sql
+
+    sub = dim // m
+    q = _q_vec_sql(query)
+    qnorm = _py_dot(query, query) ** 0.5
+
+    def dot_sql(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({a}, {b}),"
+            f" p -> p[1]::DOUBLE * p[2]::DOUBLE))"
+        )
+
+    def sl(expr: str, j: int) -> str:
+        return f"list_slice({expr}, {j * sub + 1}, {(j + 1) * sub})"
+
+    def n2_sql(a: str) -> str:
+        return f"list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE))"
+
+    # per-subspace assignment: rank codewords per (vec, subspace)
+    assign = ",\n".join(
+        f"""a{j} AS (
+  SELECT e.vec_id, s.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round({dot_sql(sl("e.embedding", j), sl("s.svec", j))}
+                    - 0.5 * {n2_sql(sl("s.svec", j))}, 9) DESC, s.cid
+         ) AS rnk
+  FROM embeddings e CROSS JOIN seeds s
+),
+c{j} AS (SELECT vec_id, cid AS code FROM a{j} WHERE rnk = 1)"""
+        for j in range(m)
+    )
+    joins = " ".join(
+        f"JOIN c{j} ON c{j}.vec_id = c0.vec_id" for j in range(1, m)
+    )
+    seed_joins = " ".join(
+        f"JOIN seeds s{j} ON s{j}.cid = c{j}.code" for j in range(m)
+    )
+    adc_chain = " + ".join(
+        f"round({dot_sql(sl(q, j), sl(f's{j}.svec', j))}, 9)" for j in range(m)
+    )
+    n2_chain = " + ".join(
+        f"round({n2_sql(sl(f's{j}.svec', j))}, 9)" for j in range(m)
+    )
+    base = f"""WITH seeds AS (
+  SELECT list_transform(embedding, x -> x::DOUBLE) AS svec,
+         row_number() OVER (ORDER BY {h60_sql("vec_id::VARCHAR")}, vec_id) - 1 AS cid
+  FROM embeddings
+  QUALIFY cid < {k_sub}
+),
+{assign}"""
+    adc_select = f"""SELECT c0.vec_id,
+       round(({adc_chain}) / ({qnorm!r} * sqrt({n2_chain})), 6) AS adc_cosine
+FROM c0 {joins} {seed_joins}
+ORDER BY adc_cosine DESC, c0.vec_id ASC"""
+    if not rerank:
+        return f"\n{base}\n{adc_select}\nLIMIT {k}\n"
+    exact = (
+        f"round({dot_sql('e.embedding', q)}"
+        f" / (sqrt({n2_sql('e.embedding')}) * sqrt({n2_sql(q)})), 6)"
+    )
+    return f"""
+{base},
+pool AS (
+  {adc_select}
+  LIMIT {rerank}
+)
+SELECT e.vec_id, {exact} AS cosine
+FROM pool p JOIN embeddings e ON e.vec_id = p.vec_id
+ORDER BY cosine DESC, e.vec_id ASC
+LIMIT {k}
+"""

@@ -1279,6 +1279,47 @@ def ann_ivf_kmeans_topk(spark, sf_dir):
     )
 
 
+_PQ_M, _PQ_KSUB, _PQ_RERANK = 4, 32, 50
+
+
+def _pq_books(spark, sf_dir):
+    from .datapipe.similarity import pq_codebooks
+
+    return pq_codebooks(
+        _t(spark, sf_dir, "embeddings"), m=_PQ_M, k_sub=_PQ_KSUB
+    )
+
+
+@_register("ann_pq_topk", None)
+def ann_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-k: the memory-compression ANN tier
+    (m small codes replace the dim-float vector, ~128× smaller at
+    dim=64/m=4). Deterministic seeded codebooks, row-local encode,
+    fixed-order ADC chain, top-k via TakeOrderedAndProject. On the
+    UNSTRUCTURED synthetic embeddings any quantizer's recall degenerates
+    (same caveat as IVF — the hash gate checks engine-exactness here;
+    recall is proven on clustered vectors in
+    test_pq_rerank_recall_vs_brute)."""
+    from .datapipe.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_topk(emb, ANN_QUERY, _pq_books(spark, sf_dir), k=_ANN_K)
+
+
+@_register("ann_pq_rerank_topk", None)
+def ann_pq_rerank_topk(spark, sf_dir):
+    """Two-stage PQ serving (the production shape): ADC prunes the corpus
+    to a 50-candidate pool from codes alone; exact cosine re-ranks the
+    pool only — full-precision vectors are read for 50 rows, not the
+    corpus, and quantization error stays out of the final ordering."""
+    from .datapipe.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_topk(
+        emb, ANN_QUERY, _pq_books(spark, sf_dir), k=_ANN_K, rerank=_PQ_RERANK
+    )
+
+
 def _install_ann_oracles():
     from .datapipe.similarity import (
         brute_force_topk_sql,
@@ -1286,6 +1327,7 @@ def _install_ann_oracles():
         ivf_kmeans_topk_sql,
         ivf_topk_sql,
         lsh_topk_sql,
+        pq_topk_sql,
     )
 
     ORACLES["ann_cosine_topk"] = brute_force_topk_sql(ANN_QUERY, _ANN_K)
@@ -1302,6 +1344,13 @@ def _install_ann_oracles():
     )
     ORACLES["embedding_neardup_lsh"] = embedding_neardup_lsh_sql(
         n_planes=4, dim=64, threshold=0.3
+    )
+    ORACLES["ann_pq_topk"] = pq_topk_sql(
+        ANN_QUERY, m=_PQ_M, k_sub=_PQ_KSUB, dim=len(ANN_QUERY), k=_ANN_K
+    )
+    ORACLES["ann_pq_rerank_topk"] = pq_topk_sql(
+        ANN_QUERY, m=_PQ_M, k_sub=_PQ_KSUB, dim=len(ANN_QUERY), k=_ANN_K,
+        rerank=_PQ_RERANK,
     )
 
 

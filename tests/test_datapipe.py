@@ -234,6 +234,46 @@ def test_ivf_topk_recall_vs_brute(spark):
         assert ivf[vid] == brute[vid]
 
 
+def test_pq_rerank_recall_vs_brute(spark):
+    """PQ (seeded codebooks, m=4) + ADC pool + exact re-rank must recover
+    most of the exact top-k on clustered vectors (same constructed-corpus
+    methodology as the IVF recall test — on unstructured noise ANY
+    quantizer degenerates). Also: the re-ranked cosines must EQUAL the
+    brute-force cosines for the common ids (the re-rank stage is exact)."""
+    import math
+
+    from genie_spark.datapipe.similarity import (
+        brute_force_topk,
+        pq_codebooks,
+        pq_topk,
+    )
+
+    dim, n_protos, per = 16, 8, 40
+
+    def proto(p):
+        return [math.sin(0.7 * p + 1.3 * d) for d in range(dim)]
+
+    rows = []
+    for p in range(n_protos):
+        base = proto(p)
+        for j in range(per):
+            jitter = [0.15 * math.sin(2.1 * j + 0.9 * d + p) for d in range(dim)]
+            rows.append((p * per + j, [b + e for b, e in zip(base, jitter)]))
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+    q = [x + 0.05 for x in proto(3)]
+    brute = {r["vec_id"]: r["cosine"] for r in brute_force_topk(emb, q, k=10).collect()}
+    books = pq_codebooks(emb, m=4, k_sub=16)
+    rr = {
+        r["vec_id"]: r["cosine"]
+        for r in pq_topk(emb, q, books, k=10, rerank=50).collect()
+    }
+    hits = set(rr) & set(brute)
+    assert len(hits) >= 8, f"PQ+rerank recall too low on clustered data: {len(hits)}/10"
+    for vid in hits:
+        assert rr[vid] == brute[vid], "re-rank stage must be exact"
+
+
 def test_ivf_kmeans_refinement_on_clustered_data(spark):
     """Lloyd refinement on clustered vectors (same corpus construction as
     test_ivf_topk_recall_vs_brute — unstructured noise degenerates ANY

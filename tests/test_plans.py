@@ -227,6 +227,15 @@ def test_topk_no_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_pq_adc_no_global_sort(spark):
+    """PQ ADC selection must be row-local encode + TakeOrderedAndProject
+    over the codes — no full corpus sort, no shuffle before the top-k."""
+    import genie_spark.entry_queries as eq
+
+    plan = _plan(eq.QUERIES["ann_pq_topk"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_ivf_probe_prunes_partitions(spark):
     """ann_ivf_topk must probe a materialized partitionBy(cell) table with
     PartitionFilters on `cell` — not re-derive assignments over the full
