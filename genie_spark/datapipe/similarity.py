@@ -41,6 +41,26 @@ def hyperplanes(n_planes: int, dim: int, seed: int = 42) -> List[List[int]]:
     ]
 
 
+def arr_lit(vals: Sequence[float]) -> Column:
+    """array<double> literal via ONE parsed SQL expression. Building the
+    same array from nested F.array(F.lit(...)) costs one py4j round-trip
+    per element — ~6s of pure driver latency for a 32×16 codebook,
+    measured; repr(float)+'D' round-trips every double exactly."""
+    return F.expr("array(" + ",".join(f"{float(x)!r}D" for x in vals) + ")")
+
+
+def arr2_lit(rows) -> Column:
+    """array<array<double>> literal via one parsed SQL expression."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in r) + ")"
+            for r in rows
+        )
+        + ")"
+    )
+
+
 def dot_col(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -286,8 +306,7 @@ def _cent_cos(vec_col: Column, cent: Sequence[float]) -> Column:
     """Cosine to a centroid literal, rounded to 9dp — the rounding absorbs
     engine summation-order drift so the argmax (and the DuckDB oracle's)
     agree bit-for-bit."""
-    lit = F.array(*[F.lit(float(c)) for c in cent])
-    return F.round(cosine_col(vec_col, lit), 9)
+    return F.round(cosine_col(vec_col, arr_lit(cent)), 9)
 
 
 def ivf_cell_col(vec_col: Column, centroids: List[List[float]]) -> Column:
@@ -664,15 +683,14 @@ def pq_code_cols(vec_col: Column, codebooks) -> List[Column]:
     out = []
     for j in range(m):
         sl = F.slice(vec_col, j * sub + 1, sub)
-        scores = F.array(
-            *[
-                F.round(
-                    dot_col(sl, F.array(*[F.lit(float(x)) for x in w]))
-                    - F.lit(0.5 * _py_dot(w, w)),
-                    9,
-                )
-                for w in codebooks[j]
-            ]
+        # ONE zip_with over (codebook, half-norms) literal arrays — not
+        # k_sub inlined aggregates: the expanded form put m × k_sub
+        # 16-element HOF aggregates in the plan (the round-1 task-binary
+        # blowup all over again; measured 12.7s → ~1s at sf0.1)
+        books_lit = arr2_lit(codebooks[j])
+        halfn_lit = arr_lit([0.5 * _py_dot(w, w) for w in codebooks[j]])
+        scores = F.zip_with(
+            books_lit, halfn_lit, lambda w, n: F.round(dot_col(sl, w) - n, 9)
         )
         out.append(
             (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
@@ -697,28 +715,80 @@ def pq_topk(
     aggregates), so Spark and the DuckDB twin add in the same order.
     Plan shape: row-local lookups + TakeOrderedAndProject — no shuffle,
     no global sort."""
-    m = len(codebooks)
-    sub = len(codebooks[0][0])
-    q = [float(x) for x in query]
-    qnorm = _py_dot(q, q) ** 0.5
     codes = pq_code_cols(F.col(vec_col), codebooks)
     with_codes = emb.select(
         F.col(id_col),
         F.col(vec_col),
         *[c.alias(f"_c{j}") for j, c in enumerate(codes)],
     )
+    return _pq_adc_topk(
+        with_codes, query, codebooks, k, rerank, vec_col, id_col, "_c{}"
+    )
+
+
+def materialize_pq_codes(
+    emb: DataFrame,
+    codebooks,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Encode once, serve forever: write (id, vector, c0..c{m-1}) to
+    ``path``. Production stores the codes WITHOUT the vector (the whole
+    point of PQ is that the serving tier holds m small ints per item) and
+    fetches full vectors from the primary store only for the re-rank
+    pool; the vector is co-located here because the sandbox has no
+    separate vector store. Row-local encode — one scan, no shuffle."""
+    codes = pq_code_cols(F.col(vec_col), codebooks)
+    emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        *[c.alias(f"c{j}") for j, c in enumerate(codes)],
+    ).write.mode("overwrite").parquet(path)
+
+
+def pq_topk_from_codes(
+    spark,
+    path: str,
+    query: Sequence[float],
+    codebooks,
+    k: int = 10,
+    rerank: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k against a :func:`materialize_pq_codes` table: the
+    per-query plan is literal-table lookups over the stored codes — the
+    corpus encode is paid once at index build, exactly the build/probe
+    split the IVF tier has."""
+    return _pq_adc_topk(
+        spark.read.parquet(path), query, codebooks, k, rerank, vec_col,
+        id_col, "c{}",
+    )
+
+
+def _pq_adc_topk(
+    with_codes: DataFrame,
+    query: Sequence[float],
+    codebooks,
+    k: int,
+    rerank: int,
+    vec_col: str,
+    id_col: str,
+    code_fmt: str,
+) -> DataFrame:
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    q = [float(x) for x in query]
+    qnorm = _py_dot(q, q) ** 0.5
     adc = None
     n2 = None
     for j in range(m):
         qj = q[j * sub:(j + 1) * sub]
-        t_lit = F.array(
-            *[F.lit(round(_py_dot(qj, w), 9)) for w in codebooks[j]]
-        )
-        n_lit = F.array(
-            *[F.lit(round(_py_dot(w, w), 9)) for w in codebooks[j]]
-        )
-        tj = F.element_at(t_lit, F.col(f"_c{j}") + 1)
-        nj = F.element_at(n_lit, F.col(f"_c{j}") + 1)
+        t_lit = arr_lit([round(_py_dot(qj, w), 9) for w in codebooks[j]])
+        n_lit = arr_lit([round(_py_dot(w, w), 9) for w in codebooks[j]])
+        tj = F.element_at(t_lit, F.col(code_fmt.format(j)) + 1)
+        nj = F.element_at(n_lit, F.col(code_fmt.format(j)) + 1)
         adc = tj if adc is None else adc + tj
         n2 = nj if n2 is None else n2 + nj
     scored = with_codes.select(
@@ -735,7 +805,7 @@ def pq_topk(
         pool = scored.orderBy(
             F.desc("adc_cosine"), F.asc(id_col)
         ).limit(rerank)
-        q_lit = F.array(*[F.lit(x) for x in q])
+        q_lit = arr_lit(q)
         return (
             pool.select(
                 F.col(id_col),

@@ -1290,6 +1290,23 @@ def _pq_books(spark, sf_dir):
     )
 
 
+def pq_index(spark, sf_dir):
+    """Build (once per sf_dir, idempotent — _SUCCESS-gated like the IVF
+    index) the PQ codes table under /tmp and return (path, codebooks):
+    the corpus encode is paid at index build; every probe is literal
+    lookups over stored codes."""
+    from .datapipe.similarity import materialize_pq_codes
+
+    books = _pq_books(spark, sf_dir)
+    base = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = f"/tmp/genie_spark_ivf/{base}_pq{_PQ_M}x{_PQ_KSUB}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        materialize_pq_codes(
+            _t(spark, sf_dir, "embeddings"), books, path
+        )
+    return path, books
+
+
 @_register("ann_pq_topk", None)
 def ann_pq_topk(spark, sf_dir):
     """Product-quantization ADC top-k: the memory-compression ANN tier
@@ -1300,10 +1317,10 @@ def ann_pq_topk(spark, sf_dir):
     (same caveat as IVF — the hash gate checks engine-exactness here;
     recall is proven on clustered vectors in
     test_pq_rerank_recall_vs_brute)."""
-    from .datapipe.similarity import pq_topk
+    from .datapipe.similarity import pq_topk_from_codes
 
-    emb = _t(spark, sf_dir, "embeddings")
-    return pq_topk(emb, ANN_QUERY, _pq_books(spark, sf_dir), k=_ANN_K)
+    path, books = pq_index(spark, sf_dir)
+    return pq_topk_from_codes(spark, path, ANN_QUERY, books, k=_ANN_K)
 
 
 @_register("ann_pq_rerank_topk", None)
@@ -1312,11 +1329,11 @@ def ann_pq_rerank_topk(spark, sf_dir):
     to a 50-candidate pool from codes alone; exact cosine re-ranks the
     pool only — full-precision vectors are read for 50 rows, not the
     corpus, and quantization error stays out of the final ordering."""
-    from .datapipe.similarity import pq_topk
+    from .datapipe.similarity import pq_topk_from_codes
 
-    emb = _t(spark, sf_dir, "embeddings")
-    return pq_topk(
-        emb, ANN_QUERY, _pq_books(spark, sf_dir), k=_ANN_K, rerank=_PQ_RERANK
+    path, books = pq_index(spark, sf_dir)
+    return pq_topk_from_codes(
+        spark, path, ANN_QUERY, books, k=_ANN_K, rerank=_PQ_RERANK
     )
 
 
