@@ -86,7 +86,7 @@ def brute_force_topk(
 ) -> DataFrame:
     """Baseline ANN oracle: cosine against a literal query vector, global
     top-k (ties broken by id for cross-engine determinism)."""
-    qlit = F.array(*[F.lit(float(x)) for x in query])
+    qlit = arr_lit(query)
     scored = emb.select(
         F.col(id_col),
         F.round(cosine_col(F.col(vec_col), qlit), 6).alias("cosine"),
@@ -104,7 +104,7 @@ def hyperplane_bucket_col(
         proj = F.aggregate(
             F.zip_with(
                 vec_col,
-                F.array(*[F.lit(float(c)) for c in coeffs]),
+                arr_lit(coeffs),
                 lambda x, c: x.cast("double") * c,
             ),
             F.lit(0.0),
@@ -172,7 +172,7 @@ def lsh_topk(
     planes = hyperplanes(n_planes, dim, seed)
     probes = probe_buckets(query_bucket(query, planes), n_planes, multiprobe)
     bucketed = emb.withColumn("bucket", hyperplane_bucket_col(F.col(vec_col), planes))
-    qlit = F.array(*[F.lit(float(x)) for x in query])
+    qlit = arr_lit(query)
     return (
         bucketed.filter(F.col("bucket").isin(probes))
         .select(
@@ -220,7 +220,7 @@ def lsh_topk_pruned(
     dim = len(query)
     planes = hyperplanes(n_planes, dim, seed)
     probes = probe_buckets(query_bucket(query, planes), n_planes, multiprobe)
-    qlit = F.array(*[F.lit(float(x)) for x in query])
+    qlit = arr_lit(query)
     bucketed = spark.read.parquet(path)
     return (
         bucketed.filter(F.col("bucket").isin(probes))
@@ -370,7 +370,7 @@ def ivf_topk_pruned(
     """Probe a materialized cell table: `cell IN probe` on the partition
     column prunes to n_probe directories; exact cosine inside."""
     probe = ivf_probe_cells(query, centroids, n_probe)
-    qlit = F.array(*[F.lit(float(x)) for x in query])
+    qlit = arr_lit(query)
     cells = spark.read.parquet(path)
     return (
         cells.filter(F.col("cell").isin(probe))
@@ -398,7 +398,7 @@ def ivf_topk(
     :func:`ivf_topk_pruned` everywhere the table is probed more than
     once."""
     probe = ivf_probe_cells(query, centroids, n_probe)
-    qlit = F.array(*[F.lit(float(x)) for x in query])
+    qlit = arr_lit(query)
     cells = emb.withColumn("cell", ivf_cell_col(F.col(vec_col), centroids))
     return (
         cells.filter(F.col("cell").isin(probe))
