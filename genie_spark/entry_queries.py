@@ -2217,6 +2217,7 @@ def token_windows_q(spark, sf_dir):
 
 
 _FLAGSHIP_CACHE: Dict[tuple, tuple] = {}
+_CATALOG_DF_CACHE: Dict[tuple, tuple] = {}
 
 
 def _flagship_extraction(spark, sf_dir):
@@ -2275,21 +2276,26 @@ def graph_materialize_q(spark, sf_dir):
     projection is the name triple + provenance, which the twin oracle
     reproduces as plain SQL over the flagship VALUES literal
     (oracle_twin.graph_oracle_sql)."""
-    import __spark_entry__ as entry_mod
-
     from .canonicalize import materialize_graph
 
-    _, out = _flagship_extraction(spark, sf_dir)
-    docs = _t(spark, sf_dir, "documents")
-    ents, rels = entry_mod._corpus_catalogs(docs)
-    ents_df = spark.createDataFrame(
-        [(i, n, "corpus") for i, n in enumerate(ents)],
-        ["id", "name", "provenance"],
-    )
-    rels_df = spark.createDataFrame(
-        [(i, n, "corpus") for i, n in enumerate(rels)],
-        ["id", "name", "provenance"],
-    )
+    ex, out = _flagship_extraction(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    _, _, ents, rels = _FLAGSHIP_CACHE[key]
+    cat_key = key + ("catalog_dfs",)
+    cached = _CATALOG_DF_CACHE.get(cat_key)
+    if cached is None:
+        # building a ~6k-row DataFrame from python tuples costs seconds;
+        # the catalogs are fixed per corpus, so build once per session
+        cached = tuple(
+            spark.createDataFrame(
+                [(i, n, "corpus") for i, n in enumerate(names)],
+                ["id", "name", "provenance"],
+            ).cache()
+            for names in (ents, rels)
+        )
+        _CATALOG_DF_CACHE.clear()
+        _CATALOG_DF_CACHE[cat_key] = cached
+    ents_df, rels_df = cached
     g = materialize_graph(out, ents_df, rels_df, salt_buckets=8)
     return g.select(
         "subj_name", "pred_name", "obj_name",
