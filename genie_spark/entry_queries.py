@@ -1799,28 +1799,41 @@ def decontaminate_q(spark, sf_dir):
 
 
 _LINE_WORDS = 8
-_LINE_DEDUP_ORACLE = f"""
-WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-l AS (
-  SELECT doc_id, i - 1 AS pos,
-         array_to_string(list_slice(w, (i - 1) * {_LINE_WORDS} + 1,
-                                    (i - 1) * {_LINE_WORDS} + {_LINE_WORDS}), ' ') AS line
-  FROM (SELECT doc_id, w,
-               unnest(range(1, ceil(len(w) / {_LINE_WORDS}.0)::INT + 1)) AS i
-        FROM base)),
-keep AS (
-  SELECT doc_id, pos, line FROM l
-  QUALIFY row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, pos) = 1),
-agg AS (
-  SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS clean_text,
+
+
+def _line_chain_sql(table: str = "documents", id_col: str = "doc_id") -> str:
+    """WITH-body (no leading WITH) computing the corpus-wide line-dedup
+    chain over ``{table}({id_col}, text)`` — ends in CTE
+    ``linej({id_col}, clean_text, n_lines_kept, n_lines_dropped)``."""
+    lw = _LINE_WORDS
+    return f"""line_base AS (SELECT {id_col}, string_split(text, ' ') AS w FROM {table}),
+line_l AS (
+  SELECT {id_col}, i - 1 AS pos,
+         array_to_string(list_slice(w, (i - 1) * {lw} + 1,
+                                    (i - 1) * {lw} + {lw}), ' ') AS line
+  FROM (SELECT {id_col}, w,
+               unnest(range(1, ceil(len(w) / {lw}.0)::INT + 1)) AS i
+        FROM line_base)),
+line_keep AS (
+  SELECT {id_col}, pos, line FROM line_l
+  QUALIFY row_number() OVER (PARTITION BY md5(line) ORDER BY {id_col}, pos) = 1),
+line_agg AS (
+  SELECT {id_col}, string_agg(line, ' ' ORDER BY pos) AS clean_text,
          count(*) AS n_kept
-  FROM keep GROUP BY 1),
-tot AS (SELECT doc_id, ceil(len(w) / {_LINE_WORDS}.0)::INT AS n_lines FROM base)
-SELECT t.doc_id::BIGINT AS doc_id,
-       coalesce(a.clean_text, '') AS clean_text,
-       coalesce(a.n_kept, 0)::BIGINT AS n_lines_kept,
-       (t.n_lines - coalesce(a.n_kept, 0))::BIGINT AS n_lines_dropped
-FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
+  FROM line_keep GROUP BY 1),
+line_tot AS (SELECT {id_col}, ceil(len(w) / {lw}.0)::INT AS n_lines FROM line_base),
+linej AS (
+  SELECT t.{id_col},
+         coalesce(a.clean_text, '') AS clean_text,
+         coalesce(a.n_kept, 0)::BIGINT AS n_lines_kept,
+         (t.n_lines - coalesce(a.n_kept, 0))::BIGINT AS n_lines_dropped
+  FROM line_tot t LEFT JOIN line_agg a ON t.{id_col} = a.{id_col})"""
+
+
+_LINE_DEDUP_ORACLE = f"""
+WITH {_line_chain_sql('documents')}
+SELECT doc_id::BIGINT AS doc_id, clean_text, n_lines_kept, n_lines_dropped
+FROM linej
 """
 
 
@@ -1843,9 +1856,21 @@ def line_dedup_q(spark, sf_dir):
     )
 
 
-_GATE_ORACLE = """
-WITH f AS (
-  SELECT doc_id,
+def _gate_chain_sql(table: str = "documents", id_col: str = "doc_id") -> str:
+    """WITH-body (no leading WITH) computing the quality-gate feature +
+    verdict chain over ``{table}({id_col}, text)`` — ends in CTE
+    ``gatej({id_col}, n_words, quality_score, top_word_frac,
+    dup_3gram_frac, fail_reasons, passed)``. Parameterized so the
+    curation-report oracle can gate an upstream CTE."""
+    reasons = """concat_ws(';',
+         CASE WHEN n_words < 20 THEN 'too_short' END,
+         CASE WHEN n_words > 90 THEN 'too_long' END,
+         CASE WHEN punct_ratio > 0.1 THEN 'high_punct' END,
+         CASE WHEN stopword_ratio < 0.02 THEN 'low_stopword' END,
+         CASE WHEN top_word_frac > 0.2 THEN 'top_word' END,
+         CASE WHEN dup_3gram_frac > 0.1 THEN 'dup_3gram' END)"""
+    return f"""gate_f AS (
+  SELECT {id_col},
          len(string_split_regex(text, '\\s+')) AS n_words,
          round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
                / greatest(length(text), 1), 6) AS punct_ratio,
@@ -1854,45 +1879,39 @@ WITH f AS (
                / greatest(len(string_split_regex(text, '\\s+')), 1), 6) AS stopword_ratio,
          round(length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
                / greatest(len(string_split_regex(text, '\\s+')), 1), 6) AS mean_word_len
-  FROM documents
+  FROM {table}
 ),
-fq AS (
-  SELECT doc_id, n_words, punct_ratio, stopword_ratio,
+gate_fq AS (
+  SELECT {id_col}, n_words, punct_ratio, stopword_ratio,
          round((CASE WHEN n_words >= 20 THEN 0.25 ELSE n_words / 80.0 END)
                + (CASE WHEN punct_ratio <= 0.1 THEN 0.25 ELSE greatest(0.0, 0.25 - punct_ratio) END)
                + least(stopword_ratio * 3.0, 0.25)
                + (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10 THEN 0.25 ELSE 0.0 END), 6) AS quality_score
-  FROM f
+  FROM gate_f
 ),
-base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-g AS (
-  SELECT doc_id, w,
+gate_base AS (SELECT {id_col}, string_split(text, ' ') AS w FROM {table}),
+gate_g AS (
+  SELECT {id_col}, w,
     CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), i -> array_to_string(list_slice(w, i, i + 2), ' '))
          ELSE [array_to_string(w, ' ')] END AS g3
-  FROM base),
-r AS (
-  SELECT doc_id,
+  FROM gate_base),
+gate_r AS (
+  SELECT {id_col},
     round((len(g3) - len(list_distinct(g3))) / greatest(len(g3), 1)::DOUBLE, 6) AS dup_3gram_frac,
     round(list_max(list_transform(list_distinct(w), d -> len(list_filter(w, x -> x = d)))) / greatest(len(w), 1)::DOUBLE, 6) AS top_word_frac
-  FROM g),
-j AS (SELECT fq.*, r.dup_3gram_frac, r.top_word_frac FROM fq JOIN r ON fq.doc_id = r.doc_id)
+  FROM gate_g),
+gatej AS (
+  SELECT fq.*, r.dup_3gram_frac, r.top_word_frac,
+         {reasons} AS fail_reasons,
+         ({reasons} = '') AS passed
+  FROM gate_fq fq JOIN gate_r r ON fq.{id_col} = r.{id_col})"""
+
+
+_GATE_ORACLE = f"""
+WITH {_gate_chain_sql('documents')}
 SELECT doc_id::BIGINT AS doc_id, n_words::BIGINT AS n_words, quality_score,
-       top_word_frac, dup_3gram_frac,
-       concat_ws(';',
-         CASE WHEN n_words < 20 THEN 'too_short' END,
-         CASE WHEN n_words > 90 THEN 'too_long' END,
-         CASE WHEN punct_ratio > 0.1 THEN 'high_punct' END,
-         CASE WHEN stopword_ratio < 0.02 THEN 'low_stopword' END,
-         CASE WHEN top_word_frac > 0.2 THEN 'top_word' END,
-         CASE WHEN dup_3gram_frac > 0.1 THEN 'dup_3gram' END) AS fail_reasons,
-       (concat_ws(';',
-         CASE WHEN n_words < 20 THEN 'too_short' END,
-         CASE WHEN n_words > 90 THEN 'too_long' END,
-         CASE WHEN punct_ratio > 0.1 THEN 'high_punct' END,
-         CASE WHEN stopword_ratio < 0.02 THEN 'low_stopword' END,
-         CASE WHEN top_word_frac > 0.2 THEN 'top_word' END,
-         CASE WHEN dup_3gram_frac > 0.1 THEN 'dup_3gram' END) = '') AS passed
-FROM j
+       top_word_frac, dup_3gram_frac, fail_reasons, passed
+FROM gatej
 """
 
 
@@ -1912,6 +1931,56 @@ def quality_gate_q(spark, sf_dir):
         "quality_score", "top_word_frac", "dup_3gram_frac",
         "fail_reasons", "passed",
     )
+
+
+def _curation_report_oracle():
+    from .datapipe.urls import normalize_url_sql
+
+    return f"""
+WITH {_url_variants_sql(with_text=True)},
+kept AS (
+  SELECT {normalize_url_sql('url')} AS norm_url, min(vid) AS keep_id
+  FROM variants GROUP BY 1
+),
+s1 AS (SELECT v.vid, v.text FROM variants v JOIN kept k ON v.vid = k.keep_id),
+{_gate_chain_sql('s1', 'vid')},
+s2 AS (SELECT s1.vid, s1.text FROM s1 JOIN gatej g ON s1.vid = g.vid WHERE g.passed),
+{_line_chain_sql('s2', 'vid')}
+SELECT (SELECT count(*) FROM variants)::BIGINT AS n_input,
+       (SELECT count(*) FROM s1)::BIGINT AS n_after_url_dedup,
+       (SELECT count(*) FROM s2)::BIGINT AS n_after_gate,
+       (SELECT coalesce(sum(n_lines_dropped), 0) FROM linej)::BIGINT AS n_lines_dropped,
+       (SELECT count(*) FROM linej WHERE clean_text <> '')::BIGINT AS n_final
+"""
+
+
+@_register("curation_report", _curation_report_oracle())
+def curation_report_q(spark, sf_dir):
+    """Per-stage drop accounting for the curation cascade — the
+    observability row a production pipeline logs per run: fabricated
+    crawl variants → URL fold → quality gate → corpus line dedup, with
+    counts after each tier plus total deduped lines. One row; each count
+    is a single-row aggregate cross-joined (no collect — the whole
+    report is one lazy plan)."""
+    from .datapipe.dedup import line_dedup
+    from .datapipe.textstats import gate_passed_col
+    from .datapipe.urls import dedup_by_url
+
+    variants = _url_variants_df(spark, sf_dir, with_text=True)
+    kept = dedup_by_url(variants, url_col="url", id_col="vid").select("keep_id")
+    s1 = variants.join(kept, variants["vid"] == kept["keep_id"], "left_semi")
+    s2 = s1.filter(gate_passed_col(F.col("text")))
+    ld = line_dedup(s2, text_col="text", id_col="vid")
+    a0 = variants.agg(F.count("*").cast("bigint").alias("n_input"))
+    a1 = s1.agg(F.count("*").cast("bigint").alias("n_after_url_dedup"))
+    a2 = s2.agg(F.count("*").cast("bigint").alias("n_after_gate"))
+    a3 = ld.agg(
+        F.coalesce(F.sum("n_lines_dropped"), F.lit(0))
+        .cast("bigint").alias("n_lines_dropped"),
+        F.sum(F.when(F.col("clean_text") != "", 1).otherwise(0))
+        .cast("bigint").alias("n_final"),
+    )
+    return a0.crossJoin(a1).crossJoin(a2).crossJoin(a3)
 
 
 @_register(

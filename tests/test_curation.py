@@ -97,6 +97,38 @@ def test_streaming_gate_and_redact(spark, tmp_path):
     assert "<EMAIL>" in got["u1"] and "a@b.io" not in got["u1"]
 
 
+def test_streaming_decontaminate(spark, tmp_path):
+    """Stream-static anti-join decontamination: arriving pages sharing an
+    n-gram with the static eval set are dropped; clean pages pass with
+    their schema intact (the helper's gram column must not leak)."""
+    from genie_spark.datapipe.curation import decontaminated_stream
+
+    in_dir = str(tmp_path / "din")
+    out_dir = str(tmp_path / "dout")
+    ck_dir = str(tmp_path / "dck")
+    rows = [
+        ("u1", "the quick brown fox jumps over a lazy dog and naps"),
+        ("u2", "completely unrelated words fill this entire page here now"),
+    ]
+    spark.createDataFrame(rows, "url string, text string").write.mode(
+        "overwrite"
+    ).parquet(in_dir)
+    eval_docs = spark.createDataFrame(
+        [("e1", "quick brown fox jumps over a lazy dog")], ["url", "text"]
+    )
+    stream = spark.readStream.schema("url string, text string").parquet(in_dir)
+    q = (
+        decontaminated_stream(stream, eval_docs, n=8)
+        .writeStream.format("parquet")
+        .option("path", out_dir).option("checkpointLocation", ck_dir)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(out_dir)
+    assert [r["url"] for r in out.collect()] == ["u2"]
+    assert set(out.columns) == {"url", "text"}
+
+
 def test_run_pipeline_e2e_with_curation(spark, tmp_path):
     """Full CLI run over sf0.001 docs with the cascade enabled: the
     pipeline must complete, write a graph, and report the curation
