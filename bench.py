@@ -149,6 +149,7 @@ HEADLINE = [
     "line_dedup",
     "quality_gate",
     "graph_materialize",
+    "curation_report",
 ]
 
 
