@@ -130,6 +130,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "ann_ivf_kmeans_topk",
     "ann_pq_topk",
+    "ann_pq_kmeans_topk",
     "ann_pq_rerank_topk",
     "embedding_neardup_lsh",
     "lang_id",

@@ -680,22 +680,72 @@ def pq_code_cols(vec_col: Column, codebooks) -> List[Column]:
     an ~(8·dim)/m-fold memory compression for the ANN serving tier."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
-    out = []
-    for j in range(m):
-        sl = F.slice(vec_col, j * sub + 1, sub)
-        # ONE zip_with over (codebook, half-norms) literal arrays — not
-        # k_sub inlined aggregates: the expanded form put m × k_sub
-        # 16-element HOF aggregates in the plan (the round-1 task-binary
-        # blowup all over again; measured 12.7s → ~1s at sf0.1)
-        books_lit = arr2_lit(codebooks[j])
-        halfn_lit = arr_lit([0.5 * _py_dot(w, w) for w in codebooks[j]])
-        scores = F.zip_with(
-            books_lit, halfn_lit, lambda w, n: F.round(dot_col(sl, w) - n, 9)
-        )
-        out.append(
-            (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
-        )
-    return out
+    return [
+        _sub_code_col(F.slice(vec_col, j * sub + 1, sub), codebooks[j])
+        for j in range(m)
+    ]
+
+
+def _sub_code_col(sl: Column, book) -> Column:
+    """Code for ONE subvector column against one codebook. ONE zip_with
+    over (codebook, half-norms) literal arrays — not k_sub inlined
+    aggregates: the expanded form put m × k_sub 16-element HOF aggregates
+    in the plan (the round-1 task-binary blowup all over again; measured
+    12.7s → ~1s at sf0.1)."""
+    books_lit = arr2_lit(book)
+    halfn_lit = arr_lit([0.5 * _py_dot(w, w) for w in book])
+    scores = F.zip_with(
+        books_lit, halfn_lit, lambda w, n: F.round(dot_col(sl, w) - n, 9)
+    )
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+
+def pq_kmeans_codebooks(
+    emb: DataFrame,
+    m: int = 4,
+    k_sub: int = 16,
+    n_iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Lloyd refinement of the seeded PQ codebooks, per subspace: each
+    iteration assigns every subvector to its L2-argmin codeword (the same
+    9dp-rounded dot − ½‖c‖² metric the encoder uses) and moves each
+    codeword to the element-wise mean of its members, rounded to 9dp so
+    Spark/DuckDB summation-order drift can't flip a later argmax; empty
+    codes keep their previous word. Fixed iteration count + deterministic
+    seeds ⇒ identical codebooks on every engine and every run. Cost:
+    m × n_iters groupBy-scans at INDEX BUILD time (the shuffle carries
+    k_sub × partitions × (dim/m) counters, independent of corpus size),
+    amortized over every query against the materialized codes."""
+    books = pq_codebooks(emb, m, k_sub, vec_col, id_col)
+    sub = len(books[0][0])
+    for _ in range(n_iters):
+        new_books = []
+        for j in range(m):
+            sl = F.slice(F.col(vec_col), j * sub + 1, sub)
+            code = _sub_code_col(sl, books[j])
+            means = (
+                emb.select(code.alias("c"), sl.alias("s"))
+                .groupBy("c")
+                .agg(
+                    *[
+                        F.round(
+                            F.avg(F.element_at(F.col("s"), d + 1).cast("double")), 9
+                        ).alias(f"m{d}")
+                        for d in range(sub)
+                    ]
+                )
+                .collect()
+            )
+            by_code = {
+                r["c"]: [float(r[f"m{d}"]) for d in range(sub)] for r in means
+            }
+            new_books.append(
+                [by_code.get(i, books[j][i]) for i in range(k_sub)]
+            )
+        books = new_books
+    return books
 
 
 def pq_topk(
@@ -901,5 +951,116 @@ pool AS (
 SELECT e.vec_id, {exact} AS cosine
 FROM pool p JOIN embeddings e ON e.vec_id = p.vec_id
 ORDER BY cosine DESC, e.vec_id ASC
+LIMIT {k}
+"""
+
+
+def pq_kmeans_topk_sql(
+    query: Sequence[float],
+    m: int = 4,
+    k_sub: int = 16,
+    dim: int = 64,
+    k: int = 10,
+    n_iters: int = 1,
+) -> str:
+    """DuckDB twin of :func:`pq_kmeans_codebooks` + encode + ADC: the
+    per-subspace Lloyd iterations unroll to one (assign → per-dim avg →
+    coalesce-with-previous) CTE block each, fully data-derived — the
+    same unrolling recipe as :func:`ivf_kmeans_topk_sql`, sliced per
+    subspace."""
+    from .hashes import h60_sql
+
+    sub = dim // m
+    q = _q_vec_sql(query)
+    qnorm = _py_dot(query, query) ** 0.5
+
+    def dot_sql(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({a}, {b}),"
+            f" p -> p[1]::DOUBLE * p[2]::DOUBLE))"
+        )
+
+    def n2_sql(a: str) -> str:
+        return f"list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE))"
+
+    def esl(j: int) -> str:
+        return f"list_slice(e.embedding, {j * sub + 1}, {(j + 1) * sub})"
+
+    blocks = [
+        f"""seeds AS (
+  SELECT list_transform(embedding, x -> x::DOUBLE) AS svec,
+         row_number() OVER (ORDER BY {h60_sql("vec_id::VARCHAR")}, vec_id) - 1 AS cid
+  FROM embeddings
+  QUALIFY cid < {k_sub}
+)"""
+    ]
+    for j in range(m):
+        blocks.append(
+            f"sb{j}i0 AS (SELECT cid, "
+            f"list_slice(svec, {j * sub + 1}, {(j + 1) * sub}) AS bvec "
+            f"FROM seeds)"
+        )
+        for it in range(n_iters):
+            prev, cur = f"sb{j}i{it}", f"sb{j}i{it + 1}"
+            rank = (
+                f"round({dot_sql(esl(j), 'b.bvec')}"
+                f" - 0.5 * {n2_sql('b.bvec')}, 9)"
+            )
+            blocks.append(
+                f"""a{j}x{it} AS (
+  SELECT e.vec_id, {esl(j)} AS sv, b.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id ORDER BY {rank} DESC, b.cid
+         ) AS rnk
+  FROM embeddings e CROSS JOIN {prev} b
+),
+dm{j}x{it} AS (
+  SELECT cid AS code, dim, round(avg(val), 9) AS mval
+  FROM (SELECT cid, unnest(sv)::DOUBLE AS val,
+               generate_subscripts(sv, 1) AS dim
+        FROM a{j}x{it} WHERE rnk = 1)
+  GROUP BY 1, 2
+),
+mm{j}x{it} AS (SELECT code, list(mval ORDER BY dim) AS bvec FROM dm{j}x{it} GROUP BY 1),
+{cur} AS (
+  SELECT p.cid, coalesce(mm.bvec, p.bvec) AS bvec
+  FROM {prev} p LEFT JOIN mm{j}x{it} mm ON p.cid = mm.code
+)"""
+            )
+        final_book = f"sb{j}i{n_iters}"
+        rank = (
+            f"round({dot_sql(esl(j), 'b.bvec')}"
+            f" - 0.5 * {n2_sql('b.bvec')}, 9)"
+        )
+        blocks.append(
+            f"""fa{j} AS (
+  SELECT e.vec_id, b.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id ORDER BY {rank} DESC, b.cid
+         ) AS rnk
+  FROM embeddings e CROSS JOIN {final_book} b
+),
+c{j} AS (SELECT vec_id, cid AS code FROM fa{j} WHERE rnk = 1)"""
+        )
+    joins = " ".join(
+        f"JOIN c{j} ON c{j}.vec_id = c0.vec_id" for j in range(1, m)
+    )
+    seed_joins = " ".join(
+        f"JOIN sb{j}i{n_iters} s{j} ON s{j}.cid = c{j}.code" for j in range(m)
+    )
+    adc_chain = " + ".join(
+        f"round({dot_sql(f'list_slice({q}, {j * sub + 1}, {(j + 1) * sub})', f's{j}.bvec')}, 9)"
+        for j in range(m)
+    )
+    n2_chain = " + ".join(
+        f"round({n2_sql(f's{j}.bvec')}, 9)" for j in range(m)
+    )
+    with_sql = ",\n".join(blocks)
+    return f"""
+WITH {with_sql}
+SELECT c0.vec_id,
+       round(({adc_chain}) / ({qnorm!r} * sqrt({n2_chain})), 6) AS adc_cosine
+FROM c0 {joins} {seed_joins}
+ORDER BY adc_cosine DESC, c0.vec_id ASC
 LIMIT {k}
 """

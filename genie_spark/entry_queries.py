@@ -1323,6 +1323,45 @@ def ann_pq_topk(spark, sf_dir):
     return pq_topk_from_codes(spark, path, ANN_QUERY, books, k=_ANN_K)
 
 
+_PQ_KM_ITERS = 1
+_PQ_KM_CACHE: Dict[str, list] = {}
+
+
+def pq_kmeans_index(spark, sf_dir):
+    """Lloyd-refined PQ index: per-subspace k-means codebooks (cached
+    driver-side — the refinement scans run once per corpus) + the
+    _SUCCESS-gated materialized codes table."""
+    from .datapipe.similarity import materialize_pq_codes, pq_kmeans_codebooks
+
+    books = _PQ_KM_CACHE.get(sf_dir)
+    if books is None:
+        books = pq_kmeans_codebooks(
+            _t(spark, sf_dir, "embeddings"),
+            m=_PQ_M, k_sub=_PQ_KSUB, n_iters=_PQ_KM_ITERS,
+        )
+        _PQ_KM_CACHE.clear()
+        _PQ_KM_CACHE[sf_dir] = books
+    base = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = f"/tmp/genie_spark_ivf/{base}_pqkm{_PQ_M}x{_PQ_KSUB}i{_PQ_KM_ITERS}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        materialize_pq_codes(_t(spark, sf_dir, "embeddings"), books, path)
+    return path, books
+
+
+@_register("ann_pq_kmeans_topk", None)
+def ann_pq_kmeans_topk(spark, sf_dir):
+    """True product quantization: per-subspace Lloyd-refined codebooks
+    (1 fixed iteration, 9dp-rounded means — engine-exact) + ADC over the
+    materialized codes. Refinement cuts quantization MSE ~3× on
+    clustered data and ~26% on the synthetic noise embeddings
+    (test_pq_kmeans_reduces_quantization_error); serving plan identical
+    to ann_pq_topk."""
+    from .datapipe.similarity import pq_topk_from_codes
+
+    path, books = pq_kmeans_index(spark, sf_dir)
+    return pq_topk_from_codes(spark, path, ANN_QUERY, books, k=_ANN_K)
+
+
 @_register("ann_pq_rerank_topk", None)
 def ann_pq_rerank_topk(spark, sf_dir):
     """Two-stage PQ serving (the production shape): ADC prunes the corpus
@@ -1344,6 +1383,7 @@ def _install_ann_oracles():
         ivf_kmeans_topk_sql,
         ivf_topk_sql,
         lsh_topk_sql,
+        pq_kmeans_topk_sql,
         pq_topk_sql,
     )
 
@@ -1364,6 +1404,10 @@ def _install_ann_oracles():
     )
     ORACLES["ann_pq_topk"] = pq_topk_sql(
         ANN_QUERY, m=_PQ_M, k_sub=_PQ_KSUB, dim=len(ANN_QUERY), k=_ANN_K
+    )
+    ORACLES["ann_pq_kmeans_topk"] = pq_kmeans_topk_sql(
+        ANN_QUERY, m=_PQ_M, k_sub=_PQ_KSUB, dim=len(ANN_QUERY), k=_ANN_K,
+        n_iters=_PQ_KM_ITERS,
     )
     ORACLES["ann_pq_rerank_topk"] = pq_topk_sql(
         ANN_QUERY, m=_PQ_M, k_sub=_PQ_KSUB, dim=len(ANN_QUERY), k=_ANN_K,

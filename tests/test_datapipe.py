@@ -274,6 +274,60 @@ def test_pq_rerank_recall_vs_brute(spark):
         assert rr[vid] == brute[vid], "re-rank stage must be exact"
 
 
+def test_pq_kmeans_reduces_quantization_error(spark):
+    """Per-subspace Lloyd refinement must strictly reduce the mean
+    quantization error (‖x − decode(encode(x))‖²) vs the seeded
+    codebooks — the metric the refinement optimizes (ADC top-k ordering
+    on tightly clustered corpora is noise-dominated either way; serving
+    quality comes from the exact re-rank stage)."""
+    import math
+
+    from genie_spark.datapipe.similarity import (
+        arr2_lit,
+        pq_code_cols,
+        pq_codebooks,
+        pq_kmeans_codebooks,
+    )
+
+    dim, n_protos, per = 16, 8, 40
+
+    def proto(p):
+        return [math.sin(0.7 * p + 1.3 * d) for d in range(dim)]
+
+    rows = []
+    for p in range(n_protos):
+        base = proto(p)
+        for j in range(per):
+            jitter = [0.15 * math.sin(2.1 * j + 0.9 * d + p) for d in range(dim)]
+            rows.append((p * per + j, [b + e for b, e in zip(base, jitter)]))
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+    def mse(books):
+        sub = len(books[0][0])
+        codes = pq_code_cols(F.col("embedding"), books)
+        err = None
+        for j, c in enumerate(codes):
+            w = F.element_at(arr2_lit(books[j]), c + 1)
+            sl = F.slice("embedding", j * sub + 1, sub)
+            e = F.aggregate(
+                F.zip_with(
+                    sl, w,
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            err = e if err is None else err + e
+        return emb.select(F.avg(err)).collect()[0][0]
+
+    seeded = mse(pq_codebooks(emb, m=4, k_sub=16))
+    one = mse(pq_kmeans_codebooks(emb, m=4, k_sub=16, n_iters=1))
+    two = mse(pq_kmeans_codebooks(emb, m=4, k_sub=16, n_iters=2))
+    # measured: 0.583 -> 0.176 -> 0.104; assert with headroom
+    assert one < seeded * 0.6, (seeded, one)
+    assert two < one, (one, two)
+
+
 def test_ivf_kmeans_refinement_on_clustered_data(spark):
     """Lloyd refinement on clustered vectors (same corpus construction as
     test_ivf_topk_recall_vs_brute — unstructured noise degenerates ANY
