@@ -435,53 +435,75 @@ def decontaminated(
     return docs.join(hits, id_col, "left_anti")
 
 
-def line_dedup(
-    docs: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    line_words: int = 8,
-) -> DataFrame:
-    """CCNet/RefinedWeb-style line-level dedup: split each document into
-    lines, drop every line whose content already appeared earlier in the
-    corpus (first occurrence by (doc id, position) wins — including
-    within-document repeats), and reassemble the surviving lines in
-    order. The synthetic corpus has no newlines, so "lines" are fixed
-    ``line_words``-word chunks; a real crawl splits on '\\n' instead
-    (same plan shape). Returns (id, clean_text, n_lines_kept,
-    n_lines_dropped) for every input doc (a fully-boilerplate doc keeps
-    an empty clean_text).
-
-    Scale shape: the only content shuffle is the groupBy on the 128-bit
-    line digest (fixed-width key, partial-aggregated min struct — never
-    the line text); reassembly shuffles kept lines once on the doc id.
-    Line order is restored via array_sort over (pos, line) structs, not
-    a global sort."""
-    w = words_col(F.col(text_col))
+def lines_col(
+    text: Column, line_words: int = 8, split: Optional[str] = None
+) -> Column:
+    """Document → array<string> of "lines", row-local. With ``split``
+    (e.g. ``'\\n'``) this is a delimiter split — the CCNet/RefinedWeb
+    production form over real crawls. Without it, fixed
+    ``line_words``-word chunks stand in for lines (the synthetic corpus
+    has no newlines). Both forms have exact DuckDB twins
+    (string_split)."""
+    if split is not None:
+        return F.split(text, split, -1)
+    w = words_col(text)
     n_lines_c = F.ceil(F.size(w) / F.lit(float(line_words))).cast("int")
-    lines = F.transform(
+    return F.transform(
         F.sequence(F.lit(0), n_lines_c - 1),
         lambda i: F.concat_ws(
             " ", F.slice(w, i * F.lit(line_words) + 1, line_words)
         ),
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_words: int = 8,
+    split: Optional[str] = None,
+) -> DataFrame:
+    """CCNet/RefinedWeb-style line-level dedup: split each document into
+    lines (``split='\\n'`` for real crawls; fixed ``line_words``-word
+    chunks otherwise — see :func:`lines_col`), drop every line whose
+    content already appeared earlier in the corpus (first occurrence by
+    (doc id, position) wins — including within-document repeats), and
+    reassemble the surviving lines in order. Returns (id, clean_text,
+    n_lines_kept, n_lines_dropped) for every input doc (a
+    fully-boilerplate doc keeps an empty clean_text).
+
+    Scale shape: the only content shuffle is the groupBy on the 128-bit
+    line digest; the min-struct carries (id, pos, line) so the keeper IS
+    the kept line — no join back to the exploded lines (the struct
+    comparison never reaches the line field: (id, pos) is unique per
+    row). Reassembly shuffles kept lines once on the doc id; line order
+    is restored via array_sort over (pos, line) structs, not a global
+    sort."""
+    lines = lines_col(F.col(text_col), line_words, split)
+    joiner = split if split is not None else " "
     ex = docs.select(
         F.col(id_col), F.posexplode(lines).alias("pos", "line")
     ).withColumn("lh", F.md5("line"))
     keeper = ex.groupBy("lh").agg(
         F.min(
-            F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))
+            F.struct(
+                F.col(id_col).alias("i"),
+                F.col("pos").alias("p"),
+                F.col("line").alias("l"),
+            )
         ).alias("k")
     )
-    kept = ex.join(keeper, "lh").where(
-        (F.col(id_col) == F.col("k.i")) & (F.col("pos") == F.col("k.p"))
-    )
-    per_doc = kept.groupBy(id_col).agg(
+    per_doc = keeper.groupBy(F.col("k.i").alias(id_col)).agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("k.p").alias("pos"), F.col("k.l").alias("line"))
+                    )
+                ),
                 lambda s: s["line"],
             ),
-            " ",
+            joiner,
         ).alias("clean_text"),
         F.count("*").alias("n_lines_kept"),
     )

@@ -208,6 +208,17 @@ def test_line_dedup_no_global_sort(spark):
     assert not re.search(r"Sort \[[^\]]*\], true,", plan), "global sort in plan"
 
 
+def test_curation_report_single_scan(spark):
+    """The one-pass report (r4 verdict #3): the whole per-stage audit row
+    must read the corpus exactly ONCE — doc-stage counters ride marker
+    rows through the same skew-safe line-digest groupBy that picks line
+    keepers, so there is no cross-joined-aggregates multi-scan shape."""
+    import genie_spark.entry_queries as eq
+
+    plan = _tree(eq.QUERIES["curation_report"](spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1, f"multi-scan report:\n{plan}"
+
+
 def test_quality_gate_single_scan_no_shuffle(spark):
     """The composite gate is one row-local select: no Exchange, no join —
     exactly one scan of the documents table."""

@@ -223,12 +223,24 @@ def test_stream_dedup_ttl_evicts_and_reports_state(spark, tmp_path):
         )
 
     arrive([(1, "alpha text")], "overwrite")
-    q1 = run_until(
-        lambda q: sink_rows() == [("alpha text", 1)]
-        and state_metrics(q).get("numRowsTotal") == 1
-    )
-    m = state_metrics(q1)
-    assert m["numRowsTotal"] == 1 and m["memoryUsedBytes"] > 0
+    # capture the satisfying metrics snapshot INSIDE the predicate: by the
+    # time run_until has stopped the query, later micro-batches may have
+    # already TTL-evicted the row (numRowsTotal back to 0 — the r4 flake)
+    seen = {}
+
+    def alpha_state_seen(q):
+        m = state_metrics(q)
+        ok = (
+            sink_rows() == [("alpha text", 1)]
+            and m.get("numRowsTotal") == 1
+            and m.get("memoryUsedBytes", 0) > 0
+        )
+        if ok:
+            seen.update(m)
+        return ok
+
+    run_until(alpha_state_seen)
+    assert seen["numRowsTotal"] == 1 and seen["memoryUsedBytes"] > 0
 
     # let the TTL lapse; the restarted query fires the timeout and evicts
     # the alpha hash (observable as a state-row removal). Sleep well past
