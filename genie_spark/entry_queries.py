@@ -1904,6 +1904,76 @@ def line_dedup_q(spark, sf_dir):
     )
 
 
+_MULTILINE_DOCS_SQL = """mdocs AS (
+  SELECT doc_id,
+         'COMMON HEADER' || chr(10) || text || chr(10) || 'FOOTER ' || source ||
+         CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'COMMON HEADER' ELSE '' END AS text
+  FROM documents
+)"""
+
+_LINE_NEWLINE_ORACLE = f"""
+WITH {_MULTILINE_DOCS_SQL},
+line_base AS (SELECT doc_id, string_split(text, chr(10)) AS w FROM mdocs),
+line_l AS (
+  SELECT doc_id, generate_subscripts(w, 1) - 1 AS pos, unnest(w) AS line
+  FROM line_base),
+line_keep AS (
+  SELECT doc_id, pos, line FROM line_l
+  QUALIFY row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, pos) = 1),
+line_agg AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM line_keep GROUP BY 1),
+line_tot AS (SELECT doc_id, len(w) AS n_lines FROM line_base)
+SELECT t.doc_id::BIGINT AS doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       coalesce(a.n_kept, 0)::BIGINT AS n_lines_kept,
+       (t.n_lines - coalesce(a.n_kept, 0))::BIGINT AS n_lines_dropped
+FROM line_tot t LEFT JOIN line_agg a ON t.doc_id = a.doc_id
+"""
+
+
+def _multiline_docs_df(spark, sf_dir):
+    """Fabricated multi-line crawl pages (the synthetic corpus has no
+    newlines): shared boilerplate header on every page, the original text
+    as the body line, a per-source boilerplate footer, and every 7th page
+    repeats the header — so the newline dedup exercises cross-corpus
+    boilerplate removal, per-group survivors, and within-document
+    repeats."""
+    docs = _t(spark, sf_dir, "documents")
+    base = F.concat_ws(
+        "\n",
+        F.lit("COMMON HEADER"),
+        F.col("text"),
+        F.concat(F.lit("FOOTER "), F.col("source")),
+    )
+    mtext = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(base, F.lit("\nCOMMON HEADER"))
+    ).otherwise(base)
+    return docs.select("doc_id", mtext.alias("text"))
+
+
+@_register("line_dedup_newline", _LINE_NEWLINE_ORACLE)
+def line_dedup_newline_q(spark, sf_dir):
+    """The CCNet/RefinedWeb PRODUCTION form of line dedup: lines are
+    newline-delimited (split='\\n'), not fixed word chunks — boilerplate
+    headers/footers repeated across a crawl collapse to their first
+    occurrence and documents reassemble with '\\n'. Runs over fabricated
+    multi-line pages (see :func:`_multiline_docs_df`); shares the
+    digest-keyed one-shuffle plan with line_dedup."""
+    from .datapipe.dedup import line_dedup
+
+    out = line_dedup(
+        _multiline_docs_df(spark, sf_dir), split="\n"
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "clean_text",
+        F.col("n_lines_kept").cast("bigint").alias("n_lines_kept"),
+        F.col("n_lines_dropped").cast("bigint").alias("n_lines_dropped"),
+    )
+
+
 def _gate_chain_sql(table: str = "documents", id_col: str = "doc_id") -> str:
     """WITH-body (no leading WITH) computing the quality-gate feature +
     verdict chain over ``{table}({id_col}, text)`` — ends in CTE

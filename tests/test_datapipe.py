@@ -118,6 +118,26 @@ def test_line_dedup_first_occurrence_and_reassembly(spark):
     assert (out[3]["n_lines_kept"], out[3]["n_lines_dropped"]) == (0, 1)
 
 
+def test_line_dedup_newline_mode(spark):
+    """split='\\n' (the CCNet production form): delimiter lines, '\\n'
+    reassembly, same first-occurrence-by-(id,pos) keep rule."""
+    from genie_spark.datapipe.dedup import line_dedup
+
+    rows = [
+        (1, "a\nb\na"),    # within-doc repeat of 'a'
+        (2, "b\nc"),       # 'b' is boilerplate vs doc 1
+        (3, "a\nb"),       # fully boilerplate
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in line_dedup(df, split="\n").collect()}
+    assert out[1]["clean_text"] == "a\nb"
+    assert (out[1]["n_lines_kept"], out[1]["n_lines_dropped"]) == (2, 1)
+    assert out[2]["clean_text"] == "c"
+    assert (out[2]["n_lines_kept"], out[2]["n_lines_dropped"]) == (1, 1)
+    assert out[3]["clean_text"] == ""
+    assert (out[3]["n_lines_kept"], out[3]["n_lines_dropped"]) == (0, 2)
+
+
 def test_redact_contacts_replaces_all_matches(spark):
     from genie_spark.datapipe.textstats import redact_contacts
 
