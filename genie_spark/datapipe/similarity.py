@@ -869,6 +869,205 @@ def _pq_adc_topk(
     ).limit(k)
 
 
+# ---------------------------------------------------------------------------
+# IVF-PQ composition — the actual web-scale ANN serving shape: a coarse
+# IVF cell probe prunes the corpus to n_probe partitions, ADC over stored
+# PQ codes ranks the survivors from m small ints each, and exact cosine
+# re-ranks only the candidate pool. At 10^12 vectors this is the only
+# tier whose serving cost AND memory both stay sublinear: partition
+# pruning bounds I/O, codes bound memory, re-rank bounds quantization
+# error.
+# ---------------------------------------------------------------------------
+
+
+def materialize_ivf_pq(
+    emb: DataFrame,
+    centroids: List[List[float]],
+    codebooks,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Build the composed index ONCE: every vector gets its coarse IVF
+    cell (argmax-cosine over centroid literals) and its m PQ codes in
+    the same row-local scan, written ``partitionBy("cell")`` — probes
+    prune to cell directories and read codes, never the full corpus.
+    (The full vector is co-located for the re-rank stage; production
+    would store it in the primary store only.)"""
+    codes = pq_code_cols(F.col(vec_col), codebooks)
+    emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        ivf_cell_col(F.col(vec_col), centroids).alias("cell"),
+        *[c.alias(f"c{j}") for j, c in enumerate(codes)],
+    ).write.partitionBy("cell").mode("overwrite").parquet(path)
+
+
+def ivf_pq_topk_pruned(
+    spark,
+    path: str,
+    query: Sequence[float],
+    centroids: List[List[float]],
+    codebooks,
+    k: int = 10,
+    n_probe: int = 2,
+    rerank: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe a :func:`materialize_ivf_pq` index: `cell IN probe` is
+    partition pruning (PartitionFilters — asserted in test_plans), ADC
+    ranks the pruned rows from their stored codes, exact cosine re-ranks
+    the pool only."""
+    probe = ivf_probe_cells(query, centroids, n_probe)
+    pruned = spark.read.parquet(path).filter(F.col("cell").isin(probe))
+    return _pq_adc_topk(
+        pruned, query, codebooks, k, rerank, vec_col, id_col, "c{}"
+    )
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    query: Sequence[float],
+    centroids: List[List[float]],
+    codebooks,
+    k: int = 10,
+    n_probe: int = 2,
+    rerank: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Index-free IVF-PQ (cell + codes derived inline): correct but
+    re-derives assignments per row — use :func:`materialize_ivf_pq` +
+    :func:`ivf_pq_topk_pruned` everywhere the table is probed more than
+    once."""
+    probe = ivf_probe_cells(query, centroids, n_probe)
+    codes = pq_code_cols(F.col(vec_col), codebooks)
+    pruned = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        ivf_cell_col(F.col(vec_col), centroids).alias("cell"),
+        *[c.alias(f"c{j}") for j, c in enumerate(codes)],
+    ).filter(F.col("cell").isin(probe))
+    return _pq_adc_topk(
+        pruned, query, codebooks, k, rerank, vec_col, id_col, "c{}"
+    )
+
+
+def ivf_pq_topk_sql(
+    query: Sequence[float],
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    k_sub: int = 16,
+    dim: int = 64,
+    k: int = 10,
+    rerank: int = 0,
+) -> str:
+    """DuckDB twin of :func:`ivf_pq_topk`: the IVF assignment/probe CTEs
+    (same as :func:`ivf_topk_sql`), PQ encode restricted to the probed
+    survivors (encoding is row-local, so codes are identical to a full-
+    corpus encode), the fixed-order ADC chain, and the exact re-rank —
+    fully data-derived, correct at every scale factor."""
+    from .hashes import h60_sql
+
+    sub = dim // m
+    q = _q_vec_sql(query)
+    qnorm = _py_dot(query, query) ** 0.5
+
+    def dot_sql(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({a}, {b}),"
+            f" p -> p[1]::DOUBLE * p[2]::DOUBLE))"
+        )
+
+    def n2_sql(a: str) -> str:
+        return f"list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE))"
+
+    def cos9(a: str, b: str) -> str:
+        return f"round({dot_sql(a, b)} / (sqrt({n2_sql(a)}) * sqrt({n2_sql(b)})), 9)"
+
+    def sl(expr: str, j: int) -> str:
+        return f"list_slice({expr}, {j * sub + 1}, {(j + 1) * sub})"
+
+    assign = ",\n".join(
+        f"""a{j} AS (
+  SELECT e.vec_id, s.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round({dot_sql(sl("e.embedding", j), sl("s.svec", j))}
+                    - 0.5 * {n2_sql(sl("s.svec", j))}, 9) DESC, s.cid
+         ) AS rnk
+  FROM surv e CROSS JOIN seeds s
+),
+c{j} AS (SELECT vec_id, cid AS code FROM a{j} WHERE rnk = 1)"""
+        for j in range(m)
+    )
+    joins = " ".join(
+        f"JOIN c{j} ON c{j}.vec_id = c0.vec_id" for j in range(1, m)
+    )
+    seed_joins = " ".join(
+        f"JOIN seeds s{j} ON s{j}.cid = c{j}.code" for j in range(m)
+    )
+    adc_chain = " + ".join(
+        f"round({dot_sql(sl(q, j), sl(f's{j}.svec', j))}, 9)" for j in range(m)
+    )
+    n2_chain = " + ".join(
+        f"round({n2_sql(sl(f's{j}.svec', j))}, 9)" for j in range(m)
+    )
+    base = f"""WITH cents AS (
+  SELECT embedding AS cvec,
+         row_number() OVER (ORDER BY {h60_sql("vec_id::VARCHAR")}, vec_id) - 1 AS cid
+  FROM embeddings
+  QUALIFY cid < {n_cells}
+),
+cassign AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {cos9("e.embedding", "c.cvec")} DESC, c.cid
+         ) AS rnk
+  FROM embeddings e CROSS JOIN cents c
+),
+probe AS (
+  SELECT cid FROM cents
+  ORDER BY {cos9(q, "cvec")} DESC, cid
+  LIMIT {n_probe}
+),
+surv AS (
+  SELECT vec_id, embedding FROM cassign
+  WHERE rnk = 1 AND cid IN (SELECT cid FROM probe)
+),
+seeds AS (
+  SELECT list_transform(embedding, x -> x::DOUBLE) AS svec,
+         row_number() OVER (ORDER BY {h60_sql("vec_id::VARCHAR")}, vec_id) - 1 AS cid
+  FROM embeddings
+  QUALIFY cid < {k_sub}
+),
+{assign}"""
+    adc_select = f"""SELECT c0.vec_id,
+       round(({adc_chain}) / ({qnorm!r} * sqrt({n2_chain})), 6) AS adc_cosine
+FROM c0 {joins} {seed_joins}
+ORDER BY adc_cosine DESC, c0.vec_id ASC"""
+    if not rerank:
+        return f"\n{base}\n{adc_select}\nLIMIT {k}\n"
+    exact = (
+        f"round({dot_sql('e.embedding', q)}"
+        f" / (sqrt({n2_sql('e.embedding')}) * sqrt({n2_sql(q)})), 6)"
+    )
+    return f"""
+{base},
+pool AS (
+  {adc_select}
+  LIMIT {rerank}
+)
+SELECT e.vec_id, {exact} AS cosine
+FROM pool p JOIN surv e ON e.vec_id = p.vec_id
+ORDER BY cosine DESC, e.vec_id ASC
+LIMIT {k}
+"""
+
+
 def pq_topk_sql(
     query: Sequence[float],
     m: int = 4,

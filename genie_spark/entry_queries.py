@@ -1376,6 +1376,45 @@ def ann_pq_rerank_topk(spark, sf_dir):
     )
 
 
+def ivf_pq_index(spark, sf_dir):
+    """Build (once per sf_dir, _SUCCESS-gated) the composed IVF-PQ index:
+    coarse cell + m PQ codes assigned in one row-local scan, written
+    partitionBy(cell). Returns (path, centroids, codebooks)."""
+    from .datapipe.similarity import ivf_centroids, materialize_ivf_pq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(emb, n_cells=_IVF_CELLS)
+    books = _pq_books(spark, sf_dir)
+    base = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = (
+        f"/tmp/genie_spark_ivf/{base}_ivfpq_c{_IVF_CELLS}"
+        f"_pq{_PQ_M}x{_PQ_KSUB}"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        materialize_ivf_pq(emb, cents, books, path)
+    return path, cents, books
+
+
+@_register("ann_ivf_pq_topk", None)
+def ann_ivf_pq_topk(spark, sf_dir):
+    """IVF-PQ — the actual web-scale ANN serving shape: the coarse cell
+    probe prunes the corpus to n_probe partition directories
+    (PartitionFilters asserted in test_plans), ADC ranks the pruned rows
+    from their m stored codes (row-local literal-table lookups), and
+    exact cosine re-ranks only the 50-candidate pool. I/O is bounded by
+    the probe, memory by the codes, quantization error by the re-rank —
+    each tier verified engine-exact against the data-derived DuckDB
+    twin; recall parity with ann_pq_rerank_topk shown on the clustered
+    fixture (test_ivf_pq_recall_vs_brute)."""
+    from .datapipe.similarity import ivf_pq_topk_pruned
+
+    path, cents, books = ivf_pq_index(spark, sf_dir)
+    return ivf_pq_topk_pruned(
+        spark, path, ANN_QUERY, cents, books,
+        k=_ANN_K, n_probe=_IVF_PROBE, rerank=_PQ_RERANK,
+    )
+
+
 def _install_ann_oracles():
     from .datapipe.similarity import (
         brute_force_topk_sql,
@@ -1411,6 +1450,13 @@ def _install_ann_oracles():
     )
     ORACLES["ann_pq_rerank_topk"] = pq_topk_sql(
         ANN_QUERY, m=_PQ_M, k_sub=_PQ_KSUB, dim=len(ANN_QUERY), k=_ANN_K,
+        rerank=_PQ_RERANK,
+    )
+    from .datapipe.similarity import ivf_pq_topk_sql
+
+    ORACLES["ann_ivf_pq_topk"] = ivf_pq_topk_sql(
+        ANN_QUERY, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE,
+        m=_PQ_M, k_sub=_PQ_KSUB, dim=len(ANN_QUERY), k=_ANN_K,
         rerank=_PQ_RERANK,
     )
 

@@ -294,6 +294,57 @@ def test_pq_rerank_recall_vs_brute(spark):
         assert rr[vid] == brute[vid], "re-rank stage must be exact"
 
 
+def test_ivf_pq_recall_vs_brute(spark):
+    """The composed IVF-PQ tier (coarse 2-of-8-cell probe + ADC over PQ
+    codes + exact re-rank) must match the recall of the pure PQ+rerank
+    path on the clustered fixture — the cell pruning may only drop
+    vectors the coarse quantizer scatters, and with clustered data the
+    query's neighbors share its cells. Re-ranked cosines must equal
+    brute-force for the common ids (the re-rank stage is exact)."""
+    import math
+
+    from genie_spark.datapipe.similarity import (
+        brute_force_topk,
+        ivf_centroids,
+        ivf_pq_topk,
+        pq_codebooks,
+        pq_topk,
+    )
+
+    dim, n_protos, per = 16, 8, 40
+
+    def proto(p):
+        return [math.sin(0.7 * p + 1.3 * d) for d in range(dim)]
+
+    rows = []
+    for p in range(n_protos):
+        base = proto(p)
+        for j in range(per):
+            jitter = [0.15 * math.sin(2.1 * j + 0.9 * d + p) for d in range(dim)]
+            rows.append((p * per + j, [b + e for b, e in zip(base, jitter)]))
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+    q = [x + 0.05 for x in proto(3)]
+    brute = {r["vec_id"]: r["cosine"] for r in brute_force_topk(emb, q, k=10).collect()}
+    cents = ivf_centroids(emb, n_cells=8)
+    books = pq_codebooks(emb, m=4, k_sub=16)
+    pq_hits = set(
+        r["vec_id"] for r in pq_topk(emb, q, books, k=10, rerank=50).collect()
+    ) & set(brute)
+    got = {
+        r["vec_id"]: r["cosine"]
+        for r in ivf_pq_topk(
+            emb, q, cents, books, k=10, n_probe=2, rerank=50
+        ).collect()
+    }
+    hits = set(got) & set(brute)
+    assert len(hits) >= len(pq_hits), (
+        f"IVF-PQ recall {len(hits)}/10 below PQ+rerank {len(pq_hits)}/10"
+    )
+    for vid in hits:
+        assert got[vid] == brute[vid], "re-rank stage must be exact"
+
+
 def test_pq_kmeans_reduces_quantization_error(spark):
     """Per-subspace Lloyd refinement must strictly reduce the mean
     quantization error (‖x − decode(encode(x))‖²) vs the seeded

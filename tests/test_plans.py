@@ -263,6 +263,21 @@ def test_ivf_probe_prunes_partitions(spark):
     assert "array_max" not in plan
 
 
+def test_ivf_pq_probe_prunes_partitions(spark):
+    """ann_ivf_pq_topk probes the composed index: PartitionFilters on
+    `cell` (coarse probe), no per-row centroid or code assignment in the
+    serving plan (codes are stored), and the ADC pool selection is
+    TakeOrderedAndProject — no global sort."""
+    import genie_spark.entry_queries as eq
+
+    plan = _plan(eq.QUERIES["ann_ivf_pq_topk"](spark, SF_DIR))
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "cell" in pf and pf.strip() != ""
+    assert "array_max" not in plan  # no inline assignment at probe time
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_lsh_probe_prunes_partitions(spark):
     """ann_lsh_topk must probe a materialized partitionBy(bucket) table
     with PartitionFilters on `bucket` — same index-build/probe split as
