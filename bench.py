@@ -151,15 +151,60 @@ HEADLINE = [
     "quality_gate",
     "graph_materialize",
     "curation_report",
+    "line_dedup_newline",
+    "ann_ivf_pq_topk",
 ]
+
+
+def _load1() -> float:
+    try:
+        return os.getloadavg()[0]
+    except OSError:  # pragma: no cover - non-POSIX
+        return 0.0
+
+
+def _wait_quiet(threshold: float, deadline_s: float, poll_s: float = 10.0):
+    """Bounded wait for a quiet co-tenant window: poll the 1-minute
+    loadavg until it drops below `threshold` or `deadline_s` elapses.
+    Returns (final_load1, trace). The shared-host noise this guards
+    against is documented in BENCH/BASELINE.md (identical stages observed
+    4s vs 147s across co-tenant episodes)."""
+    t0 = time.time()
+    trace = [round(_load1(), 2)]
+    while trace[-1] >= threshold and time.time() - t0 < deadline_s:
+        time.sleep(poll_s)
+        trace.append(round(_load1(), 2))
+    return trace[-1], trace
 
 
 def run_default(sf_dir: str, cpus: int) -> dict:
     import __spark_entry__ as entry_mod
 
+    # Noise gate (round-5): the committed r4 artifact carried busy-window
+    # values — 15 untouched row-local plans showed 1.5-5x phantom
+    # regressions vs r3 purely from co-tenant load. Every recorded time
+    # now carries the loadavg it was measured under, the suite waits
+    # (bounded) for a quiet window before timing, and the refinement
+    # budget is spent on the noisiest measurements first, so the number
+    # of record converges to a quiet-window min-of-N with an auditable
+    # load trace.
+    quiet = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", str(cpus / 4)))
+    wait_s = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT_S", "180"))
+    start_load, wait_trace = _wait_quiet(quiet, wait_s)
+
     spark = _spark(cpus)
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
+    min_load: dict[str, float] = {}  # load1 when the recorded min was set
+
+    def timed(name, fn) -> None:
+        pre = _load1()
+        t0 = time.time()
+        fn()
+        dt = round(time.time() - t0, 3)
+        if name not in timings or dt < timings[name]:
+            timings[name] = dt
+            min_load[name] = round(pre, 2)
 
     # flagship: constrained generation end-to-end (docs/sec headline).
     # Catalog build + broadcast + worker warmup happen once before timing
@@ -168,11 +213,12 @@ def run_default(sf_dir: str, cpus: int) -> dict:
     extractor = _extractor(spark, sf_dir)
     out, n_docs = _gen_job(spark, sf_dir, replicate=1, extractor=extractor)
     _sink(out)  # warm pass
-    t0 = time.time()
-    out, _ = _gen_job(spark, sf_dir, replicate=1, extractor=extractor)
-    _sink(out)
-    gen_s = time.time() - t0
-    timings["graph_extract_triples"] = round(gen_s, 3)
+
+    def gen_pass() -> None:
+        out, _ = _gen_job(spark, sf_dir, replicate=1, extractor=extractor)
+        _sink(out)
+
+    timed("graph_extract_triples", gen_pass)
 
     # this sandbox is a shared host (~5% CPU steal, multi-10s co-tenant
     # episodes observed); min-of-N per query reports the least-interference
@@ -181,20 +227,31 @@ def run_default(sf_dir: str, cpus: int) -> dict:
     # budget allows — total duration is bounded at pass-1 + budget, so the
     # harness always finishes regardless of co-tenant weather.
     for name in HEADLINE:
-        t0 = time.time()
-        _sink(queries[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        timed(name, lambda n=name: _sink(queries[n](spark, sf_dir)))
     refine_start = time.time()
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "240"))
-    for _ in range(2):  # up to min-of-3
-        for name in HEADLINE:
+    for _ in range(3):  # up to min-of-4 on the noisiest measurements
+        # spend the budget where the noise is: re-run loudest-window
+        # measurements first; a min captured under quiet load with 2+
+        # samples is settled
+        todo = sorted(
+            (n for n in HEADLINE if min_load.get(n, quiet) >= quiet),
+            key=lambda n: -min_load.get(n, 0.0),
+        ) or list(HEADLINE)
+        for name in todo:
             if time.time() - refine_start > budget_s:
                 break
-            t0 = time.time()
-            _sink(queries[name](spark, sf_dir))
-            timings[name] = round(min(timings[name], time.time() - t0), 3)
+            timed(name, lambda n=name: _sink(queries[n](spark, sf_dir)))
+    # one flagship re-measure if its min was captured under load
+    if (
+        min_load.get("graph_extract_triples", 0.0) >= quiet
+        and time.time() - refine_start < budget_s * 1.25
+    ):
+        timed("graph_extract_triples", gen_pass)
 
+    gen_s = timings["graph_extract_triples"]
     total = round(sum(timings.values()), 3)
+    noisy = sorted(n for n, l in min_load.items() if l >= quiet)
     result = {
         "metric": "genie_spark headline suite wall time",
         "value": total,
@@ -204,6 +261,13 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         "cpus": cpus,
         "docs_per_sec": round(n_docs / gen_s, 1),
         "n_docs": n_docs,
+        "load": {
+            "quiet_threshold": quiet,
+            "start_load1": round(start_load, 2),
+            "wait_trace": wait_trace,
+            "per_query_load1_at_min": min_load,
+            "noisy_at_min": noisy,
+        },
     }
     spark.stop()
 
@@ -517,6 +581,11 @@ def main():
     )
     ap.add_argument("--hi", type=int, default=32,
                     help="large parallelism level for --scaling (default 32)")
+    ap.add_argument(
+        "--record-round", type=int, default=None,
+        help="also write the full result to BENCH/suite_r{N}.json — the "
+        "committed per-round number of record (loadavg-gated)",
+    )
     args = ap.parse_args()
 
     if args.load_worker:
@@ -548,6 +617,13 @@ def main():
             f.write("\n")
     except OSError:
         full_path = None  # read-only checkout: stdout still carries the core
+    if args.record_round is not None and full_path:
+        rec_path = os.path.join(
+            os.path.dirname(full_path), f"suite_r{args.record_round:02d}.json"
+        )
+        with open(rec_path, "w", encoding="utf-8") as f:
+            json.dump(result, f, indent=1)
+            f.write("\n")
 
     compact = {
         k: v
