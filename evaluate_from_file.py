@@ -60,6 +60,9 @@ def main(argv=None) -> dict:
     ap.add_argument("--zs-relations",
                     help="JSON file {group: [relation, ...]}; enables the "
                     "zero-shot group evaluator")
+    ap.add_argument("--no-plots", action="store_true",
+                    help="skip the SVG bucket figures (rendered by default "
+                    "when --train-split enables the Bucket evaluator)")
     ap.add_argument("--cpus", type=int, default=0,
                     help="local[<n>] master; 0 = use the active/spark-submit master")
     args = ap.parse_args(argv)
@@ -145,6 +148,15 @@ def main(argv=None) -> dict:
         ) as f:
             json.dump(bucket_obj, f, indent=4, sort_keys=True)
         results["bucket"] = bucket_obj
+        if not args.no_plots:
+            # the reference renders bar+line bucket figures per metric
+            # (evaluate_from_file.py:133-170); here as dependency-free
+            # SVG from the same numbers (genie_spark/plots.py)
+            from genie_spark.plots import render_bucket_plots
+
+            results["bucket_plots"] = render_bucket_plots(
+                bucket_obj, args.output_dir
+            )
 
     if args.zs_relations:
         from genie_spark.metrics import zero_shot_metrics

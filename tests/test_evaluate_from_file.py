@@ -94,6 +94,18 @@ def test_cli_all_four_evaluators(spark, tmp_path, run_files, capsys):
     printed = capsys.readouterr().out
     assert "bucket-b2-f1," in printed and "zs-dropped-f1," in printed
 
+    # the plot sink renders the reference's per-metric bar+line figures
+    # (SVG, genie_spark/plots.py) next to bucket_results.json by default
+    import xml.etree.ElementTree as ET
+
+    assert sorted(results["bucket_plots"]) == ["f1", "precision", "recall"]
+    for metric in ("precision", "recall", "f1"):
+        for kind in ("bar", "line"):
+            p = os.path.join(out_dir, f"bucket_{metric}_{kind}.svg")
+            assert os.path.exists(p), p
+            root = ET.parse(p).getroot()
+            assert root.tag.endswith("svg")
+
 
 def test_cli_relation_restriction_and_bootstrap(spark, tmp_path, run_files):
     out_path, rels_path = run_files
