@@ -153,6 +153,8 @@ HEADLINE = [
     "curation_report",
     "line_dedup_newline",
     "ann_ivf_pq_topk",
+    "dedup_semantic",
+    "dedup_components",
 ]
 
 

@@ -1263,3 +1263,88 @@ FROM c0 {joins} {seed_joins}
 ORDER BY adc_cosine DESC, c0.vec_id ASC
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup, Abbas et al. 2023 — arXiv:2303.09540): cluster
+# the embedding space, then drop near-identical vectors WITHIN each
+# cluster. The cluster assignment bounds the quadratic pair term — at
+# 10^10 documents the all-pairs comparison only ever runs inside one
+# cell, so k is chosen to keep cells at a comparable-pairs size, and the
+# per-cell work is an ordinary shuffle-keyed self-join, not a cartesian
+# product over the corpus.
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup_survivors(
+    emb: DataFrame,
+    centroids: List[List[float]],
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Vectors that SURVIVE semantic dedup: assign each vector its
+    cluster (argmax cosine over the centroid literals, ties to the lower
+    cell — :func:`ivf_cell_col`), generate within-cluster pairs via the
+    blocked self-join (:func:`~genie_spark.datapipe.dedup.
+    embedding_neardup_pairs`), and drop every vector that has a
+    cosine-≥-threshold neighbor with a smaller id. Keep-lowest-id is the
+    deterministic stand-in for the paper's keep-one-per-group policy —
+    it needs no extra pass over the pair set and both engines agree on
+    it bit-for-bit. Returns ``(id, cell)``."""
+    from .dedup import embedding_neardup_pairs
+
+    cells = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        ivf_cell_col(F.col(vec_col), centroids).alias("cell"),
+    )
+    pairs = embedding_neardup_pairs(
+        cells, vec_col, id_col, block_col="cell", threshold=threshold
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return cells.join(dropped, id_col, "left_anti").select(id_col, "cell")
+
+
+def semantic_dedup_sql(
+    n_cells: int = 8,
+    threshold: float = 0.95,
+) -> str:
+    """DuckDB twin of :func:`semantic_dedup_survivors` — data-derived
+    hash-seeded centroids (same pick as :func:`ivf_topk_sql`), the same
+    9dp-rounded argmax assignment, within-cell pairs at 6dp cosine, and
+    the keep-lowest-id anti-join."""
+    from .hashes import h60_sql
+
+    def cos_sql(a: str, b: str, dp: int) -> str:
+        return (
+            f"round(list_sum(list_transform(list_zip({a}, {b}),"
+            f" p -> p[1]::DOUBLE * p[2]::DOUBLE))"
+            f" / (sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
+            f" * sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE)))), {dp})"
+        )
+
+    return f"""
+WITH cents AS (
+  SELECT embedding AS cvec,
+         row_number() OVER (ORDER BY {h60_sql("vec_id::VARCHAR")}, vec_id) - 1 AS cid
+  FROM embeddings
+  QUALIFY cid < {n_cells}
+),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {cos_sql("e.embedding", "c.cvec", 9)} DESC, c.cid
+         ) AS rnk
+  FROM embeddings e CROSS JOIN cents c
+),
+cells AS (SELECT vec_id, embedding, cid AS cell FROM assign WHERE rnk = 1),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {cos_sql("a.embedding", "b.embedding", 6)} >= {threshold}
+)
+SELECT c.vec_id, c.cell FROM cells c
+ANTI JOIN dropped d ON d.vec_id = c.vec_id
+"""

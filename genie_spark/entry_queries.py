@@ -1139,6 +1139,66 @@ def embedding_neardup_lsh(spark, sf_dir):
     )
 
 
+@_register("dedup_semantic", None)
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup (arXiv:2303.09540) as a Spark plan: hash-seeded
+    clustering of the embedding space bounds the quadratic pair term to
+    within-cell self-joins; every vector with a cosine-≥-threshold
+    neighbor of smaller id in its cell is dropped. Returns the
+    SURVIVORS (vec_id, cell) — engine-exact vs the data-derived DuckDB
+    twin (semantic_dedup_sql)."""
+    from .datapipe.similarity import ivf_centroids, semantic_dedup_survivors
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(emb, n_cells=_IVF_CELLS)
+    return semantic_dedup_survivors(emb, cents, threshold=_SEMDEDUP_T)
+
+
+_SEMDEDUP_T = 0.3
+
+
+@_register("dedup_components", None)
+def dedup_components(spark, sf_dir):
+    """Transitive duplicate clustering: MinHash-LSH candidate pairs as
+    the edge list, distributed connected components (min-label
+    propagation + pointer jumping, datapipe/graph.py) as the closure,
+    every document labeled with its component = min doc_id reachable
+    through near-dup edges (singletons label themselves). Pairwise
+    keep-min under-deletes on A~B~C chains; this is the production
+    CCNet/RefinedWeb-style cluster step. Oracle: DuckDB recursive CTE
+    over the same edge SQL."""
+    from .datapipe.dedup import minhash_jaccard_pairs
+    from .datapipe.graph import components_with_singletons
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_jaccard_pairs(
+        docs, num_hashes=_MINHASH_N, bands=_MINHASH_BANDS,
+        threshold=_MINHASH_T,
+    )
+    return components_with_singletons(
+        docs.select("doc_id"), pairs, "doc_id"
+    )
+
+
+ORACLES["dedup_components"] = (
+    f"WITH RECURSIVE {_minhash_chain_sql('documents')},\n"
+    f"""edges AS (
+  SELECT id_a AS u, id_b AS w FROM est WHERE ej >= {_MINHASH_T}
+  UNION ALL
+  SELECT id_b, id_a FROM est WHERE ej >= {_MINHASH_T}
+),
+reach(v, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.w, reach.r FROM reach JOIN edges e ON e.u = reach.v
+),
+comp AS (SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v)
+SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+"""
+)
+
+
 # -- similarity search ----------------------------------------------------------
 
 # fixed 64-dim literal query vector (independent of sf so the oracle SQL
@@ -1452,12 +1512,15 @@ def _install_ann_oracles():
         ANN_QUERY, m=_PQ_M, k_sub=_PQ_KSUB, dim=len(ANN_QUERY), k=_ANN_K,
         rerank=_PQ_RERANK,
     )
-    from .datapipe.similarity import ivf_pq_topk_sql
+    from .datapipe.similarity import ivf_pq_topk_sql, semantic_dedup_sql
 
     ORACLES["ann_ivf_pq_topk"] = ivf_pq_topk_sql(
         ANN_QUERY, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE,
         m=_PQ_M, k_sub=_PQ_KSUB, dim=len(ANN_QUERY), k=_ANN_K,
         rerank=_PQ_RERANK,
+    )
+    ORACLES["dedup_semantic"] = semantic_dedup_sql(
+        n_cells=_IVF_CELLS, threshold=_SEMDEDUP_T
     )
 
 

@@ -1,0 +1,85 @@
+"""Connected-components duplicate clustering (datapipe/graph.py).
+
+Value-level parity with the DuckDB recursive-CTE twin lives in
+test_oracle_parity.py (dedup_components); these cover the algorithmic
+properties: transitive closure, singleton handling, pointer-jump
+convergence on long paths, and partition invariance.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from genie_spark.datapipe.graph import (
+    component_dedup,
+    components_with_singletons,
+    connected_components,
+)
+
+
+def _comp_map(df):
+    return {r["id"]: r["component"] for r in df.collect()}
+
+
+def test_transitive_chain_collapses(spark):
+    # A~B and B~C but no A~C edge: pairwise keep-min would keep A and C;
+    # the closure must put all three in component A.
+    edges = spark.createDataFrame([(10, 20), (20, 30)], ["id_a", "id_b"])
+    comp = _comp_map(connected_components(edges))
+    assert comp == {10: 10, 20: 10, 30: 10}
+
+
+def test_disjoint_components(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (9, 7)], ["id_a", "id_b"]
+    )
+    comp = _comp_map(connected_components(edges))
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 7}
+
+
+def test_long_path_converges_in_log_rounds(spark):
+    # Path 0-1-...-40: diameter 40. Without pointer jumping min-label
+    # propagation needs ~40 rounds; with it ~log2(41)+const. max_rounds=10
+    # both proves the jump works and bounds the loop.
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], ["id_a", "id_b"]
+    )
+    comp = _comp_map(connected_components(edges, max_rounds=10))
+    assert set(comp.values()) == {0}
+    assert len(comp) == 41
+
+
+def test_singletons_label_themselves(spark):
+    verts = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
+    edges = spark.createDataFrame([(1, 4)], ["id_a", "id_b"])
+    out = components_with_singletons(verts, edges, "doc_id")
+    comp = {r["doc_id"]: r["component"] for r in out.collect()}
+    assert comp == {0: 0, 1: 1, 2: 2, 3: 3, 4: 1, 5: 5}
+
+
+def test_component_dedup_keeps_min_per_component(spark):
+    verts = spark.createDataFrame([(i,) for i in range(7)], ["doc_id"])
+    edges = spark.createDataFrame(
+        [(5, 2), (2, 6), (0, 3)], ["id_a", "id_b"]
+    )
+    kept = sorted(
+        r["doc_id"] for r in component_dedup(verts, edges, "doc_id").collect()
+    )
+    # {0,3} -> 0, {2,5,6} -> 2, singletons 1 and 4 survive
+    assert kept == [0, 1, 2, 4]
+
+
+def test_partition_invariance(spark):
+    edges = [(i, i + 1) for i in range(0, 30, 2)] + [(4, 6), (20, 26)]
+    df1 = spark.createDataFrame(edges, ["id_a", "id_b"]).repartition(1)
+    df13 = spark.createDataFrame(edges, ["id_a", "id_b"]).repartition(13)
+    assert _comp_map(connected_components(df1)) == _comp_map(
+        connected_components(df13)
+    )
+
+
+def test_nonconvergence_raises(spark):
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_rounds=1)
