@@ -61,15 +61,19 @@ def connected_components(
         sym = sym.localCheckpoint(eager=False)
 
     for _ in range(max_rounds):
-        # neighbor-min: vertex takes min(own label, neighbors' labels)
-        nbr = sym.join(
-            labels.withColumnRenamed("id", "w"), "w"
-        ).select(F.col("u").alias("id"), "lbl")
-        stepped = (
-            labels.select("id", "lbl")
-            .union(nbr)
-            .groupBy("id")
-            .agg(F.min("lbl").alias("lbl"))
+        # neighbor-min: aggregate each vertex's neighbors' labels, then
+        # join back so the TRUE previous label (old_lbl) rides along —
+        # the convergence test below needs it, and this shape has the
+        # same shuffle count as the union+groupBy formulation.
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("id", "w"), "w")
+            .groupBy(F.col("u").alias("id"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        stepped = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
+            F.col("lbl").alias("old_lbl"),
         )
         # pointer jump: lbl := lbl(lbl). Labels are vertex ids, so the
         # label's own label exists whenever lbl != id; min() keeps the
@@ -80,18 +84,19 @@ def connected_components(
         new = (
             stepped.join(jump, "lbl", "left")
             .select(
-                "id", F.least(F.col("lbl"), F.coalesce("lbl2", "lbl")).alias("lbl")
+                "id",
+                F.least(F.col("lbl"), F.coalesce("lbl2", "lbl")).alias("lbl"),
+                "old_lbl",
             )
         )
         if use_local_checkpoint:
             new = new.localCheckpoint(eager=True)
-        changed = (
-            new.withColumnRenamed("lbl", "new_lbl")
-            .join(labels, "id")
-            .filter(F.col("new_lbl") != F.col("lbl"))
-        )
-        done = changed.isEmpty()
-        labels = new
+        # convergence = NO label moved this round (labels only decrease,
+        # so post-jump lbl == old_lbl iff both the neighbor step and the
+        # jump were no-ops). A filter over the just-materialized blocks
+        # — no join back to the previous round's frame.
+        done = new.filter(F.col("lbl") != F.col("old_lbl")).isEmpty()
+        labels = new.select("id", "lbl")
         if done:
             break
     else:
