@@ -155,6 +155,10 @@ HEADLINE = [
     "ann_ivf_pq_topk",
     "dedup_semantic",
     "dedup_components",
+    "kg_degree",
+    "kg_pagerank",
+    "kg_two_hop",
+    "kg_triangles",
 ]
 
 

@@ -34,6 +34,50 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def pagerank_sql_chain(
+    edges_cte: str = "e",
+    iterations: int = 5,
+    scale: int = 10**12,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> str:
+    """DuckDB twin of :func:`pagerank_fixed`: the same integer
+    fixed-point recurrence unrolled as one CTE chain per iteration.
+    ``edges_cte`` must be a CTE already in scope with DISTINCT
+    ``(src, dst)`` rows. Emits CTEs ``verts/nn/outd/pr0..pr{k}``; the
+    caller selects from ``pr{iterations}``. Every divide is DuckDB
+    ``//`` (floor) on BIGINT — bit-identical to Spark's ``div`` for the
+    non-negative operands used here; sums are cast back from HUGEINT."""
+    tele = f"(({damping_den - damping_num}::BIGINT * {scale}) // ({damping_den} * (SELECT n FROM nn)))"
+    parts = [
+        f"verts AS (SELECT src AS v FROM {edges_cte} UNION SELECT dst FROM {edges_cte})",
+        "nn AS (SELECT count(*)::BIGINT AS n FROM verts)",
+        f"outd AS (SELECT src AS v, count(*)::BIGINT AS od FROM {edges_cte} GROUP BY src)",
+        f"pr0 AS (SELECT v, ({scale}::BIGINT // (SELECT n FROM nn)) AS r FROM verts)",
+    ]
+    for i in range(1, iterations + 1):
+        p = f"pr{i - 1}"
+        parts.append(
+            f"""inf{i} AS (
+  SELECT {edges_cte}.dst AS v, sum(p.r // o.od)::BIGINT AS s
+  FROM {edges_cte} JOIN {p} p ON p.v = {edges_cte}.src
+  JOIN outd o ON o.v = {edges_cte}.src GROUP BY {edges_cte}.dst)"""
+        )
+        parts.append(
+            f"""dang{i} AS (
+  SELECT coalesce(sum(p.r), 0)::BIGINT AS d
+  FROM {p} p LEFT JOIN outd o ON o.v = p.v WHERE o.v IS NULL)"""
+        )
+        parts.append(
+            f"""pr{i} AS (
+  SELECT v.v, ({tele}
+    + ({damping_num}::BIGINT * (coalesce(i{i}.s, 0)
+       + ((SELECT d FROM dang{i}) // (SELECT n FROM nn)))) // {damping_den}) AS r
+  FROM verts v LEFT JOIN inf{i} i{i} ON i{i}.v = v.v)"""
+        )
+    return ",\n".join(parts)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -127,6 +171,191 @@ def components_with_singletons(
             F.coalesce("component", F.col(id_col)).alias("component"),
         )
     )
+
+
+def degree_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-entity in/out/total degree over a DISTINCT directed edge list.
+
+    Two partial-aggregatable groupBys + one full outer join — the whole
+    plan is map-side-combinable, so at 100 TB the shuffle carries one
+    row per (vertex, side), not per edge."""
+    o = edges.groupBy(F.col(src).alias("entity")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    i = edges.groupBy(F.col(dst).alias("entity")).agg(
+        F.count(F.lit(1)).alias("in_deg")
+    )
+    return (
+        o.join(i, "entity", "full")
+        .select(
+            "entity",
+            F.coalesce("out_deg", F.lit(0)).cast("bigint").alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).cast("bigint").alias("in_deg"),
+            (F.coalesce("out_deg", F.lit(0)) + F.coalesce("in_deg", F.lit(0)))
+            .cast("bigint")
+            .alias("degree"),
+        )
+    )
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    iterations: int = 5,
+    scale: int = 10**12,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank in INTEGER fixed-point arithmetic.
+
+    Float PageRank is engine-divergent: double addition is
+    non-associative, so Spark's partition-ordered sums and DuckDB's
+    scan-ordered sums can disagree in the low decimals. All mass here
+    is integer (``scale`` units split across N vertices), every divide
+    is floor division, and integer sums are exact and associative — the
+    same cross-engine determinism discipline as
+    ``sampling.split_thresholds`` (integer ppm). Per iteration::
+
+        r'(v) = ((den-num)*scale) // (den*N)
+                + (num * (inflow(v) + dangling_sum // N)) // den
+        inflow(v) = sum over in-edges (u,v) of r(u) // out_deg(u)
+
+    Dangling mass (vertices with no out-edges) redistributes uniformly.
+    Returns ``(entity, rank_fp)`` with rank_fp in units of 1/scale.
+
+    Scale notes (100 TB): each iteration is the canonical two-shuffle
+    PR step — edges⋈ranks on src (the big join; ranks are
+    vertex-sized), then a partial-aggregated groupBy on dst. The
+    dangling total stays a 1-row lazy aggregate cross-joined in (no
+    driver collect). ``localCheckpoint`` per iteration keeps the plan
+    linear — each iteration references the previous frame three times,
+    so an unchecked unroll would grow the logical plan 3^k."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    verts = (
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    outd = e.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("od")
+    ).localCheckpoint(eager=False)
+    n = verts.count()
+    tele = ((damping_den - damping_num) * scale) // (damping_den * n)
+    pr = verts.select("v", F.lit(scale // n).cast("long").alias("r"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(pr.withColumnRenamed("v", "src"), "src")
+            .join(outd.withColumnRenamed("v", "src"), "src")
+            .select(F.col("dst").alias("v"), F.expr("r div od").alias("c"))
+        )
+        inflow = contrib.groupBy("v").agg(F.sum("c").cast("long").alias("s"))
+        dang = (
+            pr.join(outd, "v", "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("d"))
+        )
+        pr = (
+            verts.join(inflow, "v", "left")
+            .crossJoin(dang)
+            .select(
+                "v",
+                (
+                    F.lit(tele).cast("long")
+                    + F.expr(
+                        f"({damping_num}L * (coalesce(s, 0L) + (d div {n}L)))"
+                        f" div {damping_den}L"
+                    )
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return pr.select(F.col("v").alias("entity"), F.col("r").alias("rank_fp"))
+
+
+def k_hop(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "v",
+) -> DataFrame:
+    """Entities within ``k`` directed hops of the seed set, each labeled
+    with its MINIMUM hop distance. Frontier-expansion BFS: hop i+1 is
+    one join of the hop-i frontier against the edge list; the final
+    min-hop groupBy dedupes multi-path reachability. For fixed small k
+    the lazy unroll is linear in k (each frontier feeds only the next),
+    so no lineage cuts are needed."""
+    levels = [seeds.select(F.col(seed_col).alias("v")).distinct()]
+    for _ in range(k):
+        frontier = levels[-1]
+        nxt = (
+            edges.join(frontier.withColumnRenamed("v", src), src)
+            .select(F.col(dst).alias("v"))
+            .distinct()
+        )
+        levels.append(nxt)
+    tagged = [
+        lvl.select("v", F.lit(i).cast("int").alias("hop"))
+        for i, lvl in enumerate(levels)
+    ]
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.union(t)
+    return out.groupBy(F.col("v").alias("entity")).agg(
+        F.min("hop").alias("min_hop")
+    ).select(F.col("entity"), F.col("min_hop"))
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Global triangle count of the UNDIRECTED graph, one row
+    ``(n_triangles)``.
+
+    Degree-ordered orientation (the scalable formulation): every
+    undirected edge is directed from its lower-(degree, id) endpoint to
+    the higher one, which bounds oriented out-degree by O(sqrt(m)) and
+    keeps the wedge join sub-quadratic on skewed (power-law) graphs —
+    the naive id-ordered wedge join explodes on the head vertex. Each
+    triangle is counted exactly once: it has a unique lowest-(deg,id)
+    apex whose two oriented out-edges form the wedge, closed by the
+    (id-normalized) undirected edge between the other two vertices."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .union(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        und.join(da, "a").join(db, "b")
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+        )
+    )
+    o1 = oriented.select("u", F.col("w").alias("x"))
+    o2 = oriented.select("u", F.col("w").alias("y"))
+    wedges = o1.join(o2, "u").filter(F.col("x") < F.col("y"))
+    closed = wedges.join(
+        und, (F.col("x") == F.col("a")) & (F.col("y") == F.col("b"))
+    )
+    return closed.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
 
 
 def component_dedup(

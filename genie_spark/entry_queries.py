@@ -1199,6 +1199,169 @@ FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
 )
 
 
+# -- KG analytics ----------------------------------------------------------------
+#
+# Once the engine has constructed and canonicalized a KG, users run graph
+# analytics over it. These queries build a deterministic 4-relation KG
+# from the relational tables (the same entity universe the metric queries
+# use): order -[returnflag]-> part -[supplied_by]-> supplier
+# -[based_in]-> nation -[part_of]-> region; entity ids are type-prefixed
+# strings so the id spaces never collide.
+
+_KG_EDGES_SQL = """
+  kg_edges AS (
+    SELECT DISTINCT 'O' || l_orderkey AS src, 'P' || l_partkey AS dst FROM lineitem
+    UNION
+    SELECT DISTINCT 'P' || l_partkey, 'S' || l_suppkey FROM lineitem
+    UNION
+    SELECT DISTINCT 'S' || s_suppkey, 'N' || s_nationkey FROM supplier
+    UNION
+    SELECT DISTINCT 'N' || n_nationkey, 'R' || n_regionkey FROM nation
+  )
+"""
+
+_KG_SEED_MOD = 997
+_PR_ITERS = 5
+_PR_SCALE = 10**12
+
+
+def _kg_edges_df(spark, sf_dir) -> DataFrame:
+    """Spark twin of _KG_EDGES_SQL — DISTINCT directed (src, dst)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+
+    def edge(df, a, ta, b, tb):
+        return df.select(
+            F.concat(F.lit(ta), F.col(a).cast("string")).alias("src"),
+            F.concat(F.lit(tb), F.col(b).cast("string")).alias("dst"),
+        )
+
+    return (
+        edge(li, "l_orderkey", "O", "l_partkey", "P")
+        .union(edge(li, "l_partkey", "P", "l_suppkey", "S"))
+        .union(edge(sup, "s_suppkey", "S", "s_nationkey", "N"))
+        .union(edge(nat, "n_nationkey", "N", "n_regionkey", "R"))
+        .distinct()
+    )
+
+
+@_register(
+    "kg_degree",
+    f"""
+WITH {_KG_EDGES_SQL}
+SELECT coalesce(o.entity, i.entity) AS entity,
+       coalesce(out_deg, 0)::BIGINT AS out_deg,
+       coalesce(in_deg, 0)::BIGINT AS in_deg,
+       (coalesce(out_deg, 0) + coalesce(in_deg, 0))::BIGINT AS degree
+FROM (SELECT src AS entity, count(*) AS out_deg FROM kg_edges GROUP BY src) o
+FULL JOIN (SELECT dst AS entity, count(*) AS in_deg FROM kg_edges GROUP BY dst) i
+  ON o.entity = i.entity
+""",
+)
+def kg_degree(spark, sf_dir):
+    """Per-entity in/out/total degree over the constructed KG — two
+    map-side-combinable groupBys + a full outer join (datapipe/graph.py
+    degree_stats)."""
+    from .datapipe.graph import degree_stats
+
+    return degree_stats(_kg_edges_df(spark, sf_dir))
+
+
+@_register("kg_pagerank", None)
+def kg_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank over the constructed KG in INTEGER
+    fixed-point (rank_fp = rank in units of 1e-12) — float PR is
+    engine-divergent under reordering, integer PR is exact, the same
+    determinism discipline as sampling.split_thresholds. Distributed
+    loop: edges⋈ranks + partial-agg groupBy per iteration, lazy 1-row
+    dangling aggregate, localCheckpoint lineage cuts
+    (datapipe/graph.py pagerank_fixed)."""
+    from .datapipe.graph import pagerank_fixed
+
+    return pagerank_fixed(
+        _kg_edges_df(spark, sf_dir), iterations=_PR_ITERS, scale=_PR_SCALE
+    )
+
+
+def _kg_pagerank_sql() -> str:
+    from .datapipe.graph import pagerank_sql_chain
+
+    return (
+        f"WITH {_KG_EDGES_SQL},\n"
+        + pagerank_sql_chain("kg_edges", iterations=_PR_ITERS, scale=_PR_SCALE)
+        + f"\nSELECT v AS entity, r AS rank_fp FROM pr{_PR_ITERS}"
+    )
+
+
+ORACLES["kg_pagerank"] = _kg_pagerank_sql()
+
+
+@_register(
+    "kg_two_hop",
+    f"""
+WITH {_KG_EDGES_SQL},
+seeds AS (SELECT DISTINCT 'O' || l_orderkey AS v FROM lineitem
+          WHERE l_orderkey % {_KG_SEED_MOD} = 0),
+h1 AS (SELECT DISTINCT e.dst AS v FROM kg_edges e JOIN seeds s ON e.src = s.v),
+h2 AS (SELECT DISTINCT e.dst AS v FROM kg_edges e JOIN h1 ON e.src = h1.v),
+lv AS (SELECT v, 0 AS hop FROM seeds
+       UNION ALL SELECT v, 1 FROM h1
+       UNION ALL SELECT v, 2 FROM h2)
+SELECT v AS entity, min(hop)::INT AS min_hop FROM lv GROUP BY v
+""",
+)
+def kg_two_hop(spark, sf_dir):
+    """Entities within 2 directed hops of a deterministic order seed
+    set, labeled with min hop distance — frontier-expansion BFS, one
+    edge join per hop (datapipe/graph.py k_hop)."""
+    from .datapipe.graph import k_hop
+
+    li = _t(spark, sf_dir, "lineitem")
+    seeds = (
+        li.filter(F.col("l_orderkey") % _KG_SEED_MOD == 0)
+        .select(
+            F.concat(F.lit("O"), F.col("l_orderkey").cast("string")).alias("v")
+        )
+        .distinct()
+    )
+    return k_hop(_kg_edges_df(spark, sf_dir), seeds, k=2)
+
+
+@_register(
+    "kg_triangles",
+    """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pe AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+       FROM li a JOIN li b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+SELECT count(*)::BIGINT AS n_triangles
+FROM pe e1
+JOIN pe e2 ON e2.pa = e1.pa AND e2.pb > e1.pb
+JOIN pe e3 ON e3.pa = e1.pb AND e3.pb = e2.pb
+""",
+)
+def kg_triangles(spark, sf_dir):
+    """Triangle count of the part co-order graph (parts appearing in the
+    same order — the entity co-occurrence graph KG pipelines mine for
+    relatedness). Spark side uses degree-ordered orientation so the
+    wedge join stays sub-quadratic on skewed graphs; the oracle counts
+    the same triangles via the id-ordered 3-way join
+    (datapipe/graph.py triangle_count)."""
+    from .datapipe.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+    return triangle_count(pairs, src="pa", dst="pb")
+
+
 # -- similarity search ----------------------------------------------------------
 
 # fixed 64-dim literal query vector (independent of sf so the oracle SQL

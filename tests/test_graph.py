@@ -77,6 +77,94 @@ def test_partition_invariance(spark):
     )
 
 
+def _pagerank_py(edges, iterations=5, scale=10**12, num=85, den=100):
+    """Pure-Python twin of pagerank_fixed's integer recurrence."""
+    verts = sorted({v for e in edges for v in e})
+    n = len(verts)
+    outd = {}
+    for u, _ in edges:
+        outd[u] = outd.get(u, 0) + 1
+    r = {v: scale // n for v in verts}
+    tele = ((den - num) * scale) // (den * n)
+    for _ in range(iterations):
+        inflow = {v: 0 for v in verts}
+        for u, w in edges:
+            inflow[w] += r[u] // outd[u]
+        dang = sum(r[v] for v in verts if v not in outd)
+        r = {
+            v: tele + (num * (inflow[v] + dang // n)) // den for v in verts
+        }
+    return r
+
+
+def test_pagerank_matches_python_twin(spark):
+    from genie_spark.datapipe.graph import pagerank_fixed
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("d", "c"), ("e", "d"), ("e", "a"),
+        # f is dangling (no out-edges), reached from a's component
+        ("c", "f"),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["entity"]: r["rank_fp"]
+        for r in pagerank_fixed(df, iterations=5).collect()
+    }
+    assert got == _pagerank_py(edges, iterations=5)
+
+
+def test_pagerank_partition_invariance(spark):
+    from genie_spark.datapipe.graph import pagerank_fixed
+
+    edges = [(f"v{i}", f"v{(i * 7 + 3) % 20}") for i in range(40)]
+    df1 = spark.createDataFrame(edges, ["src", "dst"]).distinct().repartition(1)
+    df9 = spark.createDataFrame(edges, ["src", "dst"]).distinct().repartition(9)
+    one = {r["entity"]: r["rank_fp"] for r in pagerank_fixed(df1, 4).collect()}
+    nine = {r["entity"]: r["rank_fp"] for r in pagerank_fixed(df9, 4).collect()}
+    assert one == nine
+
+
+def test_degree_stats(spark):
+    from genie_spark.datapipe.graph import degree_stats
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")], ["src", "dst"]
+    )
+    got = {
+        r["entity"]: (r["out_deg"], r["in_deg"], r["degree"])
+        for r in degree_stats(df).collect()
+    }
+    assert got == {"a": (2, 0, 2), "b": (1, 1, 2), "c": (0, 2, 2)}
+
+
+def test_k_hop_min_distance(spark):
+    from genie_spark.datapipe.graph import k_hop
+
+    # diamond s->a->t, s->t: t reachable at hop 1 and 2 -> min_hop 1
+    edges = spark.createDataFrame(
+        [("s", "a"), ("a", "t"), ("s", "t"), ("t", "z")], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([("s",)], ["v"])
+    got = {r["entity"]: r["min_hop"] for r in k_hop(edges, seeds, k=2).collect()}
+    assert got == {"s": 0, "a": 1, "t": 1, "z": 2}
+
+
+def test_triangle_count_known_graphs(spark):
+    from genie_spark.datapipe.graph import triangle_count
+
+    # K4 has 4 triangles; input direction/duplication must not matter
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("c", "b"), ("b", "d"), ("c", "d"),
+          ("b", "a")]  # duplicate reversed edge
+    df = spark.createDataFrame(k4, ["src", "dst"])
+    assert triangle_count(df).collect()[0]["n_triangles"] == 4
+    # triangle + pendant edge
+    df2 = spark.createDataFrame(
+        [("x", "y"), ("y", "z"), ("z", "x"), ("z", "w")], ["src", "dst"]
+    )
+    assert triangle_count(df2).collect()[0]["n_triangles"] == 1
+
+
 def test_nonconvergence_raises(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(200)], ["id_a", "id_b"]
