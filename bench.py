@@ -159,6 +159,9 @@ HEADLINE = [
     "kg_pagerank",
     "kg_two_hop",
     "kg_triangles",
+    "dup_span_stats",
+    "importance_weights",
+    "domain_stats",
 ]
 
 

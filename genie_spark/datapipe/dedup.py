@@ -435,6 +435,78 @@ def decontaminated(
     return docs.join(hits, id_col, "left_anti")
 
 
+def _positioned_grams(
+    docs: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """One row per (doc, start position, word n-gram), 1-based positions.
+    Short docs (< n words) contribute their whole text at position 1 —
+    consistent with :func:`shingles_col`. Row-local, no shuffle."""
+    w = F.split(F.col(text_col), " ")
+    n_tok = F.size(w)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_tok - F.lit(n - 1), F.lit(1))),
+        lambda i: F.struct(
+            i.alias("pos"), F.concat_ws(" ", F.slice(w, i, n)).alias("gram")
+        ),
+    )
+    return docs.select(
+        F.col(id_col), n_tok.alias("n_tok"), F.explode(grams).alias("g")
+    ).select(id_col, "n_tok", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+
+
+def substring_dup_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring duplication profile (Lee et al. 2022,
+    arXiv:2107.06499 "Deduplicating Training Data Makes Language Models
+    Better") — the suffix-array ExactSubstr criterion re-expressed as
+    the bounded word-n-gram form that distributes: an n-gram is
+    DUPLICATED if it occurs ≥ ``min_count`` times corpus-wide (any doc,
+    any position — within-doc repetition counts, as in the suffix-array
+    semantics); a token is duplicated if covered by any duplicated gram.
+    Returns one row per doc: ``(id, n_tokens, n_dup_tokens, dup_ratio)``.
+
+    Scale shape (100 TB): positioned shingling is row-local; the gram
+    occurrence count is one partial-aggregated groupBy on the gram
+    (skewed head grams stay map-side-combined); flagging is a shuffle
+    join on gram touching only duplicated grams; coverage is an
+    explode(sequence) over FLAGGED positions only, then a
+    count-distinct per doc. No all-pairs comparison anywhere."""
+    tg = _positioned_grams(docs, text_col, id_col, n)
+    dup = (
+        tg.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("gram")
+    )
+    covered = tg.join(dup, "gram").select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(
+                F.col("pos"), F.least(F.col("pos") + F.lit(n - 1), F.col("n_tok"))
+            )
+        ).alias("t"),
+    )
+    per_doc = covered.groupBy(id_col).agg(
+        F.count_distinct("t").alias("n_dup_tokens")
+    )
+    base = docs.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), " ")).alias("n_tokens")
+    )
+    return base.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.coalesce("n_dup_tokens", F.lit(0)).cast("bigint").alias("n_dup_tokens"),
+        F.round(
+            F.coalesce("n_dup_tokens", F.lit(0)) / F.col("n_tokens"), 6
+        ).alias("dup_ratio"),
+    )
+
+
 def lines_col(
     text: Column, line_words: int = 8, split: Optional[str] = None
 ) -> Column:

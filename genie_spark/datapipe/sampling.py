@@ -235,3 +235,129 @@ def token_windows(
             F.col("w.window").alias("window"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169,
+# "Data Selection for Language Models via Importance Resampling"): score
+# every raw document by how target-domain-like its hashed n-gram feature
+# distribution is, then resample the corpus by the weights. The
+# published estimator sums per-feature LOG likelihood ratios; log() is
+# not bit-identical across engines (libm vs java.lang.Math), so the
+# oracled form here sums the smoothed likelihood RATIOS in integer
+# fixed-point — floor divisions of exact integer counts, associative
+# integer sums, deterministic under any partitioning or scan order (the
+# same discipline as split_thresholds / pagerank_fixed). The ranking it
+# induces is a monotone-comparable domain-affinity score; callers who
+# want the paper-exact log estimator pass log_ratio=True (floats,
+# NOT oracle-comparable across engines).
+# ---------------------------------------------------------------------------
+
+
+def importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+    scale: int = 10**4,
+    log_ratio: bool = False,
+) -> DataFrame:
+    """Per-document domain-affinity weights against a target corpus.
+
+    Features are whitespace tokens hashed into ``buckets`` via h60 — the
+    hashed-ngram generative model of DSIR. With add-1 smoothing::
+
+        score(b)  = ((ct[b]+1) * (Nr+B) * scale) // ((cr[b]+1) * (Nt+B))
+        weight(d) = sum over d's tokens of score(bucket(token))
+
+    Returns ``(id, n_feats, weight_fp)``; weight_fp is in units of
+    1/scale, length-unnormalized (divide by n_feats downstream for a
+    per-token affinity). With ``log_ratio=True`` the per-feature term is
+    ``ln`` of the smoothed ratio summed as doubles — the paper's
+    estimator, for production use where cross-engine bit-equality
+    doesn't apply.
+
+    Scale shape (100 TB): two token-level partial-agg groupBys build the
+    feature tables (≤ ``buckets`` rows each — broadcast-sized by
+    construction), the totals are 1-row lazy aggregates, and scoring is
+    one broadcast join per token batch + an integer per-doc sum. The
+    corpus is scanned twice (once to count, once to score) and never
+    shuffled on content. Integer bounds: (ct+1)*(Nr+B)*scale must stay
+    inside int64 — at web scale lower ``scale`` or bucket the counts
+    per-shard (documented; asserted small-scale by the ANSI-mode
+    overflow gate Spark runs under)."""
+    from .hashes import h60
+
+    def feats(df):
+        return df.select(
+            F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+        ).select(
+            id_col, F.pmod(h60(F.col("tok")), F.lit(buckets)).alias("b")
+        )
+
+    rf = feats(raw)
+    tf = feats(target)
+    cr = rf.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("cr"))
+    ct = tf.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    nr = rf.agg(F.count(F.lit(1)).cast("long").alias("nr"))
+    nt = tf.agg(F.count(F.lit(1)).cast("long").alias("nt"))
+    ftab = (
+        cr.join(ct, "b", "left")
+        .crossJoin(nr)
+        .crossJoin(nt)
+        .select(
+            "b",
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+            "cr", "nr", "nt",
+        )
+    )
+    if log_ratio:
+        score = F.log(
+            ((F.col("ct") + 1) * (F.col("nr") + buckets))
+            / ((F.col("cr") + 1) * (F.col("nt") + buckets))
+        ).alias("score")
+        agg = F.sum("score").alias("weight")
+    else:
+        score = F.expr(
+            f"((ct + 1L) * (nr + {buckets}L) * {scale}L)"
+            f" div ((cr + 1L) * (nt + {buckets}L))"
+        ).alias("score")
+        agg = F.sum("score").cast("long").alias("weight_fp")
+    scored = rf.join(F.broadcast(ftab.select("b", score)), "b")
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_feats"), agg
+    )
+
+
+def importance_weights_sql(
+    raw_table: str = "documents",
+    target_where: str = "doc_id % 13 = 0",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+    scale: int = 10**4,
+) -> str:
+    """DuckDB twin of :func:`importance_weights` (integer form), with the
+    target corpus expressed as a predicate over the raw table."""
+    from .hashes import h60_sql
+
+    b_expr = h60_sql("tok") + f" % {buckets}"
+    return f"""
+WITH rf AS (SELECT {id_col}, {b_expr} AS b
+            FROM (SELECT {id_col}, unnest(string_split(text, ' ')) AS tok
+                  FROM {raw_table})),
+tf AS (SELECT {id_col}, b FROM rf WHERE {target_where}),
+cr AS (SELECT b, count(*)::BIGINT AS cr FROM rf GROUP BY b),
+ct AS (SELECT b, count(*)::BIGINT AS ct FROM tf GROUP BY b),
+nr AS (SELECT count(*)::BIGINT AS nr FROM rf),
+nt AS (SELECT count(*)::BIGINT AS nt FROM tf),
+ftab AS (SELECT cr.b,
+                ((coalesce(ct.ct, 0) + 1) * (nr.nr + {buckets}) * {scale})
+                // ((cr.cr + 1) * (nt.nt + {buckets})) AS score
+         FROM cr LEFT JOIN ct ON ct.b = cr.b CROSS JOIN nr CROSS JOIN nt)
+SELECT rf.{id_col}::BIGINT AS {id_col},
+       count(*)::BIGINT AS n_feats,
+       sum(ftab.score)::BIGINT AS weight_fp
+FROM rf JOIN ftab ON ftab.b = rf.b
+GROUP BY rf.{id_col}
+"""

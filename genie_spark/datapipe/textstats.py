@@ -335,3 +335,39 @@ def fingerprints(
         F.array_max(hashes).alias("fp_max"),
         F.md5(F.col(text_col)).alias("fp_md5"),
     )
+
+
+def domain_quality_stats(
+    docs: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain corpus profile (the RefinedWeb/CCNet-style curation
+    view: which hosts contribute how much text at what quality). One
+    partial-aggregated groupBy on the domain — counts and token totals
+    are exact integer sums; the quality MEAN is determinism-safe by
+    quantizing each doc's (already 6dp-exact) score to integer ppm
+    before summing, so no float accumulation order can flutter the
+    result (the split_thresholds integer-ppm discipline). max is
+    order-independent for doubles and stays float."""
+    feats = quality_features(docs, text_col, id_col).select(
+        id_col, "n_words", "quality_score"
+    )
+    base = docs.select(F.col(id_col), F.col(domain_col).alias("domain"))
+    q_fp = F.floor(F.col("quality_score") * 1e6).cast("long")
+    return (
+        base.join(feats, id_col)
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("total_words"),
+            F.sum(q_fp).cast("long").alias("_sq"),
+            F.max("quality_score").alias("max_quality"),
+        )
+        .select(
+            "domain", "n_docs", "total_words",
+            F.round((F.col("_sq") / F.col("n_docs")) / 1e6, 6).alias("mean_quality"),
+            "max_quality",
+        )
+    )

@@ -2118,6 +2118,109 @@ def decontaminate_q(spark, sf_dir):
     )
 
 
+_DUP_SPAN_N = 8
+
+_DUP_SPAN_ORACLE = f"""
+WITH tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tg AS (SELECT doc_id, len(w) AS n_tok, i AS pos,
+              array_to_string(list_slice(w, i, i + {_DUP_SPAN_N - 1}), ' ') AS gram
+       FROM (SELECT doc_id, w,
+                    unnest(range(1, greatest(len(w) - {_DUP_SPAN_N - 1}, 1) + 1)) AS i
+             FROM tw)),
+dup AS (SELECT gram FROM tg GROUP BY gram HAVING count(*) >= 2),
+cov AS (SELECT tg.doc_id,
+               unnest(range(pos, least(pos + {_DUP_SPAN_N - 1}, n_tok) + 1)) AS t
+        FROM tg JOIN dup USING (gram)),
+agg AS (SELECT doc_id, count(DISTINCT t) AS n_dup FROM cov GROUP BY doc_id)
+SELECT tw.doc_id::BIGINT AS doc_id,
+       len(w)::BIGINT AS n_tokens,
+       coalesce(agg.n_dup, 0)::BIGINT AS n_dup_tokens,
+       round(coalesce(agg.n_dup, 0)::DOUBLE / len(w), 6) AS dup_ratio
+FROM tw LEFT JOIN agg ON agg.doc_id = tw.doc_id
+"""
+
+
+@_register("dup_span_stats", _DUP_SPAN_ORACLE)
+def dup_span_stats(spark, sf_dir):
+    """Exact-substring duplication profile (Lee et al. 2022 ExactSubstr,
+    bounded word-8-gram form): per doc, how many tokens sit inside a
+    span that occurs >= 2 times corpus-wide. The removal criterion of
+    suffix-array dedup as a distributable three-shuffle plan (gram
+    count, flag join, per-doc distinct-coverage)."""
+    from .datapipe.dedup import substring_dup_stats
+
+    return substring_dup_stats(
+        _t(spark, sf_dir, "documents"), n=_DUP_SPAN_N, min_count=2
+    )
+
+
+@_register(
+    "domain_stats",
+    """
+WITH f AS (
+  SELECT doc_id, source,
+         len(string_split_regex(text, '\\s+')) AS n_words,
+         round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::DOUBLE
+               / greatest(length(text), 1), 6) AS punct_ratio,
+         round(len(list_filter(list_transform(string_split_regex(text, '\\s+'), x -> lower(x)),
+                               x -> list_contains(['the','and','of','a','to','in','is','that','for','with'], x)))::DOUBLE
+               / greatest(len(string_split_regex(text, '\\s+')), 1), 6) AS stopword_ratio,
+         round(length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+               / greatest(len(string_split_regex(text, '\\s+')), 1), 6) AS mean_word_len
+  FROM documents
+),
+s AS (
+  SELECT doc_id, source, n_words,
+         round((CASE WHEN n_words >= 20 THEN 0.25 ELSE n_words / 80.0 END)
+               + (CASE WHEN punct_ratio <= 0.1 THEN 0.25 ELSE greatest(0.0, 0.25 - punct_ratio) END)
+               + least(stopword_ratio * 3.0, 0.25)
+               + (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10 THEN 0.25 ELSE 0.0 END), 6) AS q
+  FROM f
+)
+SELECT source AS domain,
+       count(*)::BIGINT AS n_docs,
+       sum(n_words)::BIGINT AS total_words,
+       round((sum(floor(q * 1000000)::BIGINT)::DOUBLE / count(*)) / 1000000.0, 6) AS mean_quality,
+       max(q) AS max_quality
+FROM s GROUP BY source
+""",
+)
+def domain_stats(spark, sf_dir):
+    """Per-domain corpus profile (docs/tokens/quality by source host —
+    the RefinedWeb-style curation view). Mean quality is
+    determinism-safe: per-doc 6dp scores quantized to integer ppm
+    before the sum (textstats.domain_quality_stats)."""
+    from .datapipe.textstats import domain_quality_stats
+
+    return domain_quality_stats(_t(spark, sf_dir, "documents"))
+
+
+def _importance_oracle():
+    from .datapipe.sampling import importance_weights_sql
+
+    return importance_weights_sql(
+        "documents", target_where="doc_id % 13 = 0"
+    )
+
+
+@_register("importance_weights", None)
+def importance_weights_q(spark, sf_dir):
+    """DSIR-style importance weights (arXiv:2302.03169): hashed-token
+    likelihood-ratio affinity of every raw doc to a target domain (every
+    13th doc stands in for the target corpus). Oracled in integer
+    fixed-point (the log estimator is engine-divergent — see
+    sampling.importance_weights); feature tables are broadcast-sized by
+    construction, the corpus is never shuffled on content."""
+    from .datapipe.sampling import importance_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 13 == 0)
+    return importance_weights(docs, target)
+
+
+ORACLES["importance_weights"] = _importance_oracle()
+
+
 _LINE_WORDS = 8
 
 

@@ -437,3 +437,54 @@ def test_ivf_kmeans_refinement_on_clustered_data(spark):
     brute = {r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()}
     km_hits = {r["vec_id"] for r in ivf_topk(emb, q, km, k=10, n_probe=2).collect()}
     assert len(km_hits & brute) >= 8, f"k-means IVF recall: {len(km_hits & brute)}/10"
+
+
+def test_substring_dup_stats_coverage(spark):
+    from genie_spark.datapipe.dedup import substring_dup_stats
+
+    shared = "one two three four"  # the shared 4-gram
+    rows = [
+        (0, f"{shared} aa bb cc"),         # tokens 1-4 covered
+        (1, f"xx yy {shared} zz"),         # tokens 3-6 covered
+        (2, "totally unrelated words here"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_dup_tokens"], r["dup_ratio"])
+        for r in substring_dup_stats(docs, n=4, min_count=2).collect()
+    }
+    assert out[0] == (7, 4, round(4 / 7, 6))
+    assert out[1] == (7, 4, round(4 / 7, 6))
+    assert out[2] == (4, 0, 0.0)
+
+
+def test_substring_dup_stats_within_doc_repetition(spark):
+    from genie_spark.datapipe.dedup import substring_dup_stats
+
+    # the same 3-gram twice WITHIN one doc counts (suffix-array semantics)
+    docs = spark.createDataFrame(
+        [(0, "a b c xx a b c"), (1, "clean text here now")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["n_dup_tokens"]
+        for r in substring_dup_stats(docs, n=3, min_count=2).collect()
+    }
+    assert out[0] == 6  # both 'a b c' spans, 6 distinct covered tokens
+    assert out[1] == 0
+
+
+def test_domain_quality_stats_grouping(spark):
+    from genie_spark.datapipe.textstats import domain_quality_stats
+
+    rows = [
+        (0, "the cat and the dog sat with a fish in the sun", "a.com"),
+        (1, "of mice and men is a story that works for all", "a.com"),
+        (2, "zz", "b.org"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r["domain"]: r for r in domain_quality_stats(docs).collect()}
+    assert out["a.com"]["n_docs"] == 2 and out["b.org"]["n_docs"] == 1
+    assert out["a.com"]["total_words"] == 23
+    assert 0.0 <= out["b.org"]["mean_quality"] <= out["a.com"]["mean_quality"]
+    assert out["a.com"]["max_quality"] >= out["a.com"]["mean_quality"]

@@ -238,3 +238,57 @@ def test_token_windows_reconstruction(spark, docs):
         toks = texts[r["doc_id"]].split()
         s = r["win_start"]
         assert r["window"].split() == toks[s : s + 10]
+
+
+def test_importance_weights_matches_python_twin(spark):
+    from genie_spark.datapipe.hashes import h60
+    from genie_spark.datapipe.sampling import importance_weights
+    import hashlib
+
+    rows = [
+        (0, "cat dog cat fish"),
+        (1, "dog dog bird"),
+        (2, "cat cat cat cat"),
+        (3, "fish bird fish"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    target = docs.filter("doc_id % 2 = 0")
+    B, SCALE = 64, 10**4
+    got = {
+        r["doc_id"]: (r["n_feats"], r["weight_fp"])
+        for r in importance_weights(docs, target, buckets=B, scale=SCALE).collect()
+    }
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % B
+
+    cr, ct = {}, {}
+    for i, t in rows:
+        for tok in t.split(" "):
+            b = bucket(tok)
+            cr[b] = cr.get(b, 0) + 1
+            if i % 2 == 0:
+                ct[b] = ct.get(b, 0) + 1
+    nr, nt = sum(cr.values()), sum(ct.values())
+    want = {}
+    for i, t in rows:
+        toks = [bucket(x) for x in t.split(" ")]
+        w = sum(
+            ((ct.get(b, 0) + 1) * (nr + B) * SCALE) // ((cr[b] + 1) * (nt + B))
+            for b in toks
+        )
+        want[i] = (len(toks), w)
+    assert got == want
+
+
+def test_importance_weights_log_ratio_ranks_target_like_docs_higher(spark):
+    from genie_spark.datapipe.sampling import importance_weights
+
+    rows = [(i, "alpha beta " * 10) for i in range(0, 6, 2)] + [
+        (i, "gamma delta " * 10) for i in range(1, 6, 2)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    target = docs.filter("doc_id % 2 = 0")  # the alpha-beta docs
+    out = importance_weights(docs, target, log_ratio=True).collect()
+    w = {r["doc_id"]: r["weight"] / r["n_feats"] for r in out}
+    assert min(w[i] for i in (0, 2, 4)) > max(w[i] for i in (1, 3, 5))
