@@ -162,6 +162,8 @@ HEADLINE = [
     "dup_span_stats",
     "importance_weights",
     "domain_stats",
+    "tfidf_top_terms",
+    "kg_common_neighbors",
 ]
 
 

@@ -371,3 +371,58 @@ def domain_quality_stats(
             "max_quality",
         )
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    scale: int = 10**6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` most characteristic terms per document by tf×idf with a
+    LINEAR inverse document frequency in integer fixed-point::
+
+        idf_fp(t)   = (N_docs * scale) // df(t)
+        score_fp    = tf(doc, t) * idf_fp(t)
+
+    log-idf is the textbook damping but log() is not bit-identical
+    across engines; linear idf preserves the per-document ranking the
+    top-k consumes whenever tf patterns are comparable, and makes the
+    whole operator exact-integer (the split_thresholds discipline).
+    Ties rank lexicographically by term — fully deterministic. Returns
+    ``(id, term, tf, score_fp, rnk)``.
+
+    Scale shape (100 TB): tf is a partial-agg groupBy on (doc, term);
+    df is a partial-agg distinct-doc count per term; the join is a
+    standard shuffle join on term (the term dictionary is Zipfian but
+    the per-term row count IS df — the join output equals the tf table,
+    no blowup); top-k is one window partitioned by doc."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df_t = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(n_docs)
+        .select(
+            id_col, "term", "tf",
+            F.expr(f"tf * ((nd * {scale}L) div df)").alias("score_fp"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_fp").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "term", "tf", "score_fp", "rnk")
+    )

@@ -1362,6 +1362,71 @@ def kg_triangles(spark, sf_dir):
     return triangle_count(pairs, src="pa", dst="pb")
 
 
+@_register(
+    "kg_common_neighbors",
+    """
+WITH li AS (SELECT DISTINCT l_partkey AS u, l_orderkey AS v FROM lineitem),
+deg AS (SELECT v, count(*)::BIGINT AS deg FROM li GROUP BY v),
+pairs AS (SELECT n1.v AS id_a, n2.v AS id_b, count(*)::BIGINT AS common
+          FROM li n1 JOIN li n2 ON n1.u = n2.u AND n1.v < n2.v
+          GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT p.id_a, p.id_b, p.common,
+       (p.common * 1000000) // (da.deg + db.deg - p.common) AS jaccard_ppm
+FROM pairs p JOIN deg da ON da.v = p.id_a JOIN deg db ON db.v = p.id_b
+""",
+)
+def kg_common_neighbors(spark, sf_dir):
+    """Link-prediction candidate features over the bipartite
+    order–part incidence: order pairs sharing ≥ 2 distinct parts, with
+    common-neighbor count and integer-ppm Jaccard — the classic
+    missing-edge / entity-alias proposal generator for a constructed
+    KG. Wedge self-join keyed on the shared part; hub_cap available for
+    Zipfian centers (unbound here — the oracle carries full semantics)
+    (datapipe/graph.py common_neighbors_bipartite)."""
+    from .datapipe.graph import common_neighbors_bipartite
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("part"), F.col("l_orderkey").alias("order_")
+    )
+    return common_neighbors_bipartite(
+        li, center="part", side="order_", min_common=2
+    )
+
+
+_TFIDF_K = 3
+_TFIDF_SCALE = 10**6
+
+
+@_register(
+    "tfidf_top_terms",
+    f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+nd AS (SELECT count(*)::BIGINT AS nd FROM documents),
+scored AS (SELECT tf.doc_id, tf.term, tf.tf,
+                  tf.tf * ((nd.nd * {_TFIDF_SCALE}) // dfq.df) AS score_fp
+           FROM tf JOIN dfq USING (term) CROSS JOIN nd)
+SELECT doc_id::BIGINT AS doc_id, term, tf, score_fp, rnk::INT AS rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score_fp DESC, term) AS rnk
+      FROM scored)
+WHERE rnk <= {_TFIDF_K}
+""",
+)
+def tfidf_top_terms_q(spark, sf_dir):
+    """Top-3 most characteristic terms per document by tf×idf with a
+    LINEAR integer fixed-point idf (log-idf is engine-divergent;
+    textstats.tfidf_top_terms). Partial-agg tf and df groupBys, shuffle
+    join on term whose output equals the tf table (no blowup), one
+    window per doc with a lexicographic tiebreak."""
+    from .datapipe.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(
+        _t(spark, sf_dir, "documents"), k=_TFIDF_K, scale=_TFIDF_SCALE
+    )
+
+
 # -- similarity search ----------------------------------------------------------
 
 # fixed 64-dim literal query vector (independent of sf so the oracle SQL

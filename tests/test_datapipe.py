@@ -488,3 +488,26 @@ def test_domain_quality_stats_grouping(spark):
     assert out["a.com"]["total_words"] == 23
     assert 0.0 <= out["b.org"]["mean_quality"] <= out["a.com"]["mean_quality"]
     assert out["a.com"]["max_quality"] >= out["a.com"]["mean_quality"]
+
+
+def test_tfidf_top_terms_ranking(spark):
+    from genie_spark.datapipe.textstats import tfidf_top_terms
+
+    rows = [
+        (0, "apple apple common common common"),
+        (1, "banana common common"),
+        (2, "common cherry cherry"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = tfidf_top_terms(docs, k=2, scale=10**6).collect()
+    top = {}
+    for r in out:
+        top.setdefault(r["doc_id"], []).append((r["rnk"], r["term"], r["score_fp"]))
+    for v in top.values():
+        v.sort()
+    # 'common' is in every doc (df=3, idf=1e6); rare terms (df=1, idf=3e6) win
+    assert top[0][0][1] == "apple" and top[0][0][2] == 2 * 3 * 10**6
+    assert top[1][0][1] == "banana"
+    assert top[2][0][1] == "cherry" and top[2][0][2] == 2 * 3 * 10**6
+    # rank-2 term in doc 0: common (tf=3, idf 1e6)
+    assert top[0][1][1] == "common" and top[0][1][2] == 3 * 10**6
