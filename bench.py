@@ -164,6 +164,7 @@ HEADLINE = [
     "domain_stats",
     "tfidf_top_terms",
     "kg_common_neighbors",
+    "dedup_cascade_cc",
 ]
 
 

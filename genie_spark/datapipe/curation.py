@@ -83,6 +83,7 @@ def curate_pages(
     ts_col: Optional[str] = None,
     eval_docs: Optional[DataFrame] = None,
     gate: bool = False,
+    neardup_cc: bool = False,
     redact: bool = False,
     dedup_lines: bool = False,
     text_col: str = "text",
@@ -101,6 +102,19 @@ def curate_pages(
     if gate:
         # row-local filter form — no join, composes into the scan
         pages = pages.filter(gate_passed_col(F.col(text_col)))
+    if neardup_cc:
+        # transitive near-dup clustering over the survivors: MinHash-LSH
+        # candidate pairs -> connected components -> keep one page per
+        # duplicate cluster (min url). Pairwise keep-min under-deletes on
+        # A~B~C chains; the closure is the production CCNet/RefinedWeb
+        # form. Content is shingled only for pages that reached this
+        # stage (after the URL fold and the gate).
+        from .dedup import minhash_jaccard_pairs
+        from .graph import component_dedup
+
+        pairs = minhash_jaccard_pairs(pages, text_col=text_col, id_col=url_col)
+        keep = component_dedup(pages.select(url_col), pairs, url_col)
+        pages = pages.join(keep, url_col, "left_semi")
     if redact:
         # row-local in-place rewrite — no join
         pages = pages.withColumn(text_col, redact_col(F.col(text_col)))

@@ -2043,6 +2043,70 @@ def dedup_cascade(spark, sf_dir):
 ORACLES["dedup_cascade"] = _cascade_oracle()
 
 
+@_register("dedup_cascade_cc", None)
+def dedup_cascade_cc(spark, sf_dir):
+    """End-to-end three-tier dedup with transitive clustering: URL fold
+    → MinHash-LSH candidate pairs over survivors → connected components
+    → ONE kept page per duplicate cluster with its cluster size.
+    Pairwise keep-min (dedup_cascade's consumer) under-deletes on A~B~C
+    chains; this is the production keep-one-per-component form. Oracle:
+    DuckDB recursive CTE over the identical cascade chain."""
+    from .datapipe.dedup import minhash_jaccard_pairs
+    from .datapipe.graph import components_with_singletons
+    from .datapipe.urls import dedup_by_url
+
+    variants = _url_variants_df(spark, sf_dir, with_text=True)
+    kept = dedup_by_url(variants, url_col="url", id_col="vid").select("keep_id")
+    survivors = variants.join(
+        kept, variants["vid"] == kept["keep_id"], "left_semi"
+    ).select(F.col("vid").alias("doc_id"), "text")
+    pairs = minhash_jaccard_pairs(
+        survivors, num_hashes=_MINHASH_N, bands=_MINHASH_BANDS,
+        threshold=_MINHASH_T,
+    )
+    lab = components_with_singletons(
+        survivors.select("doc_id"), pairs, "doc_id"
+    )
+    return lab.groupBy(F.col("component").alias("keep_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+
+
+def _cascade_cc_oracle():
+    from .datapipe.urls import normalize_url_sql
+
+    return f"""
+WITH RECURSIVE {_url_variants_sql(with_text=True)},
+kept AS (
+  SELECT {normalize_url_sql('url')} AS norm_url, min(vid) AS keep_id
+  FROM variants GROUP BY 1
+),
+docs2 AS (
+  SELECT v.vid AS doc_id, v.text
+  FROM variants v JOIN kept k ON v.vid = k.keep_id
+),
+{_minhash_chain_sql('docs2')},
+edges AS (
+  SELECT id_a AS u, id_b AS w FROM est WHERE ej >= {_MINHASH_T}
+  UNION ALL
+  SELECT id_b, id_a FROM est WHERE ej >= {_MINHASH_T}
+),
+reach(v, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.w, reach.r FROM reach JOIN edges e ON e.u = reach.v
+),
+comp AS (SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v),
+lab AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+        FROM docs2 d LEFT JOIN comp c ON c.doc_id = d.doc_id)
+SELECT component AS keep_id, count(*)::BIGINT AS n_members
+FROM lab GROUP BY 1
+"""
+
+
+ORACLES["dedup_cascade_cc"] = _cascade_cc_oracle()
+
+
 @_register(
     "contact_flags",
     """

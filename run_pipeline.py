@@ -135,8 +135,8 @@ def parse_args(argv=None):
     ap.add_argument("--as-documents", action="store_true",
                     help="input is a documents(doc_id,text,lang,...) table; adapt to page shape")
     # pre-extraction curation cascade (datapipe/curation.py, applied in
-    # production order: url-dedup -> decontaminate -> gate -> redact ->
-    # line-dedup; all lazy, all optional)
+    # production order: url-dedup -> decontaminate -> gate -> neardup-cc
+    # -> redact -> line-dedup; all lazy except the CC rounds, all optional)
     ap.add_argument("--dedup-url", action="store_true",
                     help="fold crawl re-fetches by normalized URL (newest "
                     "warc_ts fetch wins) before extraction")
@@ -145,6 +145,9 @@ def parse_args(argv=None):
                     "sharing any 8-gram with it are dropped")
     ap.add_argument("--quality-gate", action="store_true",
                     help="drop pages failing the Gopher-style quality gate")
+    ap.add_argument("--neardup-cc", action="store_true",
+                    help="transitive near-dup dedup: MinHash-LSH pairs + "
+                    "connected components, keep one page per cluster")
     ap.add_argument("--redact-contacts", action="store_true",
                     help="rewrite emails/URLs in page text to <EMAIL>/<URL>")
     ap.add_argument("--line-dedup", action="store_true",
@@ -173,7 +176,7 @@ def main():
 
     curation_on = (
         args.dedup_url or args.decontaminate_eval or args.quality_gate
-        or args.redact_contacts or args.line_dedup
+        or args.neardup_cc or args.redact_contacts or args.line_dedup
     )
     if curation_on:
         from genie_spark.datapipe.curation import curate_pages
@@ -188,6 +191,7 @@ def main():
             ts_col="warc_ts" if args.dedup_url else None,
             eval_docs=eval_docs,
             gate=args.quality_gate,
+            neardup_cc=args.neardup_cc,
             redact=args.redact_contacts,
             dedup_lines=args.line_dedup,
         )
@@ -270,6 +274,7 @@ def main():
             "dedup_url": bool(args.dedup_url),
             "decontaminate": bool(args.decontaminate_eval),
             "quality_gate": bool(args.quality_gate),
+            "neardup_cc": bool(args.neardup_cc),
             "redact_contacts": bool(args.redact_contacts),
             "line_dedup": bool(args.line_dedup),
         },

@@ -160,6 +160,24 @@ def test_run_pipeline_e2e_with_curation(spark, tmp_path):
     assert summary["graph_triples"] > 0
     assert summary["curation"] == {
         "dedup_url": True, "decontaminate": False, "quality_gate": True,
-        "redact_contacts": False, "line_dedup": True,
+        "neardup_cc": False, "redact_contacts": False, "line_dedup": True,
     }
     assert os.path.exists(os.path.join(out_dir, "graph"))
+
+
+def test_curate_pages_neardup_cc_collapses_chains(spark):
+    base = ("the data is good and it has many plain words for the gate "
+            "to like in a normal document that keeps going on and on")
+    rows = [
+        ("https://h/a", base + " alpha"),
+        ("https://h/b", base + " bravo"),   # near-dup of a and c
+        ("https://h/c", base + " carol"),
+        ("https://h/z", "a completely different page about the quick brown "
+                        "fox that jumps over the lazy dog in the warm sun "
+                        "for a long while today and naps"),
+    ]
+    pages = spark.createDataFrame(rows, ["url", "text"])
+    out = curate_pages(pages, gate=True, neardup_cc=True)
+    kept = sorted(r["url"] for r in out.collect())
+    # the a~b~c chain collapses to its min url; z survives as a singleton
+    assert kept == ["https://h/a", "https://h/z"]
