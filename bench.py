@@ -165,6 +165,10 @@ HEADLINE = [
     "tfidf_top_terms",
     "kg_common_neighbors",
     "dedup_cascade_cc",
+    "lm_surprisal",
+    "fuzzy_link",
+    "kg_fuse_latest",
+    "rdf_ntriples",
 ]
 
 

@@ -209,3 +209,128 @@ def write_graph(
         mode=mode,
         partition_by=partition_by,
     )
+
+
+def fuzzy_link(
+    mentions: DataFrame,
+    catalog: DataFrame,
+    max_block_df: int = 1_000_000,
+    mention_col: str = "mention",
+    mention_id_col: str = "mention_id",
+    name_col: str = "name",
+    id_col: str = "id",
+) -> DataFrame:
+    """Approximate entity linking for surface forms exact-match (J1,
+    surface_to_id) cannot resolve — the standard blocked-ER shape
+    (token blocking + edit-distance scoring + deterministic argmin).
+
+    The reference links only exact trie-constrained names
+    (genie/models/genie_base_pl.py:406-410); real KG construction needs
+    a fallback for OCR noise / typos / morphological variants. Stages:
+
+    1. **Blocking**: candidate pairs share >= 1 whitespace token between
+       mention and catalog name. Tokens whose catalog document frequency
+       exceeds ``max_block_df`` are excluded from blocking (the df-cut
+       that bounds hub-token fan-out at web scale — same discipline as
+       ngram_jaccard_pairs' df_cut).
+    2. **Scoring**: unit-cost Levenshtein on the full strings (JVM
+       F.levenshtein — identical DP definition in DuckDB).
+    3. **Resolution**: per-mention argmin via min(struct(dist, id,
+       name)) — partial-aggregatable and fully deterministic (ties break
+       to the lowest entity id).
+
+    Mentions none of whose tokens survive blocking produce no row
+    (honest recall accounting; callers union a left-anti pass if they
+    need explicit no_match rows).
+
+    Scale shape (100 TB): the token-blocking join shuffles on the token
+    key with the df-cut bounding per-key fan-out; scoring is row-local;
+    the argmin groupBy partial-aggregates map-side. No all-pairs stage
+    anywhere."""
+    def toks(df, idc, strc):
+        return (
+            df.select(F.col(idc), F.explode(F.split(F.col(strc), " ")).alias("tok"))
+            .filter(F.col("tok") != "")
+            .distinct()
+        )
+
+    cat_toks = toks(catalog, id_col, name_col)
+    keep = (
+        cat_toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .filter(F.col("df") <= max_block_df)
+        .select("tok")
+    )
+    cand = (
+        toks(mentions, mention_id_col, mention_col)
+        .join(F.broadcast(keep), "tok")
+        .join(cat_toks.withColumnRenamed(id_col, "_cand_id"), "tok")
+        .select(mention_id_col, "_cand_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(mentions.select(mention_id_col, mention_col), mention_id_col)
+        .join(
+            catalog.select(
+                F.col(id_col).alias("_cand_id"), F.col(name_col).alias("_cand_name")
+            ),
+            "_cand_id",
+        )
+        .select(
+            mention_id_col,
+            mention_col,
+            F.levenshtein(F.col(mention_col), F.col("_cand_name")).cast("long").alias("dist"),
+            F.col("_cand_id"),
+            F.col("_cand_name"),
+        )
+    )
+    best = scored.groupBy(mention_id_col, mention_col).agg(
+        F.min(F.struct("dist", "_cand_id", "_cand_name")).alias("_b")
+    )
+    return best.select(
+        mention_id_col,
+        mention_col,
+        F.col("_b.dist").alias("dist"),
+        F.col("_b._cand_id").alias("entity_id"),
+        F.col("_b._cand_name").alias("entity_name"),
+    )
+
+
+def fuse_latest(
+    assertions: DataFrame,
+    s_col: str = "s",
+    r_col: str = "r",
+    o_col: str = "o",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Knowledge fusion over timestamped assertions: latest-object-wins
+    per (subject, relation) plus conflict accounting — the temporal step
+    after materialize_graph when the same fact is re-extracted from
+    pages crawled at different times (warc_ts in the north-rule input).
+
+    One partial-aggregatable groupBy: the winning object is
+    max(struct(ts, o)) (newest assertion; ties break to the greatest
+    object — deterministic), alongside assertion/object counts and a
+    conflicted flag (>= 2 distinct objects ever asserted). The
+    count(DISTINCT o) forces an expand-style two-phase agg under AQE but
+    stays keyed on (s, r) — no extra shuffle of the fact table beyond
+    the one aggregation."""
+    return (
+        assertions.groupBy(
+            F.col(s_col).alias("s"), F.col(r_col).alias("r")
+        )
+        .agg(
+            F.max(F.struct(F.col(ts_col).alias("ts"), F.col(o_col).alias("o"))).alias("_w"),
+            F.count(F.lit(1)).cast("long").alias("n_assertions"),
+            F.countDistinct(F.col(o_col)).cast("long").alias("n_objects"),
+        )
+        .select(
+            "s",
+            "r",
+            F.col("_w.o").alias("o_latest"),
+            F.col("_w.ts").alias("latest_ts"),
+            "n_assertions",
+            "n_objects",
+            (F.col("n_objects") > 1).cast("long").alias("conflicted"),
+        )
+    )

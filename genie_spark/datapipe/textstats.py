@@ -426,3 +426,109 @@ def tfidf_top_terms(
         .filter(F.col("rnk") <= k)
         .select(id_col, "term", "tf", "score_fp", "rnk")
     )
+
+
+def lm_surprisal_bits(
+    docs: DataFrame,
+    ref: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style reference-LM quality signal (Wenzek et al. 2020 score
+    docs by the perplexity of a Wikipedia-trained LM; cf.
+    cc_net/perplexity.py): per-document cross-entropy against a unigram
+    LM estimated from ``ref``, in EXACT integer bits.
+
+    log2 of a probability is engine-divergent float math, so the
+    surprisal of a token is taken at integer grain::
+
+        c'(w)  = count_ref(w) + 1        (add-one smoothing, OOV -> 1)
+        T'     = total_ref_tokens + 1
+        bits(w) = floor(log2(T' / c'(w))) = length(bin(T' div c'(w))) - 1
+
+    floor(log2(x)) over the integer quotient equals floor(log2) of the
+    real ratio for x >= 1, and ``bin()`` of a bigint is identical in
+    Spark and DuckDB — the whole score is exact integer arithmetic.
+    Returns ``(id, n_tokens, oov_tokens, sum_bits, mean_bits_ppm)``
+    where mean_bits_ppm = (sum_bits * 1e6) div n_tokens.
+
+    Scale shape (100 TB): the count table is vocabulary-sized and
+    broadcast; the corpus explodes to token rows but the groupBy back to
+    ``id`` partial-aggregates map-side (a document lives in one
+    partition, so the shuffle carries ~one row per document). The
+    reference corpus is scanned once; no corpus-vs-corpus shuffle."""
+    toks = lambda df: (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
+        ).filter(F.col("tok") != "")
+    )
+    ref_toks = toks(ref)
+    cnt = ref_toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = ref_toks.agg((F.count(F.lit(1)) + 1).cast("long").alias("tprime"))
+    scored = (
+        toks(docs)
+        .join(F.broadcast(cnt), "tok", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            id_col,
+            F.when(F.col("c").isNull(), F.lit(1)).otherwise(F.lit(0))
+            .cast("long").alias("oov"),
+            (F.length(F.bin(F.expr("tprime div (coalesce(c, 0L) + 1L)"))) - 1)
+            .cast("long").alias("bits"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("oov").cast("long").alias("oov_tokens"),
+        F.sum("bits").cast("long").alias("sum_bits"),
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("oov_tokens", F.lit(0)).cast("long").alias("oov_tokens"),
+            F.coalesce("sum_bits", F.lit(0)).cast("long").alias("sum_bits"),
+            F.expr(
+                "coalesce(sum_bits, 0L) * 1000000L div greatest(coalesce(n_tokens, 0L), 1L)"
+            ).cast("long").alias("mean_bits_ppm"),
+        )
+    )
+
+
+def lm_surprisal_sql(
+    table: str = "documents",
+    ref_where: str = "doc_id % 13 = 0",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`lm_surprisal_bits` — same integer-bits
+    formula over the same single-space split."""
+    return f"""
+WITH lm_toks AS (
+  SELECT {id_col}, unnest(string_split(lower(text), ' ')) AS tok FROM {table}
+),
+lm_tf AS (SELECT {id_col}, tok FROM lm_toks WHERE tok <> ''),
+lm_ref AS (SELECT tok FROM lm_tf WHERE {ref_where.replace(id_col, id_col)}),
+lm_cnt AS (SELECT tok, count(*)::BIGINT AS c FROM lm_ref GROUP BY tok),
+lm_tot AS (SELECT count(*)::BIGINT + 1 AS tprime FROM lm_ref),
+lm_scored AS (
+  SELECT t.{id_col},
+         CASE WHEN c.c IS NULL THEN 1 ELSE 0 END AS oov,
+         length(bin(tprime // (coalesce(c.c, 0) + 1))) - 1 AS bits
+  FROM lm_tf t LEFT JOIN lm_cnt c USING (tok) CROSS JOIN lm_tot
+),
+lm_doc AS (
+  SELECT {id_col}, count(*)::BIGINT AS n_tokens,
+         sum(oov)::BIGINT AS oov_tokens, sum(bits)::BIGINT AS sum_bits
+  FROM lm_scored GROUP BY {id_col}
+)
+SELECT d.{id_col},
+       coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(s.oov_tokens, 0)::BIGINT AS oov_tokens,
+       coalesce(s.sum_bits, 0)::BIGINT AS sum_bits,
+       (coalesce(s.sum_bits, 0) * 1000000 // greatest(coalesce(s.n_tokens, 0), 1))::BIGINT
+         AS mean_bits_ppm
+FROM {table} d LEFT JOIN lm_doc s USING ({id_col})
+"""

@@ -3141,3 +3141,198 @@ def multimodal_features(spark, sf_dir):
         # DOUBLE widening of that value — the oracle does ::REAL::DOUBLE
         F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-5 additions: reference-LM quality scoring, fuzzy entity linking,
+# temporal knowledge fusion, RDF N-Triples export
+# ---------------------------------------------------------------------------
+
+
+def _lm_oracle():
+    from .datapipe.textstats import lm_surprisal_sql
+
+    return lm_surprisal_sql("documents", ref_where="doc_id % 13 = 0")
+
+
+@_register("lm_surprisal", None)
+def lm_surprisal_q(spark, sf_dir):
+    """CCNet-style LM quality filter (Wenzek et al. 2020): per-document
+    cross-entropy in EXACT integer bits against a unigram LM estimated
+    from the reference slice (every 13th doc — the 'Wikipedia' stand-in,
+    same convention as importance_weights). Count table broadcast;
+    groupBy back to doc_id partial-aggregates map-side."""
+    from .datapipe.textstats import lm_surprisal_bits
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 13 == 0)
+    return lm_surprisal_bits(docs, ref)
+
+
+ORACLES["lm_surprisal"] = _lm_oracle()
+
+
+_FUZZY_BLOCK_DF = 1_000_000  # permissive on the 16-token fixture vocab;
+# the df-cut is the hub-token bound that matters at real vocabulary scale
+
+
+@_register(
+    "fuzzy_link",
+    f"""
+WITH fz_cat AS (SELECT p_partkey AS id, lower(p_name) AS name FROM part),
+fz_men AS (
+  SELECT p_partkey AS mention_id,
+         regexp_replace(lower(p_name), 'a', '', 'g') AS mention
+  FROM part WHERE p_partkey % 7 = 0
+),
+fz_ctok AS (
+  SELECT DISTINCT id, tok FROM (
+    SELECT id, unnest(string_split(name, ' ')) AS tok FROM fz_cat
+  ) WHERE tok <> ''
+),
+fz_keep AS (
+  SELECT tok FROM (SELECT tok, count(*) AS df FROM fz_ctok GROUP BY tok)
+  WHERE df <= {_FUZZY_BLOCK_DF}
+),
+fz_mtok AS (
+  SELECT DISTINCT mention_id, tok FROM (
+    SELECT mention_id, unnest(string_split(mention, ' ')) AS tok FROM fz_men
+  ) WHERE tok <> ''
+),
+fz_cand AS (
+  SELECT DISTINCT m.mention_id, c.id
+  FROM fz_mtok m JOIN fz_keep k USING (tok) JOIN fz_ctok c USING (tok)
+),
+fz_scored AS (
+  SELECT n.mention_id, n.mention,
+         levenshtein(n.mention, t.name)::BIGINT AS dist,
+         t.id, t.name
+  FROM fz_cand c
+  JOIN fz_men n USING (mention_id)
+  JOIN fz_cat t ON c.id = t.id
+)
+SELECT mention_id, mention, dist,
+       id AS entity_id, name AS entity_name
+FROM fz_scored
+QUALIFY row_number() OVER (PARTITION BY mention_id ORDER BY dist, id) = 1
+""",
+)
+def fuzzy_link_q(spark, sf_dir):
+    """Blocked fuzzy entity linking: part names with every 'a' deleted
+    (deterministic typo model) linked back to the part catalog via
+    token blocking + Levenshtein + min(struct) argmin — the approximate
+    fallback for what exact-match canonicalization (J1) cannot resolve.
+    Mentions whose tokens all mutated produce no row (honest recall)."""
+    from .canonicalize import fuzzy_link
+
+    part = _t(spark, sf_dir, "part")
+    catalog = part.select(
+        F.col("p_partkey").alias("id"), F.lower("p_name").alias("name")
+    )
+    mentions = part.filter(F.col("p_partkey") % 7 == 0).select(
+        F.col("p_partkey").alias("mention_id"),
+        F.regexp_replace(F.lower("p_name"), "a", "").alias("mention"),
+    )
+    out = fuzzy_link(mentions, catalog, max_block_df=_FUZZY_BLOCK_DF)
+    return out.select(
+        F.col("mention_id").cast("bigint").alias("mention_id"),
+        "mention",
+        F.col("dist").cast("bigint").alias("dist"),
+        F.col("entity_id").cast("bigint").alias("entity_id"),
+        "entity_name",
+    )
+
+
+@_register(
+    "kg_fuse_latest",
+    f"""
+WITH fu AS (
+  SELECT l_orderkey AS s, l_returnflag AS r, l_partkey AS o, l_shipdate AS ts
+  FROM lineitem WHERE l_shipdate < TIMESTAMP '{_CUT}'
+),
+fused AS (
+  SELECT s, r,
+         max(struct_pack(ts := ts, o := o)) AS w,
+         count(*)::BIGINT AS n_assertions,
+         count(DISTINCT o)::BIGINT AS n_objects
+  FROM fu GROUP BY s, r
+)
+SELECT s::BIGINT AS s, r,
+       w.o::BIGINT AS o_latest,
+       epoch(w.ts)::BIGINT AS latest_epoch,
+       n_assertions, n_objects,
+       (CASE WHEN n_objects > 1 THEN 1 ELSE 0 END)::BIGINT AS conflicted
+FROM fused
+""",
+)
+def kg_fuse_latest_q(spark, sf_dir):
+    """Temporal knowledge fusion over the target triple stream with
+    l_shipdate as assertion time: latest-object-wins per (subject,
+    relation) via partial-aggregatable max(struct(ts, o)), with conflict
+    accounting — the step after graph_materialize when the same fact
+    arrives from crawls of different warc_ts. Timestamp surfaces as
+    epoch seconds (bigint) for cross-engine value identity."""
+    from .canonicalize import fuse_latest
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") < _CUT)
+    assertions = li.select(
+        F.col("l_orderkey").alias("s"),
+        F.col("l_returnflag").alias("r"),
+        F.col("l_partkey").alias("o"),
+        F.col("l_shipdate").alias("ts"),
+    )
+    out = fuse_latest(assertions)
+    return out.select(
+        F.col("s").cast("bigint").alias("s"),
+        "r",
+        F.col("o_latest").cast("bigint").alias("o_latest"),
+        F.unix_timestamp("latest_ts").cast("bigint").alias("latest_epoch"),
+        "n_assertions",
+        "n_objects",
+        "conflicted",
+    )
+
+
+@_register(
+    "rdf_ntriples",
+    f"""
+WITH {_TRIPLES_SQL},
+nt AS (
+  SELECT t.l_orderkey AS s, t.l_returnflag AS r, lower(p.p_name) AS o_name
+  FROM trg t JOIN part p ON t.l_partkey = p.p_partkey
+)
+SELECT s::BIGINT AS s, r, o_name,
+       '<http://example.org/entity/' || s || '> <http://example.org/prop/' || r
+         || '> "' || replace(replace(o_name, '\\', '\\\\'), '"', '\\"') || '" .'
+         AS ntriple
+FROM nt
+""",
+)
+def rdf_ntriples_q(spark, sf_dir):
+    """RDF N-Triples export of the target graph with part names as
+    object literals (backslash/quote escaping exercised in the recipe
+    even though the fixture names are clean). Row-local concat — the KG
+    sink counterpart of the JSONL sinks, one scan at any graph size.
+    The part-name lookup is a broadcast join (dimension-sized right)."""
+    from pyspark.sql.functions import broadcast
+
+    from .triples import ntriple_col
+
+    li = _t(spark, sf_dir, "lineitem")
+    trg = (
+        li.filter(F.col("l_shipdate") < _CUT)
+        .select("l_orderkey", "l_returnflag", "l_partkey")
+        .distinct()
+    )
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", F.lower("p_name").alias("o_name")
+    )
+    nt = trg.join(broadcast(part), trg.l_partkey == part.p_partkey).select(
+        F.col("l_orderkey").cast("bigint").alias("s"),
+        F.col("l_returnflag").alias("r"),
+        "o_name",
+    )
+    return nt.select(
+        "s", "r", "o_name",
+        ntriple_col(F.col("s"), F.col("r"), F.col("o_name")).alias("ntriple"),
+    )

@@ -125,3 +125,23 @@ def triple_key_col(col: Column) -> Column:
             F.coalesce(t["o"], F.lit("␀")),
         ),
     )
+
+
+def ntriple_col(
+    s: Column, r: Column, o_literal: Column, base: str = "http://example.org/"
+) -> Column:
+    """Format one (subject, relation, object-literal) assertion as an RDF
+    N-Triples line (W3C N-Triples: IRI subject/predicate, quoted literal
+    object, terminating ' .'). Literal escaping covers backslash and
+    double-quote, in that order — the two characters N-Triples requires
+    escaped in simple literals. Row-local string concat: runs inside
+    whole-stage codegen, zero shuffle, so the export costs one scan at
+    any graph size (the KG sink counterpart of the S7/S8 JSONL sinks)."""
+    esc = F.regexp_replace(
+        F.regexp_replace(o_literal, "\\\\", "\\\\\\\\"), '"', '\\\\"'
+    )
+    return F.concat(
+        F.lit(f"<{base}entity/"), s.cast("string"), F.lit("> "),
+        F.lit(f"<{base}prop/"), r.cast("string"), F.lit("> \""),
+        esc, F.lit('" .'),
+    )

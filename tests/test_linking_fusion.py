@@ -1,0 +1,140 @@
+"""Edge-semantics tests for the round-5 KG operators: fuzzy entity
+linking (blocking, argmin determinism, recall honesty), temporal fusion
+(latest-wins, tie-breaks, conflict flags), N-Triples escaping, and the
+LM surprisal integer-bits formula (the oracle suites cover the
+end-to-end values; these pin the corner cases the fixtures can't)."""
+
+import datetime
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_fuzzy_link_exact_and_typo(spark):
+    from genie_spark.canonicalize import fuzzy_link
+
+    catalog = _df(
+        spark,
+        [(1, "small widget"), (2, "large widget"), (3, "cold bolt")],
+        "id long, name string",
+    )
+    mentions = _df(
+        spark,
+        [(10, "small widget"), (11, "lrge widget"), (12, "zzz qqq")],
+        "mention_id long, mention string",
+    )
+    out = {r["mention_id"]: r for r in fuzzy_link(mentions, catalog).collect()}
+    assert out[10]["entity_id"] == 1 and out[10]["dist"] == 0
+    # 'lrge widget' blocks via the shared 'widget' token and resolves to
+    # the nearest name
+    assert out[11]["entity_id"] == 2 and out[11]["dist"] == 1
+    # no shared token -> no candidate row at all (honest recall)
+    assert 12 not in out
+
+
+def test_fuzzy_link_argmin_tiebreak_lowest_id(spark):
+    from genie_spark.canonicalize import fuzzy_link
+
+    catalog = _df(
+        spark, [(7, "red ring"), (5, "red ring")], "id long, name string"
+    )
+    mentions = _df(spark, [(1, "red ring")], "mention_id long, mention string")
+    row = fuzzy_link(mentions, catalog).collect()[0]
+    assert row["entity_id"] == 5  # equal dist -> lowest entity id wins
+
+
+def test_fuzzy_link_df_cut_drops_hub_token(spark):
+    from genie_spark.canonicalize import fuzzy_link
+
+    catalog = _df(
+        spark,
+        [(1, "hub alpha"), (2, "hub beta"), (3, "hub gamma")],
+        "id long, name string",
+    )
+    mentions = _df(spark, [(1, "hub zzz")], "mention_id long, mention string")
+    # 'hub' df=3 > max_block_df=2 -> excluded; 'zzz' matches nothing
+    assert fuzzy_link(mentions, catalog, max_block_df=2).count() == 0
+    assert fuzzy_link(mentions, catalog, max_block_df=3).count() == 1
+
+
+def test_fuse_latest_wins_and_flags_conflicts(spark):
+    from genie_spark.canonicalize import fuse_latest
+
+    t = datetime.datetime
+    rows = [
+        ("s1", "r", "old", t(2020, 1, 1)),
+        ("s1", "r", "new", t(2021, 1, 1)),
+        ("s2", "r", "only", t(2020, 6, 1)),
+        # timestamp tie: greatest object string wins, deterministically
+        ("s3", "r", "a", t(2020, 1, 1)),
+        ("s3", "r", "b", t(2020, 1, 1)),
+    ]
+    out = {
+        r["s"]: r
+        for r in fuse_latest(
+            _df(spark, rows, "s string, r string, o string, ts timestamp")
+        ).collect()
+    }
+    assert out["s1"]["o_latest"] == "new" and out["s1"]["conflicted"] == 1
+    assert out["s1"]["n_assertions"] == 2 and out["s1"]["n_objects"] == 2
+    assert out["s2"]["conflicted"] == 0
+    assert out["s3"]["o_latest"] == "b"  # tie -> max object
+
+
+def test_ntriple_escapes_quotes_and_backslashes(spark):
+    from genie_spark.triples import ntriple_col
+
+    df = _df(spark, [(1, "p", 'say "hi" \\ bye')], "s long, r string, o string")
+    line = df.select(
+        ntriple_col(F.col("s"), F.col("r"), F.col("o")).alias("nt")
+    ).collect()[0]["nt"]
+    assert line == (
+        '<http://example.org/entity/1> <http://example.org/prop/p> '
+        '"say \\"hi\\" \\\\ bye" .'
+    )
+
+
+def test_lm_surprisal_bits_formula(spark):
+    """Hand-computed: ref = 'a a a b' -> c(a)=3, c(b)=1, T'=5.
+    bits: a -> floor(log2(5//4)) = 0; b -> floor(log2(5//2)) = 1;
+    OOV z -> floor(log2(5//1)) = 2."""
+    from genie_spark.datapipe.textstats import lm_surprisal_bits
+
+    docs = _df(
+        spark,
+        [(1, "a a a b"), (2, "a b z"), (3, "")],
+        "doc_id long, text string",
+    )
+    ref = docs.filter(F.col("doc_id") == 1)
+    out = {r["doc_id"]: r for r in lm_surprisal_bits(docs, ref).collect()}
+    assert out[1]["sum_bits"] == 0 + 0 + 0 + 1 and out[1]["oov_tokens"] == 0
+    assert out[2]["sum_bits"] == 0 + 1 + 2 and out[2]["oov_tokens"] == 1
+    assert out[2]["mean_bits_ppm"] == 3 * 1_000_000 // 3
+    # empty doc still yields a row, all zeros
+    assert out[3]["n_tokens"] == 0 and out[3]["mean_bits_ppm"] == 0
+
+
+def test_lm_surprisal_matches_float_log2(spark):
+    """The integer-bits score is floor(log2) of the real smoothed ratio —
+    spot-check the floor identity against Python floats."""
+    from genie_spark.datapipe.textstats import lm_surprisal_bits
+
+    docs = _df(
+        spark,
+        [(1, "w x y z w w x"), (2, "w q")],
+        "doc_id long, text string",
+    )
+    ref = docs.filter(F.col("doc_id") == 1)
+    counts = {"w": 3, "x": 2, "y": 1, "z": 1}
+    tprime = 7 + 1
+    out = {r["doc_id"]: r for r in lm_surprisal_bits(docs, ref).collect()}
+    expect = sum(
+        int(math.floor(math.log2(tprime / (counts.get(w, 0) + 1))))
+        for w in "w q".split()
+    )
+    assert out[2]["sum_bits"] == expect

@@ -288,3 +288,59 @@ def test_lsh_probe_prunes_partitions(spark):
     assert "PartitionFilters: [" in plan
     pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "bucket" in pf and pf.strip() != ""
+
+
+def test_lm_surprisal_broadcasts_counts(spark):
+    """The vocabulary count table must broadcast; the corpus token
+    stream must never shuffle for the join (only the groupBy back to
+    doc_id shuffles, partial-aggregated)."""
+    from genie_spark.datapipe.textstats import lm_surprisal_bits
+
+    docs = _t(spark, "documents")
+    df = lm_surprisal_bits(docs, docs.filter(F.col("doc_id") % 13 == 0))
+    tree = _tree(df)
+    assert "BroadcastHashJoin" in tree
+    # the per-doc reattach left join may legitimately SMJ; the token->count
+    # join must not (that would shuffle the whole token stream)
+    assert tree.count("SortMergeJoin") <= 1
+    assert "CartesianProduct" not in tree
+
+
+def test_fuzzy_link_is_blocked_not_all_pairs(spark):
+    """Candidate generation goes through the token-blocking join — no
+    cartesian/all-pairs stage anywhere in the plan."""
+    from genie_spark.canonicalize import fuzzy_link
+
+    part = _t(spark, "part")
+    catalog = part.select(F.col("p_partkey").alias("id"), F.lower("p_name").alias("name"))
+    mentions = part.select(
+        F.col("p_partkey").alias("mention_id"),
+        F.regexp_replace(F.lower("p_name"), "a", "").alias("mention"),
+    )
+    tree = _tree(fuzzy_link(mentions, catalog))
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_fuse_latest_single_partial_agg(spark):
+    """Knowledge fusion is ONE keyed aggregation: partial+final
+    HashAggregate pairs on (s, r), no join, no window, no global sort."""
+    from genie_spark.canonicalize import fuse_latest
+
+    li = _t(spark, "lineitem")
+    df = fuse_latest(
+        li.select(
+            F.col("l_orderkey").alias("s"),
+            F.col("l_returnflag").alias("r"),
+            F.col("l_partkey").alias("o"),
+            F.col("l_shipdate").alias("ts"),
+        )
+    )
+    tree = _tree(df)
+    assert "Join" not in tree and "Window" not in tree
+    # max(struct) is ordering-based, so Spark picks SortAggregate; either
+    # agg flavor is fine as long as it's partial+final on the group key
+    assert "Aggregate" in tree
+    # one shuffle for the (s,r) agg plus the count-distinct expand pass;
+    # never more
+    assert tree.count("Exchange") <= 2
