@@ -169,6 +169,7 @@ HEADLINE = [
     "fuzzy_link",
     "kg_fuse_latest",
     "rdf_ntriples",
+    "kg_negative_samples",
 ]
 
 

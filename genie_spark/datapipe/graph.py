@@ -465,3 +465,81 @@ def _pairs_from_adj(
             ).alias("jaccard_ppm"),
         )
     )
+
+
+def negative_samples(
+    triples: DataFrame,
+    k: int = 3,
+    side: str = "o",
+    s_col: str = "s",
+    r_col: str = "r",
+    o_col: str = "o",
+) -> DataFrame:
+    """Filtered negative sampling for KG-embedding training (the
+    corruption scheme of TransE, Bordes et al. 2013, in the 'filtered'
+    setting of Sun et al. 2019): each positive (s, r, o) yields up to
+    ``k`` corrupted triples with the ``side`` entity replaced by a
+    deterministically hash-drawn entity, then accidental positives and
+    self-corruptions are removed.
+
+    Draw j of a positive replaces the corrupted side with
+    ``entities[h60(j \\x01 s \\x02 r \\x02 o) mod N]`` where entities is
+    the distinct ``side``-slot universe indexed by rank — no RNG, so the
+    sample is rerun- and partition-stable (the split_thresholds
+    discipline). Returns ``(s, r, o_neg|s_neg, j)``.
+
+    Scale shape (100 TB of triples): the entity universe is
+    dimension-sized — its rank index is a single-partition window on the
+    dim table only, then broadcast to the fact side (never a window over
+    facts); the filter anti-join shuffles on the corrupted key like any
+    dedup. k multiplies the fact stream row-locally via explode."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    from .hashes import h60
+
+    if side not in (s_col, o_col, "s", "o"):
+        raise ValueError(f"side must be 's' or 'o', got {side!r}")
+    corrupt_col = o_col if side in (o_col, "o") else s_col
+
+    pos = triples.select(
+        F.col(s_col).alias("s"), F.col(r_col).alias("r"), F.col(o_col).alias("o")
+    ).distinct()
+    slot = "o" if corrupt_col == o_col else "s"
+    ents = pos.select(F.col(slot).alias("e")).distinct()
+    idx_ents = ents.select(
+        "e", (F.row_number().over(Window.orderBy("e")) - 1).cast("long").alias("_idx")
+    )
+    n_row = ents.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    key = F.concat_ws("\x02", F.col("s").cast("string"), F.col("r"),
+                      F.col("o").cast("string"))
+    cand = (
+        pos.crossJoin(broadcast(n_row))
+        .select("s", "r", "o", "_n",
+                F.explode(F.expr(f"sequence(1L, {int(k)}L)")).alias("j"))
+        .withColumn(
+            "_idx",
+            F.pmod(h60(F.concat(F.col("j").cast("string"), F.lit("\x01"), key)),
+                   F.col("_n")),
+        )
+        .join(broadcast(idx_ents), "_idx")
+        .filter(F.col("e") != F.col(slot))
+    )
+    neg_name = f"{slot}_neg"
+    keep = ("s", "r") if slot == "o" else ("r", "o")
+    cand = cand.select(
+        *keep, F.col("e").alias(neg_name), F.col("j").cast("long").alias("j")
+    )
+    # filtered setting: a corrupted triple that happens to be a true
+    # positive is removed, not emitted as a (false) negative
+    if slot == "o":
+        cond = (
+            (cand["s"] == pos["s"]) & (cand["r"] == pos["r"])
+            & (cand[neg_name] == pos["o"])
+        )
+    else:
+        cond = (
+            (cand[neg_name] == pos["s"]) & (cand["r"] == pos["r"])
+            & (cand["o"] == pos["o"])
+        )
+    return cand.join(pos, cond, "left_anti")

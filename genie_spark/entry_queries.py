@@ -3336,3 +3336,64 @@ def rdf_ntriples_q(spark, sf_dir):
         "s", "r", "o_name",
         ntriple_col(F.col("s"), F.col("r"), F.col("o_name")).alias("ntriple"),
     )
+
+
+_NEG_K = 3
+
+
+@_register(
+    "kg_negative_samples",
+    f"""
+WITH {_TRIPLES_SQL},
+ns_pos AS (SELECT l_orderkey AS s, l_returnflag AS r, l_partkey AS o FROM trg),
+ns_ents AS (SELECT DISTINCT o AS e FROM ns_pos),
+ns_idx AS (
+  SELECT e, (row_number() OVER (ORDER BY e) - 1)::BIGINT AS idx FROM ns_ents
+),
+ns_n AS (SELECT count(*)::BIGINT AS n FROM ns_ents),
+ns_cand AS (
+  SELECT s, r, o, j,
+         (('0x' || substr(md5(j::varchar || chr(1) || s::varchar || chr(2)
+                              || r || chr(2) || o::varchar), 1, 15))
+          ::UBIGINT::BIGINT) % n AS idx
+  FROM ns_pos
+  CROSS JOIN ns_n
+  CROSS JOIN (SELECT unnest(range(1, {_NEG_K} + 1)) AS j)
+),
+ns_neg AS (
+  SELECT c.s, c.r, i.e AS o_neg, c.j
+  FROM ns_cand c JOIN ns_idx i USING (idx)
+  WHERE i.e <> c.o
+)
+SELECT n.s::BIGINT AS s, n.r, n.o_neg::BIGINT AS o_neg, n.j::BIGINT AS j
+FROM ns_neg n
+WHERE NOT EXISTS (
+  SELECT 1 FROM ns_pos p WHERE p.s = n.s AND p.r = n.r AND p.o = n.o_neg
+)
+""",
+)
+def kg_negative_samples_q(spark, sf_dir):
+    """Filtered negative sampling for KG-embedding training (TransE
+    corruption, filtered setting): k=3 hash-drawn object corruptions per
+    target triple, minus self-corruptions and accidental positives. The
+    entity index is a dim-table-only window broadcast to the fact side;
+    the draw is h60-deterministic (rerun- and partition-stable)."""
+    from .datapipe.graph import negative_samples
+
+    li = _t(spark, sf_dir, "lineitem")
+    trg = (
+        li.filter(F.col("l_shipdate") < _CUT)
+        .select(
+            F.col("l_orderkey").alias("s"),
+            F.col("l_returnflag").alias("r"),
+            F.col("l_partkey").alias("o"),
+        )
+        .distinct()
+    )
+    out = negative_samples(trg, k=_NEG_K, side="o")
+    return out.select(
+        F.col("s").cast("bigint").alias("s"),
+        "r",
+        F.col("o_neg").cast("bigint").alias("o_neg"),
+        F.col("j").cast("bigint").alias("j"),
+    )

@@ -344,3 +344,21 @@ def test_fuse_latest_single_partial_agg(spark):
     # one shuffle for the (s,r) agg plus the count-distinct expand pass;
     # never more
     assert tree.count("Exchange") <= 2
+
+
+def test_negative_samples_broadcasts_entity_index(spark):
+    """The entity rank index joins broadcast (dim-sized); the fact side
+    never shuffles for the index lookup, and the only window in the plan
+    is over the entity dim, not the fact stream."""
+    from genie_spark.datapipe.graph import negative_samples
+
+    li = _t(spark, "lineitem")
+    trg = li.select(
+        F.col("l_orderkey").alias("s"),
+        F.col("l_returnflag").alias("r"),
+        F.col("l_partkey").alias("o"),
+    ).distinct()
+    tree = _tree(negative_samples(trg, k=2))
+    assert "BroadcastHashJoin" in tree
+    assert "CartesianProduct" not in tree
+    assert tree.count("Window") == 1  # the dim-table rank only
