@@ -170,6 +170,8 @@ HEADLINE = [
     "kg_fuse_latest",
     "rdf_ntriples",
     "kg_negative_samples",
+    "kg_relation_profile",
+    "kg_rule_confidence",
 ]
 
 

@@ -543,3 +543,80 @@ def negative_samples(
             & (cand["o"] == pos["o"])
         )
     return cand.join(pos, cond, "left_anti")
+
+
+def relation_profile(
+    triples: DataFrame,
+    scale: int = 10**6,
+    s_col: str = "s",
+    r_col: str = "r",
+    o_col: str = "o",
+) -> DataFrame:
+    """Ontology-grade relation statistics: per relation, the triple /
+    subject / object counts plus functionality and inverse-functionality
+    in integer ppm (fun(r) = #subjects / #triples — the quantity AMIE's
+    PCA confidence is built on, Galárraga et al. 2013). A relation with
+    functionality ≈ 1e6 is one-to-one from its subjects; low values mark
+    fan-out relations that need skew handling downstream.
+
+    One partial-aggregatable groupBy over the fact table (the two
+    count(DISTINCT) phases expand but stay keyed on r); integer ppm via
+    the split_thresholds discipline — no float division."""
+    return (
+        triples.groupBy(F.col(r_col).alias("r"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_triples"),
+            F.countDistinct(F.col(s_col)).cast("long").alias("n_subjects"),
+            F.countDistinct(F.col(o_col)).cast("long").alias("n_objects"),
+        )
+        .select(
+            "r", "n_triples", "n_subjects", "n_objects",
+            F.expr(f"n_subjects * {scale}L div n_triples").alias("functionality_ppm"),
+            F.expr(f"n_objects * {scale}L div n_triples").alias("inv_functionality_ppm"),
+        )
+    )
+
+
+def rule_confidence(
+    triples: DataFrame,
+    min_support: int = 1,
+    scale: int = 10**6,
+    s_col: str = "s",
+    r_col: str = "r",
+    o_col: str = "o",
+) -> DataFrame:
+    """1-hop Horn-rule mining: for every ordered relation pair the
+    standard confidence of ``r_body(x, y) => r_head(x, y)`` —
+    support = #(x, y) pairs asserted under BOTH relations,
+    confidence = support / #pairs under the body (integer ppm). The
+    degenerate r_body = r_head rule is excluded. AMIE's 2-hop chain
+    rules build on the same join; the 1-hop form is the
+    schema-alignment / redundant-relation detector.
+
+    Scale shape: facts dedup to distinct (s, o, r) pairs, self-join on
+    the (s, o) pair key — per-key fan-out is the number of relations
+    asserted between that entity pair (tiny in real KGs), so the join
+    output is ~|facts| × avg-multiplicity, never quadratic in entities;
+    the groupBy (body, head) output is |relations|² at most."""
+    pairs = triples.select(
+        F.col(s_col).alias("s"), F.col(o_col).alias("o"), F.col(r_col).alias("r")
+    ).distinct()
+    body_n = pairs.groupBy(F.col("r").alias("r_body")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_body")
+    )
+    a = pairs.select("s", "o", F.col("r").alias("r_body"))
+    b = pairs.select("s", "o", F.col("r").alias("r_head"))
+    support = (
+        a.join(b, ["s", "o"])
+        .filter(F.col("r_body") != F.col("r_head"))
+        .groupBy("r_body", "r_head")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    return (
+        support.join(F.broadcast(body_n), "r_body")
+        .select(
+            "r_body", "r_head", "support", "n_body",
+            F.expr(f"support * {scale}L div n_body").alias("confidence_ppm"),
+        )
+    )

@@ -3397,3 +3397,82 @@ def kg_negative_samples_q(spark, sf_dir):
         F.col("o_neg").cast("bigint").alias("o_neg"),
         F.col("j").cast("bigint").alias("j"),
     )
+
+
+@_register(
+    "kg_relation_profile",
+    f"""
+WITH {_TRIPLES_SQL},
+rp AS (SELECT l_orderkey AS s, l_returnflag AS r, l_partkey AS o FROM trg)
+SELECT r,
+       count(*)::BIGINT AS n_triples,
+       count(DISTINCT s)::BIGINT AS n_subjects,
+       count(DISTINCT o)::BIGINT AS n_objects,
+       (count(DISTINCT s) * 1000000 // count(*))::BIGINT AS functionality_ppm,
+       (count(DISTINCT o) * 1000000 // count(*))::BIGINT AS inv_functionality_ppm
+FROM rp GROUP BY r
+""",
+)
+def kg_relation_profile_q(spark, sf_dir):
+    """Ontology-grade relation statistics over the target graph:
+    functionality / inverse functionality in integer ppm (the AMIE PCA
+    ingredient) — one partial-aggregatable groupBy on relation."""
+    from .datapipe.graph import relation_profile
+
+    li = _t(spark, sf_dir, "lineitem")
+    trg = (
+        li.filter(F.col("l_shipdate") < _CUT)
+        .select(
+            F.col("l_orderkey").alias("s"),
+            F.col("l_returnflag").alias("r"),
+            F.col("l_partkey").alias("o"),
+        )
+        .distinct()
+    )
+    return relation_profile(trg)
+
+
+@_register(
+    "kg_rule_confidence",
+    f"""
+WITH rc AS (
+  SELECT DISTINCT s, o, r FROM (
+    SELECT l_orderkey AS s, l_partkey AS o, 'rf_' || l_returnflag AS r
+    FROM lineitem WHERE l_shipdate < TIMESTAMP '{_CUT}'
+    UNION ALL
+    SELECT l_orderkey AS s, l_partkey AS o, 'ls_' || l_linestatus AS r
+    FROM lineitem WHERE l_shipdate < TIMESTAMP '{_CUT}'
+  )
+),
+rc_body AS (SELECT r AS r_body, count(*)::BIGINT AS n_body FROM rc GROUP BY r),
+rc_sup AS (
+  SELECT a.r AS r_body, b.r AS r_head, count(*)::BIGINT AS support
+  FROM rc a JOIN rc b ON a.s = b.s AND a.o = b.o AND a.r <> b.r
+  GROUP BY 1, 2
+)
+SELECT r_body, r_head, support, n_body,
+       (support * 1000000 // n_body)::BIGINT AS confidence_ppm
+FROM rc_sup JOIN rc_body USING (r_body)
+""",
+)
+def kg_rule_confidence_q(spark, sf_dir):
+    """1-hop Horn-rule mining (AMIE confidence): for every ordered
+    relation pair, support and confidence of r_body(x,y) => r_head(x,y)
+    in integer ppm. Self-join keyed on the (s, o) entity pair — per-key
+    fan-out is the relation multiplicity of that pair, never quadratic
+    in entities. Two relation families (returnflag + linestatus) give the
+    miner genuine cross-family implications to find."""
+    from .datapipe.graph import rule_confidence
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") < _CUT)
+    rf = li.select(
+        F.col("l_orderkey").alias("s"),
+        F.concat(F.lit("rf_"), F.col("l_returnflag")).alias("r"),
+        F.col("l_partkey").alias("o"),
+    )
+    ls = li.select(
+        F.col("l_orderkey").alias("s"),
+        F.concat(F.lit("ls_"), F.col("l_linestatus")).alias("r"),
+        F.col("l_partkey").alias("o"),
+    )
+    return rule_confidence(rf.unionByName(ls))
