@@ -430,3 +430,90 @@ def read_stream_output(spark: SparkSession, output_dir: str) -> DataFrame:
     if not committed:
         raise FileNotFoundError(f"no committed batch dirs under {data_dir}")
     return spark.read.option("basePath", data_dir).parquet(*committed)
+
+
+ASSERTION_STREAM_SCHEMA = "s string, r string, o string, ts timestamp"
+
+
+def stream_fuse_latest(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    available_now: bool = True,
+    trigger_interval: str = "500 milliseconds",
+):
+    """Stateful streaming knowledge fusion: the continuous-crawl form of
+    :func:`genie_spark.canonicalize.fuse_latest`. Each micro-batch of
+    timestamped (s, r, o, ts) assertions updates per-(s, r) state —
+    current winning object (max (ts, o)), total assertion count, and an
+    exact conflicted flag — and emits the group's fused record whenever
+    the group is touched. The parquet sink is therefore a fusion event
+    log; the CURRENT graph is the latest emission per key (readers take
+    max(n_assertions) per (s, r), or consume only the final batch).
+
+    The conflicted flag is exact without keeping the unbounded distinct-
+    object set in state: a second distinct object either co-occurs with
+    another in one batch (detected locally) or differs from the stored
+    winner (detected on comparison) — there is no third way to first
+    observe it. State per key is a fixed-width (ts_ms, o, n, conflicted)
+    record, grouped on the same (s, r) key the batch aggregation
+    shuffles on, so fusion state is co-located with its group.
+
+    Restart-safe: state lives in the streaming checkpoint. Parity with
+    the batch operator is asserted in tests (final emission per key ==
+    fuse_latest of all input)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    assertions = spark.readStream.schema(ASSERTION_STREAM_SCHEMA).parquet(
+        input_dir
+    )
+
+    out_type = (
+        "s string, r string, o_latest string, latest_ts_ms bigint, "
+        "n_assertions bigint, conflicted bigint"
+    )
+    state_type = "ts_ms bigint, o string, n bigint, conflicted int"
+
+    def fuse(key, pdf_iter, state):
+        best_ts, best_o, n, seen = None, None, 0, set()
+        for pdf in pdf_iter:
+            for _, row in pdf.iterrows():
+                ts_ms = int(row["ts"].value // 1_000_000)  # pandas ns -> ms
+                o = row["o"]
+                n += 1
+                if len(seen) < 2:
+                    seen.add(o)
+                if best_ts is None or (ts_ms, o) > (best_ts, best_o):
+                    best_ts, best_o = ts_ms, o
+        if n == 0:
+            return
+        conflicted = 1 if len(seen) > 1 else 0
+        if state.exists:
+            ts0, o0, n0, conf0 = state.get
+            conflicted = 1 if (conf0 or conflicted or best_o != o0 or
+                               any(o != o0 for o in seen)) else 0
+            if (ts0, o0) > (best_ts, best_o):
+                best_ts, best_o = ts0, o0
+            n += n0
+        state.update((best_ts, best_o, n, conflicted))
+        yield pd.DataFrame(
+            [(key[0], key[1], best_o, best_ts, n, conflicted)],
+            columns=["s", "r", "o_latest", "latest_ts_ms",
+                     "n_assertions", "conflicted"],
+        )
+
+    fused = assertions.groupBy("s", "r").applyInPandasWithState(
+        fuse, out_type, state_type, "append", GroupStateTimeout.NoTimeout
+    )
+    writer = (
+        fused.writeStream.format("parquet")
+        .option("path", os.path.join(output_dir, "data"))
+        .option("checkpointLocation", os.path.join(output_dir, "_checkpoint"))
+        .outputMode("append")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.trigger(processingTime=trigger_interval).start()

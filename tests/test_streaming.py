@@ -313,3 +313,62 @@ def test_ttl_ms_parsing_and_errors():
     for bad in ("500ms", "2seconds", "1 min", "fast", "", "2 2 seconds"):
         with _pytest.raises(ValueError, match="state_ttl"):
             _ttl_ms(bad)
+
+
+def test_stream_fuse_latest_matches_batch(spark, tmp_path):
+    """Streaming fusion: two arrivals of timestamped assertions; the
+    final emission per (s, r) must equal the batch fuse_latest of the
+    full input — winner, counts, and the exact conflicted flag — and the
+    second availableNow run must process only the new files."""
+    import datetime
+
+    from genie_spark.canonicalize import fuse_latest
+    from genie_spark.streaming import stream_fuse_latest
+
+    t = datetime.datetime
+    in_dir, out_dir = str(tmp_path / "a_in"), str(tmp_path / "a_out")
+    schema = "s string, r string, o string, ts timestamp"
+    batch1 = [
+        ("s1", "r", "old", t(2020, 1, 1)),
+        ("s2", "r", "only", t(2020, 6, 1)),
+        ("s3", "r", "a", t(2020, 1, 1)),  # within-batch conflict
+        ("s3", "r", "b", t(2020, 1, 1)),
+    ]
+    batch2 = [
+        ("s1", "r", "new", t(2021, 1, 1)),   # cross-batch conflict + win
+        ("s2", "r", "only", t(2019, 1, 1)),  # older re-assertion, no flip
+        ("s4", "r", "late", t(2022, 1, 1)),  # new key in batch 2
+    ]
+    spark.createDataFrame(batch1, schema).write.mode("overwrite").parquet(in_dir)
+    stream_fuse_latest(spark, in_dir, out_dir, available_now=True)
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(in_dir)
+    stream_fuse_latest(spark, in_dir, out_dir, available_now=True)
+
+    out = spark.read.parquet(os.path.join(out_dir, "data"))
+    # current graph = the emission with the highest n_assertions per key
+    # (counts only grow); ties impossible since a key emits once per touch
+    latest = {
+        (r["s"], r["r"]): r
+        for r in out.collect()
+        if r["n_assertions"]
+        == max(
+            x["n_assertions"]
+            for x in out.collect()
+            if (x["s"], x["r"]) == (r["s"], r["r"])
+        )
+    }
+    want = {
+        (r["s"], r["r"]): r
+        for r in fuse_latest(
+            spark.createDataFrame(batch1 + batch2, schema)
+        ).collect()
+    }
+    assert set(latest) == set(want)
+    for k, w in want.items():
+        got = latest[k]
+        assert got["o_latest"] == w["o_latest"], k
+        assert got["n_assertions"] == w["n_assertions"], k
+        assert got["conflicted"] == w["conflicted"], k
+        assert got["latest_ts_ms"] == int(
+            w["latest_ts"].replace(tzinfo=datetime.timezone.utc).timestamp() * 1000
+        ), k
