@@ -334,3 +334,86 @@ def fuse_latest(
             (F.col("n_objects") > 1).cast("long").alias("conflicted"),
         )
     )
+
+
+def fuse_vote(
+    assertions: DataFrame,
+    s_col: str = "s",
+    r_col: str = "r",
+    o_col: str = "o",
+) -> DataFrame:
+    """Knowledge fusion by majority vote: per (subject, relation) the
+    object asserted by the most sources wins (ties break to the
+    greatest object — deterministic), with margin accounting. The
+    complement of :func:`fuse_latest` for sources without trustworthy
+    timestamps (reference counterpart: the fact-aggregation step after
+    extraction, genie/utils/evaluation_utils.py aggregates per-triple
+    sets; voting is the web-scale variant when the same fact arrives
+    from many crawls).
+
+    Plan: one groupBy on (s, r, o) reduces the fact table to per-object
+    vote counts (partial-aggregatable, map-side combined), then a
+    second groupBy on (s, r) over the already-reduced counts picks
+    max(struct(n_votes, o)) and sums totals — the second shuffle moves
+    only one row per distinct object, never the fact table.
+    margin_ppm = winner votes in ppm of all votes (integer floor-div,
+    oracle-exact); 1_000_000 means unanimous."""
+    votes = assertions.groupBy(
+        F.col(s_col).alias("s"),
+        F.col(r_col).alias("r"),
+        F.col(o_col).alias("o"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_votes"))
+    return (
+        votes.groupBy("s", "r")
+        .agg(
+            F.max(F.struct("n_votes", "o")).alias("_w"),
+            F.sum("n_votes").cast("long").alias("n_total"),
+            F.count(F.lit(1)).cast("long").alias("n_objects"),
+        )
+        .select(
+            "s",
+            "r",
+            F.col("_w.o").alias("o_winner"),
+            F.col("_w.n_votes").alias("n_votes"),
+            "n_total",
+            "n_objects",
+            F.expr("_w.n_votes * 1000000L div n_total").alias("margin_ppm"),
+        )
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: tuple = ("s", "r"),
+    val_col: str = "o_latest",
+) -> DataFrame:
+    """Diff two fused-graph snapshots (e.g. :func:`fuse_latest` outputs
+    from two crawl cuts): per (subject, relation) key, status is
+    'added' (key only in new), 'removed' (only in old), 'changed'
+    (both, different object) or 'unchanged'. The continuous-crawl KG
+    maintenance primitive — what a downstream consumer reads to apply
+    incremental updates instead of reloading the graph.
+
+    Plan: one full outer join keyed on (s, r) — both sides are already
+    one row per key, so the join moves each graph exactly once; no
+    text, no fact table. Callers normally filter status != 'unchanged'
+    (the diff is small relative to the graph; the filter happens after
+    the join because 'unchanged' needs both sides to decide)."""
+    keys = list(key_cols)
+    o = old.select(
+        *keys, F.col(val_col).alias("o_old"), F.lit(1).alias("_in_old")
+    )
+    n = new.select(
+        *keys, F.col(val_col).alias("o_new"), F.lit(1).alias("_in_new")
+    )
+    return o.join(n, keys, "full_outer").select(
+        *keys,
+        "o_old",
+        "o_new",
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(F.col("o_old") != F.col("o_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )

@@ -3476,3 +3476,217 @@ def kg_rule_confidence_q(spark, sf_dir):
         F.col("l_partkey").alias("o"),
     )
     return rule_confidence(rf.unionByName(ls))
+
+
+def _align_sql() -> str:
+    from .datapipe.align import pseudo_kb_sql
+
+    return pseudo_kb_sql("documents", "text", n_relations=3, keep_mod=5)
+
+
+@_register(
+    "distant_supervision",
+    f"""
+WITH {{ALIGN_CTES}},
+al_nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+al_subj AS (
+  SELECT t.doc_id, k.s_name, k.r, k.o_name
+  FROM al_tok t JOIN al_kb k ON t.tok = k.s_name
+),
+al_hit AS (
+  SELECT DISTINCT h.doc_id, h.s_name, h.r, h.o_name
+  FROM al_subj h
+  JOIN al_tok t2 ON h.doc_id = t2.doc_id AND h.o_name = t2.tok
+),
+al_sup AS (
+  SELECT s_name, r, o_name, count(DISTINCT doc_id)::BIGINT AS n_support
+  FROM al_hit GROUP BY 1, 2, 3
+)
+SELECT s_name, r, o_name, n_support,
+       (n_support * 1000000 // (SELECT n_docs FROM al_nd))::BIGINT
+         AS support_ppm
+FROM al_sup
+""",
+)
+def distant_supervision_q(spark, sf_dir):
+    """Distant-supervision alignment (the REBEL/GenIE training-data
+    construction step, reference genie/datamodule/datasets/rebel.py
+    consumes its output): KB triples aligned to every document that
+    mentions both endpoint entities, aggregated to per-triple support
+    counts + ppm. The KB is the deterministic corpus-vocabulary
+    pseudo-KB (h60-kept pairs); alignment is two inverted-index joins
+    off ONE distinct (doc_id, token) mention table — the corpus text is
+    scanned exactly once and never crossed with the KB."""
+    from .datapipe.align import (
+        distant_supervision,
+        distant_support,
+        doc_tokens,
+        pseudo_kb,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tokens = doc_tokens(docs)
+    kb = pseudo_kb(tokens, n_relations=3, keep_mod=5)
+    n_docs_df = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return distant_support(distant_supervision(tokens, kb), n_docs_df)
+
+
+ORACLES["distant_supervision"] = ORACLES["distant_supervision"].replace(
+    "{ALIGN_CTES}", _align_sql().strip()
+)
+
+
+@_register(
+    "kg_cooccurrence",
+    f"""
+WITH {{ALIGN_TOK}},
+al_nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+co_pairs AS (
+  SELECT a.tok AS a, b.tok AS b, count(*)::BIGINT AS n_ab
+  FROM al_tok a JOIN al_tok b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2
+),
+co_marg AS (SELECT tok, count(*)::BIGINT AS n_tok FROM al_tok GROUP BY tok)
+SELECT p.a, p.b, p.n_ab, ma.n_tok AS n_a, mb.n_tok AS n_b,
+       (p.n_ab * (SELECT n_docs FROM al_nd) * 1000000
+          // (ma.n_tok * mb.n_tok))::BIGINT AS lift_ppm
+FROM co_pairs p
+JOIN co_marg ma ON p.a = ma.tok
+JOIN co_marg mb ON p.b = mb.tok
+""",
+)
+def kg_cooccurrence_q(spark, sf_dir):
+    """Entity-pair co-occurrence with exact integer PMI lift over the
+    document corpus — the distant-supervision prior for proposing NEW
+    relation candidates between entities that co-occur above chance
+    (lift_ppm > 1_000_000). Pair fan-out is per-document and bounded by
+    distinct catalog mentions; marginals and corpus size join in as
+    broadcasts."""
+    from .datapipe.align import doc_tokens, entity_cooccurrence
+
+    docs = _t(spark, sf_dir, "documents")
+    tokens = doc_tokens(docs)
+    n_docs_df = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return entity_cooccurrence(tokens, n_docs_df)
+
+
+ORACLES["kg_cooccurrence"] = ORACLES["kg_cooccurrence"].replace(
+    "{ALIGN_TOK}",
+    """al_tok AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+)""",
+)
+
+
+@_register(
+    "kg_fuse_vote",
+    f"""
+WITH fv AS (
+  SELECT l_orderkey AS s, l_returnflag AS r, l_partkey AS o
+  FROM lineitem WHERE l_shipdate < TIMESTAMP '{_CUT}'
+),
+fv_votes AS (
+  SELECT s, r, o, count(*)::BIGINT AS n_votes FROM fv GROUP BY 1, 2, 3
+),
+fv_w AS (
+  SELECT s, r, max(struct_pack(n_votes := n_votes, o := o)) AS w,
+         sum(n_votes)::BIGINT AS n_total, count(*)::BIGINT AS n_objects
+  FROM fv_votes GROUP BY s, r
+)
+SELECT s::BIGINT AS s, r, w.o::BIGINT AS o_winner, w.n_votes AS n_votes,
+       n_total, n_objects,
+       (w.n_votes * 1000000 // n_total)::BIGINT AS margin_ppm
+FROM fv_w
+""",
+)
+def kg_fuse_vote_q(spark, sf_dir):
+    """Majority-vote knowledge fusion over the target triple stream:
+    per (subject, relation) the most-asserted object wins, with margin
+    in integer ppm — the timestamp-free complement of kg_fuse_latest.
+    Two cascaded aggregations; the second shuffles only one row per
+    distinct object, never the fact table."""
+    from .canonicalize import fuse_vote
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") < _CUT)
+    assertions = li.select(
+        F.col("l_orderkey").alias("s"),
+        F.col("l_returnflag").alias("r"),
+        F.col("l_partkey").alias("o"),
+    )
+    out = fuse_vote(assertions)
+    return out.select(
+        F.col("s").cast("bigint").alias("s"),
+        "r",
+        F.col("o_winner").cast("bigint").alias("o_winner"),
+        "n_votes",
+        "n_total",
+        "n_objects",
+        "margin_ppm",
+    )
+
+
+_SD_OLD_END = "1999-01-01"
+_SD_NEW_START = "1997-01-01"
+
+
+@_register(
+    "kg_snapshot_diff",
+    f"""
+WITH sd_base AS (
+  SELECT l_orderkey AS s, l_returnflag AS r, l_partkey AS o, l_shipdate AS ts
+  FROM lineitem
+),
+sd_old_w AS (
+  SELECT s, r, max(struct_pack(ts := ts, o := o)) AS w
+  FROM sd_base WHERE ts < TIMESTAMP '{_SD_OLD_END}' GROUP BY s, r
+),
+sd_new_w AS (
+  SELECT s, r, max(struct_pack(ts := ts, o := o)) AS w
+  FROM sd_base WHERE ts >= TIMESTAMP '{_SD_NEW_START}' GROUP BY s, r
+),
+sd_old AS (SELECT s, r, w.o AS o_old FROM sd_old_w),
+sd_new AS (SELECT s, r, w.o AS o_new FROM sd_new_w),
+sd_diff AS (
+  SELECT coalesce(o.s, n.s) AS s, coalesce(o.r, n.r) AS r,
+         o.o_old, n.o_new,
+         CASE WHEN o.s IS NULL THEN 'added'
+              WHEN n.s IS NULL THEN 'removed'
+              WHEN o.o_old <> n.o_new THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM sd_old o FULL OUTER JOIN sd_new n ON o.s = n.s AND o.r = n.r
+)
+SELECT s::BIGINT AS s, r, o_old::BIGINT AS o_old, o_new::BIGINT AS o_new,
+       status
+FROM sd_diff WHERE status <> 'unchanged'
+""",
+)
+def kg_snapshot_diff_q(spark, sf_dir):
+    """Incremental KG maintenance: diff the fused graph between two
+    overlapping crawl windows (old = assertions before {_SD_OLD_END},
+    new = assertions from {_SD_NEW_START} on) — keys fused only from
+    pre-window assertions surface as 'removed', new keys as 'added',
+    winner flips as 'changed'; 'unchanged' is filtered (the diff is
+    what a downstream consumer applies incrementally). One full outer
+    join of two one-row-per-key snapshots."""
+    from .canonicalize import fuse_latest, snapshot_diff
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_orderkey").alias("s"),
+        F.col("l_returnflag").alias("r"),
+        F.col("l_partkey").alias("o"),
+        F.col("l_shipdate").alias("ts"),
+    )
+    old = fuse_latest(base.filter(F.col("ts") < _SD_OLD_END))
+    new = fuse_latest(base.filter(F.col("ts") >= _SD_NEW_START))
+    out = snapshot_diff(old, new).filter(F.col("status") != "unchanged")
+    return out.select(
+        F.col("s").cast("bigint").alias("s"),
+        "r",
+        F.col("o_old").cast("bigint").alias("o_old"),
+        F.col("o_new").cast("bigint").alias("o_new"),
+        "status",
+    )

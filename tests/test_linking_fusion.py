@@ -138,3 +138,123 @@ def test_lm_surprisal_matches_float_log2(spark):
         for w in "w q".split()
     )
     assert out[2]["sum_bits"] == expect
+
+
+def test_fuse_vote_majority_and_tiebreak(spark):
+    from genie_spark.canonicalize import fuse_vote
+
+    rows = [
+        # s1: b has 2 votes vs a's 1 -> b wins, margin 666666 ppm
+        ("s1", "r", "a"), ("s1", "r", "b"), ("s1", "r", "b"),
+        # s2: 1-1 tie -> greater object "z" wins deterministically
+        ("s2", "r", "y"), ("s2", "r", "z"),
+        # s3: unanimous
+        ("s3", "r", "only"),
+    ]
+    out = {
+        r["s"]: r
+        for r in fuse_vote(
+            _df(spark, rows, "s string, r string, o string")
+        ).collect()
+    }
+    assert out["s1"]["o_winner"] == "b"
+    assert (out["s1"]["n_votes"], out["s1"]["n_total"]) == (2, 3)
+    assert out["s1"]["margin_ppm"] == 666666
+    assert out["s2"]["o_winner"] == "z" and out["s2"]["margin_ppm"] == 500000
+    assert out["s3"]["o_winner"] == "only"
+    assert out["s3"]["margin_ppm"] == 1000000 and out["s3"]["n_objects"] == 1
+
+
+def test_snapshot_diff_all_statuses(spark):
+    from genie_spark.canonicalize import snapshot_diff
+
+    old = _df(
+        spark,
+        [("a", "r", "1"), ("b", "r", "2"), ("c", "r", "3")],
+        "s string, r string, o_latest string",
+    )
+    new = _df(
+        spark,
+        [("a", "r", "1"), ("b", "r", "9"), ("d", "r", "4")],
+        "s string, r string, o_latest string",
+    )
+    got = {(r["s"], r["r"]): r for r in snapshot_diff(old, new).collect()}
+    assert got[("a", "r")]["status"] == "unchanged"
+    assert got[("b", "r")]["status"] == "changed"
+    assert (got[("b", "r")]["o_old"], got[("b", "r")]["o_new"]) == ("2", "9")
+    assert got[("c", "r")]["status"] == "removed"
+    assert got[("c", "r")]["o_new"] is None
+    assert got[("d", "r")]["status"] == "added"
+    assert got[("d", "r")]["o_old"] is None
+
+
+def test_distant_supervision_requires_both_endpoints(spark):
+    from genie_spark.datapipe.align import (
+        distant_supervision,
+        distant_support,
+        doc_tokens,
+    )
+
+    docs = _df(
+        spark,
+        [
+            (1, "alpha beta gamma"),   # mentions both alpha and beta
+            (2, "alpha delta"),        # subject only -> no hit
+            (3, "beta gamma"),         # object only -> no hit
+            (4, "beta alpha alpha"),   # both, duplicated mention -> 1 row
+        ],
+        "doc_id long, text string",
+    )
+    kb = _df(
+        spark,
+        [("alpha", "rel_0", "beta"), ("alpha", "rel_1", "zeta")],
+        "s_name string, r string, o_name string",
+    )
+    toks = doc_tokens(docs)
+    hits = distant_supervision(toks, kb)
+    assert sorted(
+        (r["doc_id"], r["s_name"], r["o_name"]) for r in hits.collect()
+    ) == [(1, "alpha", "beta"), (4, "alpha", "beta")]
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    sup = distant_support(hits, n_docs).collect()
+    assert len(sup) == 1
+    assert sup[0]["n_support"] == 2 and sup[0]["support_ppm"] == 500000
+
+
+def test_entity_cooccurrence_lift(spark):
+    from genie_spark.datapipe.align import doc_tokens, entity_cooccurrence
+
+    docs = _df(
+        spark,
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "d d")],
+        "doc_id long, text string",
+    )
+    toks = doc_tokens(docs)
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    got = {
+        (r["a"], r["b"]): r
+        for r in entity_cooccurrence(toks, n_docs).collect()
+    }
+    # (a,b): n_ab=2, n_a=3, n_b=2, N=4 -> 2*4*1e6 // 6 = 1333333 (> chance)
+    ab = got[("a", "b")]
+    assert (ab["n_ab"], ab["n_a"], ab["n_b"]) == (2, 3, 2)
+    assert ab["lift_ppm"] == 1333333
+    # (a,c): 1*4*1e6 // (3*1) = 1333333; duplicated token d never pairs
+    assert got[("a", "c")]["n_ab"] == 1
+    assert ("d", "d") not in got
+
+
+def test_pseudo_kb_deterministic_and_ordered(spark):
+    from genie_spark.datapipe.align import doc_tokens, pseudo_kb
+
+    docs = _df(
+        spark,
+        [(i, "one two three four five six") for i in range(3)],
+        "doc_id long, text string",
+    )
+    toks = doc_tokens(docs)
+    kb1 = sorted(map(tuple, pseudo_kb(toks, keep_mod=2).collect()))
+    kb2 = sorted(map(tuple, pseudo_kb(toks, keep_mod=2).collect()))
+    assert kb1 == kb2 and len(kb1) > 0
+    for s, r, o in kb1:
+        assert s < o and r.startswith("rel_")
