@@ -211,7 +211,7 @@ def write_graph(
     )
 
 
-def fuzzy_link(
+def fuzzy_candidates(
     mentions: DataFrame,
     catalog: DataFrame,
     max_block_df: int = 1_000_000,
@@ -220,33 +220,19 @@ def fuzzy_link(
     name_col: str = "name",
     id_col: str = "id",
 ) -> DataFrame:
-    """Approximate entity linking for surface forms exact-match (J1,
-    surface_to_id) cannot resolve — the standard blocked-ER shape
-    (token blocking + edit-distance scoring + deterministic argmin).
+    """Blocked + scored fuzzy-link candidate pairs — the shared first
+    two stages of :func:`fuzzy_link` (token blocking with a df-cut,
+    then full-string Levenshtein), WITHOUT the per-mention argmin.
+    Returns one row per surviving (mention, entity) pair:
+    (mention_id, mention, dist, entity_id, entity_name).
 
-    The reference links only exact trie-constrained names
-    (genie/models/genie_base_pl.py:406-410); real KG construction needs
-    a fallback for OCR noise / typos / morphological variants. Stages:
-
-    1. **Blocking**: candidate pairs share >= 1 whitespace token between
-       mention and catalog name. Tokens whose catalog document frequency
-       exceeds ``max_block_df`` are excluded from blocking (the df-cut
-       that bounds hub-token fan-out at web scale — same discipline as
-       ngram_jaccard_pairs' df_cut).
-    2. **Scoring**: unit-cost Levenshtein on the full strings (JVM
-       F.levenshtein — identical DP definition in DuckDB).
-    3. **Resolution**: per-mention argmin via min(struct(dist, id,
-       name)) — partial-aggregatable and fully deterministic (ties break
-       to the lowest entity id).
-
-    Mentions none of whose tokens survive blocking produce no row
-    (honest recall accounting; callers union a left-anti pass if they
-    need explicit no_match rows).
+    Exposed separately because entity RESOLUTION consumes the whole
+    thresholded candidate graph (transitive clustering over every pair
+    with dist <= t), whereas entity LINKING keeps only the argmin.
 
     Scale shape (100 TB): the token-blocking join shuffles on the token
-    key with the df-cut bounding per-key fan-out; scoring is row-local;
-    the argmin groupBy partial-aggregates map-side. No all-pairs stage
-    anywhere."""
+    key with the df-cut bounding per-key fan-out; scoring is row-local.
+    No all-pairs stage anywhere."""
     def toks(df, idc, strc):
         return (
             df.select(F.col(idc), F.explode(F.split(F.col(strc), " ")).alias("tok"))
@@ -280,20 +266,110 @@ def fuzzy_link(
             mention_id_col,
             mention_col,
             F.levenshtein(F.col(mention_col), F.col("_cand_name")).cast("long").alias("dist"),
-            F.col("_cand_id"),
-            F.col("_cand_name"),
+            F.col("_cand_id").alias("entity_id"),
+            F.col("_cand_name").alias("entity_name"),
         )
     )
+    return scored
+
+
+def fuzzy_link(
+    mentions: DataFrame,
+    catalog: DataFrame,
+    max_block_df: int = 1_000_000,
+    mention_col: str = "mention",
+    mention_id_col: str = "mention_id",
+    name_col: str = "name",
+    id_col: str = "id",
+) -> DataFrame:
+    """Approximate entity linking for surface forms exact-match (J1,
+    surface_to_id) cannot resolve — the standard blocked-ER shape
+    (token blocking + edit-distance scoring + deterministic argmin).
+
+    The reference links only exact trie-constrained names
+    (genie/models/genie_base_pl.py:406-410); real KG construction needs
+    a fallback for OCR noise / typos / morphological variants. Stages:
+
+    1. **Blocking**: candidate pairs share >= 1 whitespace token between
+       mention and catalog name. Tokens whose catalog document frequency
+       exceeds ``max_block_df`` are excluded from blocking (the df-cut
+       that bounds hub-token fan-out at web scale — same discipline as
+       ngram_jaccard_pairs' df_cut).
+    2. **Scoring**: unit-cost Levenshtein on the full strings (JVM
+       F.levenshtein — identical DP definition in DuckDB).
+    3. **Resolution**: per-mention argmin via min(struct(dist, id,
+       name)) — partial-aggregatable and fully deterministic (ties break
+       to the lowest entity id).
+
+    Mentions none of whose tokens survive blocking produce no row
+    (honest recall accounting; callers union a left-anti pass if they
+    need explicit no_match rows). Stages 1-2 live in
+    :func:`fuzzy_candidates` (shared with entity resolution); the
+    argmin groupBy here partial-aggregates map-side."""
+    scored = fuzzy_candidates(
+        mentions, catalog, max_block_df,
+        mention_col, mention_id_col, name_col, id_col,
+    )
     best = scored.groupBy(mention_id_col, mention_col).agg(
-        F.min(F.struct("dist", "_cand_id", "_cand_name")).alias("_b")
+        F.min(F.struct("dist", "entity_id", "entity_name")).alias("_b")
     )
     return best.select(
         mention_id_col,
         mention_col,
         F.col("_b.dist").alias("dist"),
-        F.col("_b._cand_id").alias("entity_id"),
-        F.col("_b._cand_name").alias("entity_name"),
+        F.col("_b.entity_id").alias("entity_id"),
+        F.col("_b.entity_name").alias("entity_name"),
     )
+
+
+def resolve_entities(
+    mentions: DataFrame,
+    catalog: DataFrame,
+    max_dist: int = 1,
+    max_block_df: int = 1_000_000,
+    mention_col: str = "mention",
+    mention_id_col: str = "mention_id",
+    name_col: str = "name",
+    id_col: str = "id",
+) -> DataFrame:
+    """Collective entity resolution: transitive clustering over the
+    THRESHOLDED fuzzy-candidate graph. Where :func:`fuzzy_link` keeps
+    each mention's single best entity, resolution keeps EVERY candidate
+    pair with dist <= max_dist as an edge of a bipartite
+    mention-entity graph and runs distributed connected components over
+    it — a mention close to two catalog entries merges those entries
+    into one cluster (duplicate/near-duplicate catalog listings), and
+    chains M1~E1, M2~E1, M2~E2 collapse transitively, which pairwise
+    linking cannot do. Returns one row per node ('M'<mention_id> /
+    'E'<entity_id>) with its cluster label = min reachable node id;
+    untouched nodes are their own singleton cluster.
+
+    Scale shape (100 TB): candidate generation is the df-cut blocked
+    join (no all-pairs); the component loop is two shuffles per round
+    over the EDGE list only (thresholded near-dup edges ≪ catalog), via
+    datapipe/graph.py's min-label-propagation + pointer jumping."""
+    from .datapipe.graph import components_with_singletons
+
+    cands = fuzzy_candidates(
+        mentions, catalog, max_block_df,
+        mention_col, mention_id_col, name_col, id_col,
+    )
+    edges = cands.filter(F.col("dist") <= max_dist).select(
+        F.concat(F.lit("M"), F.col(mention_id_col).cast("string")).alias("id_a"),
+        F.concat(F.lit("E"), F.col("entity_id").cast("string")).alias("id_b"),
+    )
+    verts = (
+        mentions.select(
+            F.concat(F.lit("M"), F.col(mention_id_col).cast("string")).alias("node")
+        )
+        .union(
+            catalog.select(
+                F.concat(F.lit("E"), F.col(id_col).cast("string")).alias("node")
+            )
+        )
+        .distinct()
+    )
+    return components_with_singletons(verts, edges, "node")
 
 
 def fuse_latest(

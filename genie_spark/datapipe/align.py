@@ -137,6 +137,52 @@ def distant_supervision(
     )
 
 
+def doc_token_positions(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, tok, pos) mention table with pos = 1-based index of the
+    token's FIRST occurrence in the single-space split (empties occupy
+    a position but emit no row — matching DuckDB's
+    ``generate_subscripts`` over the same split). The span-aware
+    sibling of :func:`doc_tokens`: same one-shuffle shape, the groupBy
+    both dedups mentions and picks min(pos)."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.lower(F.col(text_col)), _SPLIT)).alias(
+                "pos0", "tok"
+            ),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg((F.min("pos0") + F.lit(1)).cast("long").alias("pos"))
+    )
+
+
+def distant_supervision_spans(
+    positions: DataFrame, kb: DataFrame, broadcast_kb: bool = True
+) -> DataFrame:
+    """Span-anchored distant supervision — the actual REBEL-style
+    training-example emitter: one row per (doc_id, KB triple) whose
+    document mentions both endpoints, carrying the 1-based token
+    position of each endpoint's first mention (s_pos, o_pos). Sequence
+    labelers / span-pair extractors train directly off these anchors;
+    the span-free :func:`distant_supervision` is the aggregate-support
+    view of the same join. Identical two-join inverted-index shape,
+    positions ride along for free (picked up in the same aggregations
+    that dedup mentions)."""
+    kb_side = F.broadcast(kb) if broadcast_kb else kb
+    subj_hits = positions.join(kb_side, positions.tok == kb.s_name).select(
+        "doc_id", "s_name", "r", "o_name", F.col("pos").alias("s_pos")
+    )
+    obj_mentions = positions.select(
+        "doc_id", F.col("tok").alias("o_name"), F.col("pos").alias("o_pos")
+    )
+    return subj_hits.join(obj_mentions, ["doc_id", "o_name"]).select(
+        "doc_id", "s_name", "r", "o_name", "s_pos", "o_pos"
+    )
+
+
 def distant_support(hits: DataFrame, n_docs_df: DataFrame) -> DataFrame:
     """Aggregate alignment hits to per-triple support: number of
     supporting documents and support in integer ppm of the corpus.

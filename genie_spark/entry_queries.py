@@ -3690,3 +3690,207 @@ def kg_snapshot_diff_q(spark, sf_dir):
         F.col("o_new").cast("bigint").alias("o_new"),
         "status",
     )
+
+
+_ER_MAX_DIST = 1
+
+
+@_register(
+    "er_clusters",
+    f"""
+WITH RECURSIVE
+er_cat AS (SELECT p_partkey AS id, lower(p_name) AS name FROM part),
+er_men AS (
+  SELECT p_partkey AS mention_id,
+         regexp_replace(lower(p_name), 'a', '', 'g') AS mention
+  FROM part WHERE p_partkey % 7 = 0
+),
+er_ctok AS (
+  SELECT DISTINCT id, tok FROM (
+    SELECT id, unnest(string_split(name, ' ')) AS tok FROM er_cat
+  ) WHERE tok <> ''
+),
+er_keep AS (
+  SELECT tok FROM (SELECT tok, count(*) AS df FROM er_ctok GROUP BY tok)
+  WHERE df <= {_FUZZY_BLOCK_DF}
+),
+er_mtok AS (
+  SELECT DISTINCT mention_id, tok FROM (
+    SELECT mention_id, unnest(string_split(mention, ' ')) AS tok FROM er_men
+  ) WHERE tok <> ''
+),
+er_cand AS (
+  SELECT DISTINCT m.mention_id, c.id
+  FROM er_mtok m JOIN er_keep k USING (tok) JOIN er_ctok c USING (tok)
+),
+er_edge0 AS (
+  SELECT 'M' || n.mention_id AS u, 'E' || t.id AS w
+  FROM er_cand c
+  JOIN er_men n USING (mention_id)
+  JOIN er_cat t ON c.id = t.id
+  WHERE levenshtein(n.mention, t.name) <= {_ER_MAX_DIST}
+),
+er_edges AS (SELECT u, w FROM er_edge0 UNION ALL SELECT w, u FROM er_edge0),
+er_reach(v, rt) AS (
+  SELECT u, u FROM er_edges
+  UNION
+  SELECT e.w, er_reach.rt FROM er_reach JOIN er_edges e ON e.u = er_reach.v
+),
+er_comp AS (SELECT v, min(rt) AS cluster FROM er_reach GROUP BY v),
+er_verts AS (
+  SELECT 'M' || mention_id AS node FROM er_men
+  UNION
+  SELECT 'E' || id FROM er_cat
+)
+SELECT node, coalesce(c.cluster, node) AS cluster
+FROM er_verts v LEFT JOIN er_comp c ON c.v = v.node
+""",
+)
+def er_clusters_q(spark, sf_dir):
+    """Collective entity resolution over the part catalog: mutated
+    mentions (every 'a' deleted) edge to EVERY catalog entry within
+    Levenshtein {_ER_MAX_DIST} (thresholded fuzzy candidates, not the
+    fuzzy_link argmin), then distributed connected components merge
+    duplicate/near-duplicate catalog listings transitively — the
+    cluster step fuzzy_link alone cannot do (A~B~C chains). Oracle:
+    DuckDB recursive CTE over the identical edge SQL."""
+    from .canonicalize import resolve_entities
+
+    part = _t(spark, sf_dir, "part")
+    catalog = part.select(
+        F.col("p_partkey").alias("id"), F.lower("p_name").alias("name")
+    )
+    mentions = part.filter(F.col("p_partkey") % 7 == 0).select(
+        F.col("p_partkey").alias("mention_id"),
+        F.regexp_replace(F.lower("p_name"), "a", "").alias("mention"),
+    )
+    out = resolve_entities(
+        mentions, catalog, max_dist=_ER_MAX_DIST, max_block_df=_FUZZY_BLOCK_DF
+    )
+    return out.select("node", F.col("component").alias("cluster"))
+
+
+@_register(
+    "distant_supervision_spans",
+    f"""
+WITH {{ALIGN_CTES}},
+al_pos AS (
+  SELECT doc_id, tok, min(pos)::BIGINT AS pos FROM (
+    SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents)
+  ) WHERE tok <> '' GROUP BY doc_id, tok
+),
+sp_subj AS (
+  SELECT p.doc_id, k.s_name, k.r, k.o_name, p.pos AS s_pos
+  FROM al_pos p JOIN al_kb k ON p.tok = k.s_name
+)
+SELECT s.doc_id, s.s_name, s.r, s.o_name, s.s_pos, p2.pos AS o_pos
+FROM sp_subj s
+JOIN al_pos p2 ON s.doc_id = p2.doc_id AND s.o_name = p2.tok
+""",
+)
+def distant_supervision_spans_q(spark, sf_dir):
+    """Span-anchored distant supervision — the REBEL-style training-
+    example emitter: per (document, aligned KB triple) the 1-based
+    token position of each endpoint's first mention. Same two-join
+    inverted-index plan as distant_supervision; positions ride along in
+    the mention-dedup aggregation (posexplode ↔ generate_subscripts,
+    min(pos) per (doc, token) on both engines)."""
+    from .datapipe.align import (
+        distant_supervision_spans,
+        doc_token_positions,
+        doc_tokens,
+        pseudo_kb,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    kb = pseudo_kb(doc_tokens(docs), n_relations=3, keep_mod=5)
+    positions = doc_token_positions(docs)
+    return distant_supervision_spans(positions, kb)
+
+
+ORACLES["distant_supervision_spans"] = ORACLES[
+    "distant_supervision_spans"
+].replace("{ALIGN_CTES}", _align_sql().strip())
+
+
+_TRANSE_DIM = 8
+_TRANSE_MOD = 1000
+_TRANSE_NEG_MOD = 100_000
+
+
+def _transe_emb_sql(kind: str, name_expr: str) -> str:
+    from .datapipe.hashes import h60_sql
+
+    inner = f"'{kind}' || chr(1) || ({name_expr}) || chr(1) || d::varchar"
+    return f"({h60_sql(inner)} % {_TRANSE_MOD})"
+
+
+def _transe_energy_sql(obj_expr: str) -> str:
+    e_s = _transe_emb_sql("e", "s::varchar")
+    e_r = _transe_emb_sql("r", "r")
+    e_o = _transe_emb_sql("e", obj_expr)
+    return (
+        f"list_sum(list_transform(range(0, {_TRANSE_DIM}), d -> "
+        f"abs({e_s} + {e_r} - {e_o})))::BIGINT"
+    )
+
+
+@_register("kg_transe_energy", None)
+def kg_transe_energy_q(spark, sf_dir):
+    """TransE L1 energy + corrupted-object margin over the distinct
+    target graph, with exact-integer hash-embeddings (bit-identical in
+    DuckDB) — the KG-embedding scoring primitive downstream of
+    kg_negative_samples. Entirely row-local Column expressions: zero
+    shuffle beyond the input DISTINCT, full whole-stage codegen."""
+    from .datapipe.graph import transe_energy
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") < _CUT)
+    triples = li.select(
+        F.col("l_orderkey").cast("string").alias("s"),
+        F.col("l_returnflag").alias("r"),
+        F.col("l_partkey").cast("string").alias("o"),
+    ).distinct()
+    out = transe_energy(
+        triples, dim=_TRANSE_DIM, mod=_TRANSE_MOD, neg_mod=_TRANSE_NEG_MOD
+    )
+    return out.select(
+        F.col("s").cast("bigint").alias("s"),
+        "r",
+        F.col("o").cast("bigint").alias("o"),
+        "energy",
+        "energy_neg",
+        "margin",
+    )
+
+
+ORACLES["kg_transe_energy"] = f"""
+WITH te AS (
+  SELECT DISTINCT l_orderkey AS s, l_returnflag AS r, l_partkey AS o
+  FROM lineitem WHERE l_shipdate < TIMESTAMP '{_CUT}'
+),
+te_named AS (
+  SELECT s, r, o,
+         'neg_' || ({{H_NEG}} % {_TRANSE_NEG_MOD})::varchar AS o_neg
+  FROM te
+)
+SELECT s::BIGINT AS s, r, o::BIGINT AS o,
+       {_transe_energy_sql("o::varchar")} AS energy,
+       {_transe_energy_sql("o_neg")} AS energy_neg,
+       ({_transe_energy_sql("o_neg")} - {_transe_energy_sql("o::varchar")})::BIGINT
+         AS margin
+FROM te_named
+"""
+
+
+def _transe_neg_hash_sql() -> str:
+    from .datapipe.hashes import h60_sql
+
+    return h60_sql(
+        "s::varchar || chr(1) || r || chr(1) || o::varchar"
+    )
+
+
+ORACLES["kg_transe_energy"] = ORACLES["kg_transe_energy"].replace(
+    "{H_NEG}", _transe_neg_hash_sql()
+)

@@ -258,3 +258,75 @@ def test_pseudo_kb_deterministic_and_ordered(spark):
     assert kb1 == kb2 and len(kb1) > 0
     for s, r, o in kb1:
         assert s < o and r.startswith("rel_")
+
+
+def test_resolve_entities_transitive_merge(spark):
+    from genie_spark.canonicalize import resolve_entities
+
+    # m1 within dist 1 of BOTH e1 and e2 -> one merged cluster; e3 far.
+    catalog = _df(
+        spark,
+        [(1, "red box"), (2, "red fox"), (3, "green hat")],
+        "id long, name string",
+    )
+    mentions = _df(spark, [(10, "red box")], "mention_id long, mention string")
+    got = {
+        r["node"]: r["component"]
+        for r in resolve_entities(mentions, catalog, max_dist=1).collect()
+    }
+    assert got["M10"] == got["E1"] == got["E2"] == "E1"
+    assert got["E3"] == "E3"  # singleton labels itself
+
+
+def test_doc_token_positions_first_occurrence(spark):
+    from genie_spark.datapipe.align import doc_token_positions
+
+    docs = _df(spark, [(1, "b a  b c")], "doc_id long, text string")
+    got = {
+        r["tok"]: r["pos"] for r in doc_token_positions(docs).collect()
+    }
+    # positions are 1-based over the raw split; the empty slot between
+    # "a" and "b" occupies position 3 but emits no row
+    assert got == {"b": 1, "a": 2, "c": 5}
+
+
+def test_distant_supervision_spans_positions(spark):
+    from genie_spark.datapipe.align import (
+        distant_supervision_spans,
+        doc_token_positions,
+    )
+
+    docs = _df(
+        spark,
+        [(1, "x alpha y beta"), (2, "beta alpha")],
+        "doc_id long, text string",
+    )
+    kb = _df(
+        spark,
+        [("alpha", "rel_0", "beta")],
+        "s_name string, r string, o_name string",
+    )
+    pos = doc_token_positions(docs)
+    got = {
+        r["doc_id"]: (r["s_pos"], r["o_pos"])
+        for r in distant_supervision_spans(pos, kb).collect()
+    }
+    assert got == {1: (2, 4), 2: (2, 1)}
+
+
+def test_transe_energy_deterministic_and_consistent(spark):
+    from genie_spark.datapipe.graph import transe_energy
+
+    triples = _df(
+        spark,
+        [("s1", "r1", "o1"), ("s1", "r1", "o2")],
+        "s string, r string, o string",
+    )
+    rows = transe_energy(triples, dim=4, mod=100).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["margin"] == r["energy_neg"] - r["energy"]
+        assert 0 <= r["energy"] <= 4 * 2 * 100  # L1 bound: dim * max|sum|
+    # identical input -> identical output (pure hash, no randomness)
+    again = transe_energy(triples, dim=4, mod=100).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
