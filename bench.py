@@ -172,6 +172,16 @@ HEADLINE = [
     "kg_negative_samples",
     "kg_relation_profile",
     "kg_rule_confidence",
+    "kg_fuse_vote",
+    "kg_snapshot_diff",
+    "kg_cooccurrence",
+    "kg_transe_energy",
+    "distant_supervision",
+    "distant_supervision_spans",
+    "er_clusters",
+    "kg_evidence",
+    "kg_fuse_weighted",
+    "kg_chain_rules",
 ]
 
 

@@ -695,3 +695,56 @@ def transe_energy(
         energy(o_neg).cast("long").alias("energy_neg"),
         (energy(o_neg) - energy(o)).cast("long").alias("margin"),
     )
+
+
+def chain_rule_confidence(
+    triples: DataFrame,
+    min_support: int = 1,
+    scale: int = 10**6,
+    s_col: str = "s",
+    r_col: str = "r",
+    o_col: str = "o",
+) -> DataFrame:
+    """2-hop Horn-rule (chain-rule) mining — the AMIE shape proper:
+    for relation triples (r1, r2, r_head) the CWA confidence of
+
+        r1(x, z) AND r2(z, y)  =>  r_head(x, y)
+
+    support = #distinct (x, y) pairs where both the body path and the
+    head fact hold; n_body = #distinct (x, y) pairs connected by the
+    body path; confidence = support / n_body in integer ppm. The 1-hop
+    special case lives in :func:`rule_confidence`.
+
+    Scale shape (100 TB of facts): facts dedup once; the body join is
+    keyed on the shared variable z — per-key fan-out is deg_in(z) x
+    deg_out(z), the classic AMIE hub-skew point (salt z or cap hub
+    degrees for web-scale KGs; real miners also prune by head
+    functionality first). The path set dedups to distinct
+    (x, y, r1, r2) before the head join, so the head join moves paths,
+    not path multiplicities; both groupBys partial-aggregate."""
+    facts = triples.select(
+        F.col(s_col).alias("s"), F.col(r_col).alias("r"), F.col(o_col).alias("o")
+    ).distinct()
+    hop1 = facts.select(
+        F.col("s").alias("x"), F.col("o").alias("z"), F.col("r").alias("r1")
+    )
+    hop2 = facts.select(
+        F.col("s").alias("z"), F.col("o").alias("y"), F.col("r").alias("r2")
+    )
+    paths = hop1.join(hop2, "z").select("x", "y", "r1", "r2").distinct()
+    body_n = paths.groupBy("r1", "r2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_body")
+    )
+    heads = facts.select(
+        F.col("s").alias("x"), F.col("o").alias("y"), F.col("r").alias("r_head")
+    )
+    support = (
+        paths.join(heads, ["x", "y"])
+        .groupBy("r1", "r2", "r_head")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    return support.join(F.broadcast(body_n), ["r1", "r2"]).select(
+        "r1", "r2", "r_head", "support", "n_body",
+        F.expr(f"support * {scale}L div n_body").alias("confidence_ppm"),
+    )

@@ -3894,3 +3894,202 @@ def _transe_neg_hash_sql() -> str:
 ORACLES["kg_transe_energy"] = ORACLES["kg_transe_energy"].replace(
     "{H_NEG}", _transe_neg_hash_sql()
 )
+
+
+@_register(
+    "kg_evidence",
+    f"""
+WITH ev AS (
+  SELECT l_orderkey AS s, l_returnflag AS r, l_partkey AS o,
+         l_shipdate AS ts, 'sup_' || l_suppkey AS src
+  FROM lineitem WHERE l_shipdate < TIMESTAMP '{_CUT}'
+)
+SELECT s::BIGINT AS s, r, o::BIGINT AS o,
+       count(*)::BIGINT AS n_assertions,
+       count(DISTINCT src)::BIGINT AS n_sources,
+       epoch(min(ts))::BIGINT AS first_epoch,
+       epoch(max(ts))::BIGINT AS last_epoch,
+       min(src) AS src_sample
+FROM ev GROUP BY s, r, o
+""",
+)
+def kg_evidence_q(spark, sf_dir):
+    """Per-triple evidence/provenance aggregation over the assertion
+    stream: assertion + distinct-source counts, first/last sighting
+    (epoch seconds for cross-engine identity), deterministic sample
+    source — the trust signal a constructed KG publishes next to each
+    fact. ONE partial-aggregatable groupBy; every aggregate map-side
+    combines."""
+    from .canonicalize import triple_evidence
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") < _CUT)
+    assertions = li.select(
+        F.col("l_orderkey").alias("s"),
+        F.col("l_returnflag").alias("r"),
+        F.col("l_partkey").alias("o"),
+        F.col("l_shipdate").alias("ts"),
+        F.concat(F.lit("sup_"), F.col("l_suppkey").cast("string")).alias("src"),
+    )
+    out = triple_evidence(assertions)
+    return out.select(
+        F.col("s").cast("bigint").alias("s"),
+        "r",
+        F.col("o").cast("bigint").alias("o"),
+        "n_assertions",
+        "n_sources",
+        F.unix_timestamp("first_ts").cast("bigint").alias("first_epoch"),
+        F.unix_timestamp("last_ts").cast("bigint").alias("last_epoch"),
+        "src_sample",
+    )
+
+
+@_register(
+    "kg_fuse_weighted",
+    f"""
+WITH fw AS (
+  SELECT l_orderkey AS s, l_returnflag AS r, l_partkey AS o,
+         l_quantity::BIGINT AS w
+  FROM lineitem WHERE l_shipdate < TIMESTAMP '{_CUT}'
+),
+fw_sums AS (
+  SELECT s, r, o, sum(w)::BIGINT AS w_sum FROM fw GROUP BY s, r, o
+),
+fw_w AS (
+  SELECT s, r, max(struct_pack(w_sum := w_sum, o := o)) AS w,
+         sum(w_sum)::BIGINT AS w_total, count(*)::BIGINT AS n_objects
+  FROM fw_sums GROUP BY s, r
+)
+SELECT s::BIGINT AS s, r, w.o::BIGINT AS o_winner, w.w_sum AS w_winner,
+       w_total, n_objects,
+       (w.w_sum * 1000000 // w_total)::BIGINT AS margin_ppm
+FROM fw_w
+""",
+)
+def kg_fuse_weighted_q(spark, sf_dir):
+    """Weight-aware knowledge fusion: per (subject, relation) the
+    object with the greatest total integer weight wins (source-trust
+    voting; weight = l_quantity as the stand-in trust score). Same
+    two-cascade plan as kg_fuse_vote — second shuffle moves one row per
+    distinct object."""
+    from .canonicalize import fuse_weighted
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") < _CUT)
+    assertions = li.select(
+        F.col("l_orderkey").alias("s"),
+        F.col("l_returnflag").alias("r"),
+        F.col("l_partkey").alias("o"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    out = fuse_weighted(assertions)
+    return out.select(
+        F.col("s").cast("bigint").alias("s"),
+        "r",
+        F.col("o_winner").cast("bigint").alias("o_winner"),
+        "w_winner",
+        "w_total",
+        "n_objects",
+        "margin_ppm",
+    )
+
+
+_CHAIN_FACTS_SQL = """
+  cf AS (
+    SELECT 'S' || s_suppkey AS s, 'based_in' AS r, 'N' || s_nationkey AS o
+    FROM supplier
+    UNION ALL
+    SELECT 'N' || n_nationkey, 'part_of', 'R' || n_regionkey FROM nation
+    UNION ALL
+    SELECT 'S' || s.s_suppkey, 'located_in', 'R' || n.n_regionkey
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey % 3 <> 0
+    UNION ALL
+    SELECT 'C' || c_custkey, 'cust_in', 'N' || c_nationkey FROM customer
+    UNION ALL
+    SELECT 'C' || c.c_custkey, 'cust_region', 'R' || n.n_regionkey
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_custkey % 2 = 0
+  )
+"""
+
+
+@_register(
+    "kg_chain_rules",
+    f"""
+WITH {_CHAIN_FACTS_SQL},
+cfd AS (SELECT DISTINCT s, r, o FROM cf),
+paths AS (
+  SELECT DISTINCT a.s AS x, b.o AS y, a.r AS r1, b.r AS r2
+  FROM cfd a JOIN cfd b ON a.o = b.s
+),
+body_n AS (SELECT r1, r2, count(*)::BIGINT AS n_body FROM paths GROUP BY r1, r2),
+sup AS (
+  SELECT p.r1, p.r2, h.r AS r_head, count(*)::BIGINT AS support
+  FROM paths p JOIN cfd h ON p.x = h.s AND p.y = h.o
+  GROUP BY 1, 2, 3
+)
+SELECT s.r1, s.r2, s.r_head, s.support, b.n_body,
+       (s.support * 1000000 // b.n_body)::BIGINT AS confidence_ppm
+FROM sup s JOIN body_n b USING (r1, r2)
+""",
+)
+def kg_chain_rules_q(spark, sf_dir):
+    """AMIE-style 2-hop chain-rule mining over a 5-relation fact set
+    with engineered partial implications: based_in(x,z) ∧ part_of(z,y)
+    ⇒ located_in(x,y) holds for ~2/3 of suppliers, cust_in ∧ part_of ⇒
+    cust_region for ~1/2 of customers — CWA confidence in integer ppm.
+    Body join keyed on the shared variable z (the AMIE hub-skew point,
+    documented in chain_rule_confidence); paths dedup before the head
+    join."""
+    from .datapipe.graph import chain_rule_confidence
+
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+
+    def fact(df, s_expr, r_name, o_expr):
+        return df.select(
+            s_expr.alias("s"), F.lit(r_name).alias("r"), o_expr.alias("o")
+        )
+
+    sn = F.concat(F.lit("S"), F.col("s_suppkey").cast("string"))
+    nn = F.concat(F.lit("N"), F.col("s_nationkey").cast("string"))
+    facts = fact(sup, sn, "based_in", nn)
+    facts = facts.unionByName(
+        fact(
+            nat,
+            F.concat(F.lit("N"), F.col("n_nationkey").cast("string")),
+            "part_of",
+            F.concat(F.lit("R"), F.col("n_regionkey").cast("string")),
+        )
+    )
+    sj = sup.join(nat, sup.s_nationkey == nat.n_nationkey).filter(
+        F.col("s_suppkey") % 3 != 0
+    )
+    facts = facts.unionByName(
+        fact(
+            sj,
+            F.concat(F.lit("S"), F.col("s_suppkey").cast("string")),
+            "located_in",
+            F.concat(F.lit("R"), F.col("n_regionkey").cast("string")),
+        )
+    )
+    facts = facts.unionByName(
+        fact(
+            cust,
+            F.concat(F.lit("C"), F.col("c_custkey").cast("string")),
+            "cust_in",
+            F.concat(F.lit("N"), F.col("c_nationkey").cast("string")),
+        )
+    )
+    cj = cust.join(nat, cust.c_nationkey == nat.n_nationkey).filter(
+        F.col("c_custkey") % 2 == 0
+    )
+    facts = facts.unionByName(
+        fact(
+            cj,
+            F.concat(F.lit("C"), F.col("c_custkey").cast("string")),
+            "cust_region",
+            F.concat(F.lit("R"), F.col("n_regionkey").cast("string")),
+        )
+    )
+    return chain_rule_confidence(facts, min_support=1)

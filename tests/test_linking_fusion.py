@@ -330,3 +330,65 @@ def test_transe_energy_deterministic_and_consistent(spark):
     # identical input -> identical output (pure hash, no randomness)
     again = transe_energy(triples, dim=4, mod=100).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_triple_evidence_aggregates(spark):
+    from genie_spark.canonicalize import triple_evidence
+
+    rows = [
+        ("s1", "r", "o1", 10, "b"),
+        ("s1", "r", "o1", 5, "a"),
+        ("s1", "r", "o1", 20, "a"),
+        ("s2", "r", "o9", 7, "z"),
+    ]
+    out = {
+        (r["s"], r["o"]): r
+        for r in triple_evidence(
+            _df(spark, rows, "s string, r string, o string, ts long, src string")
+        ).collect()
+    }
+    e = out[("s1", "o1")]
+    assert (e["n_assertions"], e["n_sources"]) == (3, 2)
+    assert (e["first_ts"], e["last_ts"], e["src_sample"]) == (5, 20, "a")
+    assert out[("s2", "o9")]["n_assertions"] == 1
+
+
+def test_fuse_weighted_total_weight_wins(spark):
+    from genie_spark.canonicalize import fuse_weighted
+
+    rows = [
+        # o=a: weight 3+3=6; o=b: weight 10 -> b wins despite fewer votes
+        ("s1", "r", "a", 3), ("s1", "r", "a", 3), ("s1", "r", "b", 10),
+        # tie 5-5 -> greater object wins
+        ("s2", "r", "x", 5), ("s2", "r", "y", 5),
+    ]
+    out = {
+        r["s"]: r
+        for r in fuse_weighted(
+            _df(spark, rows, "s string, r string, o string, w long")
+        ).collect()
+    }
+    assert out["s1"]["o_winner"] == "b"
+    assert (out["s1"]["w_winner"], out["s1"]["w_total"]) == (10, 16)
+    assert out["s1"]["margin_ppm"] == 625000
+    assert out["s2"]["o_winner"] == "y" and out["s2"]["margin_ppm"] == 500000
+
+
+def test_chain_rule_confidence_partial_implication(spark):
+    from genie_spark.datapipe.graph import chain_rule_confidence
+
+    # a->b->c paths for x1..x3; head holds for x1, x2 only -> conf 2/3
+    rows = (
+        [(f"x{i}", "r1", "z") for i in (1, 2, 3)]
+        + [("z", "r2", "y")]
+        + [("x1", "rh", "y"), ("x2", "rh", "y")]
+    )
+    out = {
+        (r["r1"], r["r2"], r["r_head"]): r
+        for r in chain_rule_confidence(
+            _df(spark, rows, "s string, r string, o string")
+        ).collect()
+    }
+    got = out[("r1", "r2", "rh")]
+    assert (got["support"], got["n_body"]) == (2, 3)
+    assert got["confidence_ppm"] == 666666

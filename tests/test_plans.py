@@ -362,3 +362,100 @@ def test_negative_samples_broadcasts_entity_index(spark):
     assert "BroadcastHashJoin" in tree
     assert "CartesianProduct" not in tree
     assert tree.count("Window") == 1  # the dim-table rank only
+
+
+def test_fuse_vote_two_cascaded_aggs_no_join(spark):
+    """Vote fusion is exactly two keyed aggregations — the second
+    shuffles one row per distinct object, never the fact table; no
+    join, no window anywhere."""
+    from genie_spark.canonicalize import fuse_vote
+
+    li = _t(spark, "lineitem")
+    df = fuse_vote(
+        li.select(
+            F.col("l_orderkey").alias("s"),
+            F.col("l_returnflag").alias("r"),
+            F.col("l_partkey").alias("o"),
+        )
+    )
+    tree = _tree(df)
+    assert "Join" not in tree and "Window" not in tree
+    assert tree.count("Exchange") <= 2
+
+
+def test_triple_evidence_single_partial_agg(spark):
+    """Evidence aggregation is ONE keyed agg; the countDistinct expand
+    adds at most one extra exchange; no join."""
+    from genie_spark.canonicalize import triple_evidence
+
+    li = _t(spark, "lineitem")
+    df = triple_evidence(
+        li.select(
+            F.col("l_orderkey").alias("s"),
+            F.col("l_returnflag").alias("r"),
+            F.col("l_partkey").alias("o"),
+            F.col("l_shipdate").alias("ts"),
+            F.col("l_suppkey").cast("string").alias("src"),
+        )
+    )
+    tree = _tree(df)
+    assert "Join" not in tree and "Window" not in tree
+    assert tree.count("Exchange") <= 2
+
+
+def test_transe_energy_row_local(spark):
+    """TransE scoring is entirely row-local Column math: zero Exchange
+    beyond the input (no distinct here), zero UDF (BatchEvalPython),
+    zero join."""
+    from genie_spark.datapipe.graph import transe_energy
+
+    li = _t(spark, "lineitem")
+    triples = li.select(
+        F.col("l_orderkey").cast("string").alias("s"),
+        F.col("l_returnflag").alias("r"),
+        F.col("l_partkey").cast("string").alias("o"),
+    )
+    tree = _tree(transe_energy(triples, dim=4))
+    assert "Exchange" not in tree
+    assert "Join" not in tree
+    assert "BatchEvalPython" not in tree and "ArrowEvalPython" not in tree
+
+
+def test_distant_supervision_broadcasts_kb_no_cartesian(spark):
+    """Alignment with a table KB (the production shape): the KB join
+    broadcasts (the corpus side never shuffles for it), and there is no
+    cartesian / nested-loop anywhere — the corpus is never crossed with
+    the KB."""
+    from genie_spark.datapipe.align import distant_supervision, doc_tokens
+
+    docs = _t(spark, "documents")
+    tokens = doc_tokens(docs)
+    kb = spark.createDataFrame(
+        [("alpha", "rel_0", "beta")], "s_name string, r string, o_name string"
+    )
+    tree = _tree(distant_supervision(tokens, kb))
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "BroadcastHashJoin" in tree  # the KB side
+
+
+def test_er_edges_blocked_not_all_pairs(spark):
+    """Entity resolution's candidate stage must contain no cartesian
+    product and no broadcast-nested-loop over the catalog."""
+    from genie_spark.canonicalize import resolve_entities
+
+    part = _t(spark, "part")
+    catalog = part.select(
+        F.col("p_partkey").alias("id"), F.lower("p_name").alias("name")
+    )
+    mentions = part.filter(F.col("p_partkey") % 7 == 0).select(
+        F.col("p_partkey").alias("mention_id"),
+        F.regexp_replace(F.lower("p_name"), "a", "").alias("mention"),
+    )
+    # plan-shape check on the EDGE subtree (components iterate eagerly,
+    # so assert on the candidate stage, not the full closure)
+    from genie_spark.canonicalize import fuzzy_candidates
+
+    tree = _tree(fuzzy_candidates(mentions, catalog))
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
