@@ -249,3 +249,52 @@ def entity_cooccurrence(tokens: DataFrame, n_docs_df: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def sentence_tokens(
+    sents: DataFrame,
+    doc_col: str = "doc_id",
+    sent_col: str = "sent_idx",
+    text_col: str = "input",
+) -> DataFrame:
+    """Distinct (doc_id, sent_idx, tok) mention table over sentence
+    rows (extract.sentences_df output) — the sentence-grain sibling of
+    :func:`doc_tokens`. Trailing/embedded periods strip from tokens
+    (sentence splitting leaves them on the final token) so mentions
+    keep matching catalog names."""
+    return (
+        sents.select(
+            F.col(doc_col).alias("doc_id"),
+            F.col(sent_col).alias("sent_idx"),
+            F.explode(F.split(F.lower(F.col(text_col)), _SPLIT)).alias("tok0"),
+        )
+        .select(
+            "doc_id",
+            "sent_idx",
+            F.translate(F.col("tok0"), ".", "").alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+
+
+def distant_supervision_sentences(
+    stoks: DataFrame, kb: DataFrame, broadcast_kb: bool = True
+) -> DataFrame:
+    """Sentence-bounded distant supervision — the actual REBEL
+    construction semantics: a KB triple is supported only where BOTH
+    endpoint entities appear in the SAME sentence (doc-level
+    co-occurrence is far noisier; Riedel et al. 2010's at-least-one
+    assumption operates at this grain). Same two-join inverted-index
+    shape as the doc-level form, keyed on (doc, sentence); aggregates
+    to per-triple sentence and document support counts."""
+    kb_side = F.broadcast(kb) if broadcast_kb else kb
+    subj = stoks.join(kb_side, stoks.tok == kb.s_name).select(
+        "doc_id", "sent_idx", "s_name", "r", "o_name"
+    )
+    obj = stoks.select("doc_id", "sent_idx", F.col("tok").alias("o_name"))
+    hits = subj.join(obj, ["doc_id", "sent_idx", "o_name"]).distinct()
+    return hits.groupBy("s_name", "r", "o_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sent_support"),
+        F.countDistinct("doc_id").cast("long").alias("n_doc_support"),
+    )

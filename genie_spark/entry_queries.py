@@ -4093,3 +4093,85 @@ def kg_chain_rules_q(spark, sf_dir):
         )
     )
     return chain_rule_confidence(facts, min_support=1)
+
+
+@_register(
+    "distant_supervision_sentences",
+    f"""
+WITH {{ALIGN_CTES}},
+sd_seed AS (
+  SELECT doc_id, replace(text, ' the ', '. the ') AS text FROM documents
+),
+sd_paras AS (
+  SELECT doc_id, p, pidx
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS p,
+               generate_subscripts(string_split(text, chr(10)), 1) AS pidx
+        FROM sd_seed)
+  WHERE length(p) > 0
+),
+sd_sents AS (
+  SELECT doc_id, pidx, s, sidx
+  FROM (SELECT doc_id, pidx,
+               unnest(string_split(replace(p, '. ', '.' || chr(1)), chr(1))) AS s,
+               generate_subscripts(string_split(replace(p, '. ', '.' || chr(1)), chr(1)), 1) AS sidx
+        FROM sd_paras)
+  WHERE trim(s) <> ''
+),
+sd_ordered AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pidx, sidx) - 1 AS sent_idx,
+         regexp_replace(s || ' ', '\\s{{2,}}', ' ', 'g') AS sent
+  FROM sd_sents
+),
+sd_tok AS (
+  SELECT DISTINCT doc_id, sent_idx, replace(tok0, '.', '') AS tok FROM (
+    SELECT doc_id, sent_idx,
+           unnest(string_split(lower(sent), ' ')) AS tok0
+    FROM sd_ordered
+  ) WHERE replace(tok0, '.', '') <> ''
+),
+sd_subj AS (
+  SELECT t.doc_id, t.sent_idx, k.s_name, k.r, k.o_name
+  FROM sd_tok t JOIN al_kb k ON t.tok = k.s_name
+),
+sd_hits AS (
+  SELECT DISTINCT h.doc_id, h.sent_idx, h.s_name, h.r, h.o_name
+  FROM sd_subj h
+  JOIN sd_tok t2 ON h.doc_id = t2.doc_id AND h.sent_idx = t2.sent_idx
+             AND h.o_name = t2.tok
+)
+SELECT s_name, r, o_name,
+       count(*)::BIGINT AS n_sent_support,
+       count(DISTINCT doc_id)::BIGINT AS n_doc_support
+FROM sd_hits GROUP BY 1, 2, 3
+""",
+)
+def distant_supervision_sentences_q(spark, sf_dir):
+    """Sentence-bounded distant supervision — the REBEL construction
+    grain: a KB triple counts as supported only where both endpoints
+    share a SENTENCE (Riedel et al. 2010 at-least-one semantics).
+    Composes the byte-identical sentence splitter (extract.sentences_df,
+    with the seeded '. the ' boundary the sentence_split oracle uses)
+    with the alignment tier's inverted-index joins; aggregates to
+    per-triple sentence + document support."""
+    from .datapipe.align import (
+        distant_supervision_sentences,
+        doc_tokens,
+        pseudo_kb,
+        sentence_tokens,
+    )
+    from .extract import sentences_df
+
+    docs = _t(spark, sf_dir, "documents")
+    kb = pseudo_kb(doc_tokens(docs), n_relations=3, keep_mod=5)
+    seeded = docs.select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" the "), F.lit(". the ")).alias("text"),
+    )
+    stoks = sentence_tokens(sentences_df(seeded))
+    return distant_supervision_sentences(stoks, kb)
+
+
+ORACLES["distant_supervision_sentences"] = ORACLES[
+    "distant_supervision_sentences"
+].replace("{ALIGN_CTES}", _align_sql().strip())

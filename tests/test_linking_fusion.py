@@ -392,3 +392,42 @@ def test_chain_rule_confidence_partial_implication(spark):
     got = out[("r1", "r2", "rh")]
     assert (got["support"], got["n_body"]) == (2, 3)
     assert got["confidence_ppm"] == 666666
+
+
+def test_sentence_bounded_ds_vs_doc_level(spark):
+    from genie_spark.datapipe.align import (
+        distant_supervision_sentences,
+        sentence_tokens,
+    )
+    from genie_spark.extract import sentences_df
+
+    # alpha+beta share a sentence in doc 1; in doc 2 they only share the
+    # document -> sentence-level support counts doc 1 alone
+    docs = _df(
+        spark,
+        [(1, "alpha beta here. other stuff. "),
+         (2, "alpha here. beta there. ")],
+        "doc_id long, text string",
+    )
+    kb = _df(
+        spark,
+        [("alpha", "rel_0", "beta")],
+        "s_name string, r string, o_name string",
+    )
+    stoks = sentence_tokens(sentences_df(docs))
+    out = distant_supervision_sentences(stoks, kb).collect()
+    assert len(out) == 1
+    assert (out[0]["n_sent_support"], out[0]["n_doc_support"]) == (1, 1)
+
+
+def test_sentence_tokens_strip_periods(spark):
+    from genie_spark.datapipe.align import sentence_tokens
+    from genie_spark.extract import sentences_df
+
+    docs = _df(spark, [(1, "end. next one. ")], "doc_id long, text string")
+    toks = {
+        (r["sent_idx"], r["tok"])
+        for r in sentence_tokens(sentences_df(docs)).collect()
+    }
+    assert (0, "end") in toks and (1, "next") in toks and (1, "one") in toks
+    assert not any(t.endswith(".") for _, t in toks)
