@@ -517,3 +517,55 @@ def stream_fuse_latest(
         q.awaitTermination()
         return q
     return writer.trigger(processingTime=trigger_interval).start()
+
+
+def stream_distant_supervision(
+    spark: SparkSession,
+    input_dir: str,
+    kb: "DataFrame",
+    output_dir: str,
+    available_now: bool = True,
+    trigger_interval: str = "500 milliseconds",
+):
+    """Streaming distant-supervision alignment: the continuous-crawl
+    form of :func:`genie_spark.datapipe.align.distant_supervision`.
+    Each micro-batch of documents aligns against the (static, broadcast)
+    KB and appends one row per (doc_id, s_name, r, o_name) where the
+    document mentions both endpoints — the incremental training-example
+    feed for a continuously-retrained extractor.
+
+    ENTIRELY STATELESS, which is what makes it streamable: the batch
+    operator's second mention join (object side) would be a
+    stream-stream self-join Structured Streaming forbids; instead the
+    per-document distinct token ARRAY rides along the subject explode
+    and the object check is a row-local ``array_contains`` — the same
+    trick as curation.decontaminated_stream. Per-batch cost is
+    O(tokens x matching KB subjects); the alignment semantics are
+    identical to the batch operator per document (asserted in tests),
+    so the union of all batches equals the batch run over the union of
+    inputs — alignment is per-document, no cross-document state."""
+    docs = spark.readStream.schema(DOC_STREAM_SCHEMA).parquet(input_dir)
+    toks = F.array_distinct(
+        F.filter(
+            F.split(F.lower(F.col("text")), " "), lambda t: t != F.lit("")
+        )
+    )
+    exploded = docs.select(
+        "doc_id", toks.alias("_toks")
+    ).select("doc_id", "_toks", F.explode("_toks").alias("tok"))
+    hits = (
+        exploded.join(F.broadcast(kb), exploded.tok == kb.s_name)
+        .filter(F.array_contains(F.col("_toks"), F.col("o_name")))
+        .select("doc_id", "s_name", "r", "o_name")
+    )
+    writer = (
+        hits.writeStream.format("parquet")
+        .option("path", os.path.join(output_dir, "data"))
+        .option("checkpointLocation", os.path.join(output_dir, "_checkpoint"))
+        .outputMode("append")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.trigger(processingTime=trigger_interval).start()

@@ -372,3 +372,47 @@ def test_stream_fuse_latest_matches_batch(spark, tmp_path):
         assert got["latest_ts_ms"] == int(
             w["latest_ts"].replace(tzinfo=datetime.timezone.utc).timestamp() * 1000
         ), k
+
+
+def test_stream_distant_supervision_matches_batch(spark, tmp_path):
+    """Streaming alignment over two document arrivals must equal the
+    batch distant_supervision of the full corpus (alignment is
+    per-document; union of batches == batch of union), and the second
+    availableNow run must align only the new files."""
+    from genie_spark.datapipe.align import distant_supervision, doc_tokens
+    from genie_spark.streaming import stream_distant_supervision
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    schema = "doc_id long, text string"
+    kb = spark.createDataFrame(
+        [("alpha", "rel_0", "beta"), ("gamma", "rel_1", "alpha")],
+        "s_name string, r string, o_name string",
+    )
+    batch1 = [(1, "alpha beta x"), (2, "alpha only")]
+    batch2 = [(3, "gamma alpha beta"), (4, "beta gamma")]
+
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    stream_distant_supervision(spark, in_dir, kb, out_dir, available_now=True)
+    first = spark.read.parquet(out_dir + "/data").count()
+
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    stream_distant_supervision(spark, in_dir, kb, out_dir, available_now=True)
+
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(out_dir + "/data")
+        .select("doc_id", "s_name", "r", "o_name")
+        .collect()
+    }
+    full = spark.createDataFrame(batch1 + batch2, schema)
+    want = {
+        tuple(r)
+        for r in distant_supervision(doc_tokens(full), kb).collect()
+    }
+    assert got == want
+    assert first < len(got)  # second run appended only the new docs
