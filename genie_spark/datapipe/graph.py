@@ -653,16 +653,6 @@ def transe_energy(
     join (ann tier); the energy expression is unchanged."""
     from .hashes import h60
 
-    def emb(kind: str, name, d):
-        return h60(
-            F.concat(
-                F.lit(kind + "\x01"),
-                name.cast("string"),
-                F.lit("\x01"),
-                d.cast("string"),
-            )
-        ) % mod
-
     s, r, o = F.col(s_col), F.col(r_col), F.col(o_col)
     o_neg = F.concat(
         F.lit("neg_"),
@@ -677,15 +667,9 @@ def transe_energy(
             % neg_mod
         ).cast("string"),
     )
-    dims = F.sequence(F.lit(0), F.lit(dim - 1))
 
     def energy(obj):
-        return F.aggregate(
-            dims,
-            F.lit(0).cast("long"),
-            lambda acc, d: acc
-            + F.abs(emb("e", s, d) + emb("r", r, d) - emb("e", obj, d)),
-        )
+        return transe_energy_col(s, r, obj, dim=dim, mod=mod)
 
     return triples.select(
         s.alias("s"),
@@ -694,6 +678,150 @@ def transe_energy(
         energy(o).cast("long").alias("energy"),
         energy(o_neg).cast("long").alias("energy_neg"),
         (energy(o_neg) - energy(o)).cast("long").alias("margin"),
+    )
+
+
+def transe_energy_col(s, r, obj, dim: int = 8, mod: int = 1000):
+    """The TransE L1 energy as a reusable row-local Column expression
+    over exact-integer hash embeddings (see :func:`transe_energy` for
+    the construction). ``s``/``r``/``obj`` are Columns; entities and
+    relations hash in disjoint kind-salted spaces."""
+    from .hashes import h60
+
+    def emb(kind: str, name, d):
+        return h60(
+            F.concat(
+                F.lit(kind + "\x01"),
+                name.cast("string"),
+                F.lit("\x01"),
+                d.cast("string"),
+            )
+        ) % mod
+
+    dims = F.sequence(F.lit(0), F.lit(dim - 1))
+    return F.aggregate(
+        dims,
+        F.lit(0).cast("long"),
+        lambda acc, d: acc
+        + F.abs(emb("e", s, d) + emb("r", r, d) - emb("e", obj, d)),
+    )
+
+
+def link_prediction_ranks(
+    triples: DataFrame,
+    dim: int = 8,
+    mod: int = 1000,
+    test_mod: int = 200,
+    s_col: str = "s",
+    r_col: str = "r",
+    o_col: str = "o",
+) -> DataFrame:
+    """Filtered link-prediction ranking (the Bordes et al. 2013 eval
+    protocol in the 'filtered' setting of Sun et al. 2019): for each
+    test triple (s, r, o), the rank of the true object among ALL
+    candidate objects e, ordered by (energy(s, r, e), e) ascending —
+    the entity-id tiebreak makes the rank deterministic, so the DuckDB
+    oracle reproduces it exactly. Known positives (s, r, e) ∈ KG with
+    e ≠ o do not count against the truth (filtered).
+
+    The test cut is hash-drawn (h60(s,r,o) % test_mod == 0 —
+    rerun/partition-stable, the split_thresholds discipline); real
+    protocols likewise rank a held-out split, never the full fact set.
+
+    Scale shape (100 TB of facts): the candidate universe is the
+    distinct object slot — dimension-sized, BROADCAST to the test
+    rows; energies are row-local Column math, and the beat-count
+    groupBy partial-aggregates map-side, so the shuffle carries one
+    row per test triple per task, never the |test|×|E| candidate set.
+    The filtered correction NEVER anti-joins the candidate product:
+    it joins test to the fact table on (s, r) — fan-out is the
+    per-pair object multiplicity — and subtracts the known positives
+    that beat the truth. Two fact-bounded shuffles total."""
+    from pyspark.sql.functions import broadcast
+
+    from .hashes import h60
+
+    pos = triples.select(
+        F.col(s_col).cast("string").alias("s"),
+        F.col(r_col).cast("string").alias("r"),
+        F.col(o_col).cast("string").alias("o"),
+    ).distinct()
+    tkey = F.concat_ws("\x01", F.col("s"), F.col("r"), F.col("o"))
+    test = pos.filter(h60(tkey) % test_mod == 0).withColumn(
+        "_e_true", transe_energy_col(F.col("s"), F.col("r"), F.col("o"),
+                                     dim=dim, mod=mod).cast("long")
+    )
+    ents = pos.select(F.col("o").alias("e")).distinct()
+
+    def beats(obj_col):
+        e_cand = transe_energy_col(
+            F.col("s"), F.col("r"), obj_col, dim=dim, mod=mod
+        ).cast("long")
+        hit = (e_cand < F.col("_e_true")) | (
+            (e_cand == F.col("_e_true")) & (obj_col < F.col("o"))
+        )
+        return F.when(hit, F.lit(1)).otherwise(F.lit(0)).cast("long")
+
+    n_all = (
+        test.crossJoin(broadcast(ents))
+        .filter(F.col("e") != F.col("o"))
+        .groupBy("s", "r", "o")
+        .agg(F.sum(beats(F.col("e"))).alias("_n_all"))
+    )
+    known = (
+        test.join(
+            pos.select("s", "r", F.col("o").alias("_o_known")), ["s", "r"]
+        )
+        .filter(F.col("_o_known") != F.col("o"))
+        .groupBy("s", "r", "o")
+        .agg(F.sum(beats(F.col("_o_known"))).alias("_n_known"))
+    )
+    return (
+        test.select("s", "r", "o")
+        .join(n_all, ["s", "r", "o"], "left")
+        .join(known, ["s", "r", "o"], "left")
+        .select(
+            "s", "r", "o",
+            (
+                F.lit(1).cast("long")
+                + F.coalesce(F.col("_n_all"), F.lit(0))
+                - F.coalesce(F.col("_n_known"), F.lit(0))
+            ).cast("long").alias("rank"),
+        )
+    )
+
+
+def link_prediction(
+    triples: DataFrame,
+    dim: int = 8,
+    mod: int = 1000,
+    test_mod: int = 200,
+    ks=(1, 3, 10),
+    s_col: str = "s",
+    r_col: str = "r",
+    o_col: str = "o",
+) -> DataFrame:
+    """Per-relation link-prediction metrics over
+    :func:`link_prediction_ranks`: test count, MRR and Hits@k in
+    integer ppm (floor arithmetic — engine-exact), and the raw rank
+    sum. One partial-aggregatable groupBy on relation."""
+    ranks = link_prediction_ranks(
+        triples, dim=dim, mod=mod, test_mod=test_mod,
+        s_col=s_col, r_col=r_col, o_col=o_col,
+    )
+    hits = [
+        F.expr(f"(1000000L * sum(if(rank <= {int(k)}, 1L, 0L))) div count(1)")
+        .cast("long")
+        .alias(f"hits{int(k)}_ppm")
+        for k in ks
+    ]
+    return ranks.groupBy("r").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.expr("sum(1000000L div rank) div count(1)")
+        .cast("long")
+        .alias("mrr_ppm"),
+        *hits,
+        F.sum("rank").cast("long").alias("sum_rank"),
     )
 
 

@@ -3826,9 +3826,11 @@ def _transe_emb_sql(kind: str, name_expr: str) -> str:
     return f"({h60_sql(inner)} % {_TRANSE_MOD})"
 
 
-def _transe_energy_sql(obj_expr: str) -> str:
-    e_s = _transe_emb_sql("e", "s::varchar")
-    e_r = _transe_emb_sql("r", "r")
+def _transe_energy_sql(
+    obj_expr: str, s_expr: str = "s::varchar", r_expr: str = "r"
+) -> str:
+    e_s = _transe_emb_sql("e", s_expr)
+    e_r = _transe_emb_sql("r", r_expr)
     e_o = _transe_emb_sql("e", obj_expr)
     return (
         f"list_sum(list_transform(range(0, {_TRANSE_DIM}), d -> "
@@ -3894,6 +3896,180 @@ def _transe_neg_hash_sql() -> str:
 ORACLES["kg_transe_energy"] = ORACLES["kg_transe_energy"].replace(
     "{H_NEG}", _transe_neg_hash_sql()
 )
+
+
+_LP_TEST_MOD = 200
+
+
+def _lp_oracle_sql() -> str:
+    from .datapipe.hashes import h60_sql
+
+    def E(s_expr, r_expr, obj_expr):
+        return _transe_energy_sql(obj_expr, s_expr=s_expr, r_expr=r_expr)
+
+    def beat(s_expr, r_expr, obj_expr):
+        e = E(s_expr, r_expr, obj_expr)
+        return (
+            f"CASE WHEN ({e} < t.e_true) OR ({e} = t.e_true AND"
+            f" {obj_expr} < t.o) THEN 1 ELSE 0 END"
+        )
+
+    tkey = h60_sql("s || chr(1) || r || chr(1) || o")
+    return f"""
+WITH lp_te AS (
+  SELECT DISTINCT l_orderkey::varchar AS s, l_returnflag AS r,
+         l_partkey::varchar AS o
+  FROM lineitem WHERE l_shipdate < TIMESTAMP '{_CUT}'
+),
+lp_test AS (
+  SELECT s, r, o, {_transe_energy_sql("o", s_expr="s")}::BIGINT AS e_true
+  FROM lp_te
+  WHERE {tkey} % {_LP_TEST_MOD} = 0
+),
+lp_ents AS (SELECT DISTINCT o AS e FROM lp_te),
+lp_all AS (
+  SELECT t.s, t.r, t.o, sum({beat("t.s", "t.r", "c.e")})::BIGINT AS n_all
+  FROM lp_test t CROSS JOIN lp_ents c
+  WHERE c.e <> t.o
+  GROUP BY t.s, t.r, t.o
+),
+lp_known AS (
+  SELECT t.s, t.r, t.o, sum({beat("t.s", "t.r", "p.o")})::BIGINT AS n_known
+  FROM lp_test t JOIN lp_te p ON p.s = t.s AND p.r = t.r AND p.o <> t.o
+  GROUP BY t.s, t.r, t.o
+),
+lp_ranks AS (
+  SELECT t.r,
+         (1 + coalesce(a.n_all, 0) - coalesce(k.n_known, 0))::BIGINT AS rnk
+  FROM lp_test t
+  LEFT JOIN lp_all a ON a.s = t.s AND a.r = t.r AND a.o = t.o
+  LEFT JOIN lp_known k ON k.s = t.s AND k.r = t.r AND k.o = t.o
+)
+SELECT r, count(*)::BIGINT AS n_test,
+       (sum(1000000 // rnk) // count(*))::BIGINT AS mrr_ppm,
+       (1000000 * sum(CASE WHEN rnk <= 1 THEN 1 ELSE 0 END)
+          // count(*))::BIGINT AS hits1_ppm,
+       (1000000 * sum(CASE WHEN rnk <= 3 THEN 1 ELSE 0 END)
+          // count(*))::BIGINT AS hits3_ppm,
+       (1000000 * sum(CASE WHEN rnk <= 10 THEN 1 ELSE 0 END)
+          // count(*))::BIGINT AS hits10_ppm,
+       sum(rnk)::BIGINT AS sum_rank
+FROM lp_ranks GROUP BY r
+"""
+
+
+@_register("kg_link_prediction", None)
+def kg_link_prediction_q(spark, sf_dir):
+    """Filtered link-prediction evaluation (Bordes et al. 2013 ranking
+    protocol, filtered setting of Sun et al. 2019) over the target
+    graph with exact-integer hash embeddings: per-relation MRR and
+    Hits@{{1,3,10}} in integer ppm, deterministic (energy, entity-id)
+    tiebreak. Completes the KG-embedding chain kg_negative_samples →
+    kg_transe_energy → eval. Scale shape: candidate universe broadcast,
+    beat counts partial-aggregate map-side (the shuffle never carries
+    the |test|×|E| product), filtered correction via a fact-bounded
+    (s, r) join — no anti-join over the candidate cross product."""
+    from .datapipe.graph import link_prediction
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") < _CUT)
+    triples = li.select(
+        F.col("l_orderkey").cast("string").alias("s"),
+        F.col("l_returnflag").alias("r"),
+        F.col("l_partkey").cast("string").alias("o"),
+    )
+    return link_prediction(
+        triples, dim=_TRANSE_DIM, mod=_TRANSE_MOD, test_mod=_LP_TEST_MOD
+    )
+
+
+ORACLES["kg_link_prediction"] = _lp_oracle_sql()
+
+
+@_register(
+    "calibration_bins",
+    f"""
+WITH cb_pred AS (
+  SELECT l_orderkey AS id, l_returnflag AS r, l_partkey AS o,
+         max(l_quantity::INTEGER) AS qty
+  FROM lineitem WHERE l_quantity > {_QTY} GROUP BY 1, 2, 3
+),
+cb_trg AS (
+  SELECT DISTINCT l_orderkey AS id, l_returnflag AS r, l_partkey AS o
+  FROM lineitem WHERE l_shipdate < TIMESTAMP '{_CUT}'
+),
+cb_s AS (
+  SELECT p.id,
+         count(*)::BIGINT AS n_pred,
+         sum(CASE WHEN t.id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_correct,
+         (sum(least(p.qty - {_QTY}, {_QTY})) * 1000000
+            // (count(*) * {_QTY}))::BIGINT AS conf_ppm
+  FROM cb_pred p
+  LEFT JOIN cb_trg t ON t.id = p.id AND t.r = p.r AND t.o = p.o
+  GROUP BY p.id
+),
+cb_b AS (
+  SELECT least(9, conf_ppm // 100000)::BIGINT AS bin, conf_ppm,
+         (1000000 * n_correct // n_pred)::BIGINT AS acc_ppm
+  FROM cb_s
+)
+SELECT bin, count(*)::BIGINT AS n_samples,
+       (sum(conf_ppm) // count(*))::BIGINT AS mean_conf_ppm,
+       (sum(acc_ppm) // count(*))::BIGINT AS mean_acc_ppm,
+       abs((sum(conf_ppm) // count(*))
+           - (sum(acc_ppm) // count(*)))::BIGINT AS gap_ppm
+FROM cb_b GROUP BY bin
+""",
+)
+def calibration_bins_q(spark, sf_dir):
+    """Extraction-confidence calibration: per-sample confidence (how far
+    predicted items clear the decision threshold, integer ppm) vs
+    per-sample precision, binned into a 10-bin reliability diagram
+    (Guo et al. 2017) — the evaluation-side counterpart of
+    extraction_confidence. All floor-integer arithmetic; one row-local
+    pass to per-sample stats, one counter-sized groupBy to bins."""
+    from .metrics import calibration_bins
+
+    li = _t(spark, sf_dir, "lineitem")
+    pred = (
+        li.filter(F.col("l_quantity") > _QTY)
+        .groupBy(
+            F.col("l_orderkey").alias("id"),
+            F.col("l_returnflag").alias("r"),
+            F.col("l_partkey").alias("o"),
+        )
+        .agg(F.max(F.col("l_quantity").cast("int")).alias("qty"))
+    )
+    trg = (
+        li.filter(F.col("l_shipdate") < _CUT)
+        .select(
+            F.col("l_orderkey").alias("id"),
+            F.col("l_returnflag").alias("r"),
+            F.col("l_partkey").alias("o"),
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1).cast("long"))
+    )
+    per_sample = (
+        pred.join(trg, ["id", "r", "o"], "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pred"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0).cast("long")))
+            .cast("long")
+            .alias("n_correct"),
+            F.expr(
+                f"sum(least(qty - {_QTY}, {_QTY})) * 1000000L"
+                f" div (count(1) * {_QTY}L)"
+            ).cast("long").alias("conf_ppm"),
+        )
+        .select(
+            "conf_ppm",
+            F.expr("1000000L * n_correct div n_pred")
+            .cast("long")
+            .alias("acc_ppm"),
+        )
+    )
+    return calibration_bins(per_sample, bins=10)
 
 
 @_register(

@@ -224,3 +224,75 @@ def test_common_neighbors_bipartite_sides(spark):
     }
     # deg(o1)=deg(o2)=2 -> jaccard 2/2
     assert out == {("o1", "o2"): (2, 10**6)}
+
+
+def _h60_py(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_link_prediction_ranks_match_bruteforce(spark):
+    """Filtered link-prediction ranks (graph.link_prediction_ranks) must
+    equal a pure-Python brute-force of the protocol: rank of the true
+    object among all candidates ordered by (energy, entity id), known
+    positives excluded (filtered setting, Sun et al. 2019)."""
+    from genie_spark.datapipe.graph import link_prediction_ranks
+
+    triples = [
+        ("a", "r1", "x"), ("a", "r1", "y"), ("b", "r1", "x"),
+        ("b", "r2", "z"), ("c", "r2", "y"), ("c", "r1", "z"),
+        ("d", "r2", "x"), ("d", "r1", "w"),
+    ]
+    dim, mod = 4, 50
+
+    def energy(s, r, o):
+        def emb(kind, name, d):
+            return _h60_py(f"{kind}\x01{name}\x01{d}") % mod
+
+        return sum(
+            abs(emb("e", s, d) + emb("r", r, d) - emb("e", o, d))
+            for d in range(dim)
+        )
+
+    pos = set(triples)
+    ents = sorted({o for _, _, o in triples})
+    # test_mod=1 -> every positive is a test triple
+    expected = {}
+    for s, r, o in pos:
+        e_true = energy(s, r, o)
+        rank = 1
+        for e in ents:
+            if e == o or (s, r, e) in pos:
+                continue
+            ec = energy(s, r, e)
+            if (ec, e) < (e_true, o):
+                rank += 1
+        expected[(s, r, o)] = rank
+
+    df = spark.createDataFrame(triples, ["s", "r", "o"])
+    got = {
+        (row["s"], row["r"], row["o"]): row["rank"]
+        for row in link_prediction_ranks(
+            df, dim=dim, mod=mod, test_mod=1
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_link_prediction_metrics_shape(spark):
+    """Per-relation rollup: hits@k monotone in k, MRR bounded by 1e6,
+    and n_test sums to the hash-drawn test-cut size."""
+    from genie_spark.datapipe.graph import link_prediction
+
+    triples = [
+        (f"s{i}", f"r{i % 2}", f"o{i % 5}") for i in range(40)
+    ]
+    df = spark.createDataFrame(triples, ["s", "r", "o"])
+    rows = link_prediction(df, dim=4, mod=50, test_mod=1).collect()
+    assert {r["r"] for r in rows} == {"r0", "r1"}
+    for r in rows:
+        assert 0 < r["mrr_ppm"] <= 10**6
+        assert r["hits1_ppm"] <= r["hits3_ppm"] <= r["hits10_ppm"] <= 10**6
+        assert r["sum_rank"] >= r["n_test"]
+    assert sum(r["n_test"] for r in rows) == len(set(triples))
