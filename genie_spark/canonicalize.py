@@ -683,3 +683,54 @@ def fuse_weighted(
             F.expr("_w.w_sum * 1000000L div w_total").alias("margin_ppm"),
         )
     )
+
+
+def link_prior(
+    catalog: DataFrame,
+    support: DataFrame,
+    name_col: str = "name",
+    id_col: str = "id",
+    support_col: str = "support",
+) -> DataFrame:
+    """Commonness-prior entity disambiguation — the popularity baseline
+    of entity linking (the P(entity|mention) prior of Wikipedia-anchor
+    linkers): for every surface form the candidate with the highest KG
+    support wins; ties break to the lowest id (deterministic, so the
+    DuckDB oracle is exact). The reference's pipeline (J6,
+    utils.py:39-60) DROPS ambiguous names from the catalog; this
+    resolves them instead when a prior is acceptable, returning one row
+    per surface form with its candidate count, the winning entity and
+    the winner's support.
+
+    Scale shape (100 TB of facts): ``support`` is a fact-side groupBy
+    computed upstream (dimension-sized output); here the catalog joins
+    it (dimension × dimension) and ONE min(struct(-support, id))
+    groupBy on the surface form decides every winner — partial-agg
+    map-side, no window over facts, no collect."""
+    cand = catalog.select(
+        F.col(name_col).alias("name"), F.col(id_col).cast("long").alias("id")
+    ).join(
+        support.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(support_col).cast("long").alias("support"),
+        ),
+        "id",
+        "left",
+    )
+    neg = F.lit(0).cast("long") - F.coalesce(
+        F.col("support"), F.lit(0).cast("long")
+    )
+    key = F.struct(neg.alias("ns"), F.col("id").alias("id"))
+    return (
+        cand.groupBy("name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.min(key).alias("_w"),
+        )
+        .select(
+            "name",
+            "n_candidates",
+            F.col("_w.id").alias("entity_id"),
+            (F.lit(0).cast("long") - F.col("_w.ns")).alias("support"),
+        )
+    )

@@ -4073,6 +4073,57 @@ def calibration_bins_q(spark, sf_dir):
 
 
 @_register(
+    "link_prior",
+    f"""
+WITH lpr_cat AS (
+  SELECT p_partkey AS id,
+         array_to_string((string_split(p_name, ' '))[1:2], ' ') AS name
+  FROM part
+),
+lpr_sup AS (
+  SELECT l_partkey AS id, count(*)::BIGINT AS support
+  FROM lineitem WHERE l_shipdate < TIMESTAMP '{_CUT}' GROUP BY 1
+),
+lpr_cand AS (
+  SELECT c.name, c.id, coalesce(s.support, 0)::BIGINT AS support
+  FROM lpr_cat c LEFT JOIN lpr_sup s USING (id)
+),
+lpr_rank AS (
+  SELECT name, id, support,
+         row_number() OVER (PARTITION BY name ORDER BY support DESC, id) AS rn,
+         count(*) OVER (PARTITION BY name) AS nc
+  FROM lpr_cand
+)
+SELECT name, nc::BIGINT AS n_candidates, id::BIGINT AS entity_id, support
+FROM lpr_rank WHERE rn = 1
+""",
+)
+def link_prior_q(spark, sf_dir):
+    """Commonness-prior entity disambiguation: two-word part-name
+    surface forms (genuinely ambiguous) resolved to the candidate with
+    the most target-graph support, ties to lowest id. The prior-based
+    alternative to J6's drop-ambiguous policy; one dimension join + one
+    min(struct) groupBy, no window over facts."""
+    from .canonicalize import link_prior
+
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    catalog = part.select(
+        F.col("p_partkey").alias("id"),
+        F.concat_ws(" ", F.slice(F.split(F.col("p_name"), " "), 1, 2)).alias(
+            "name"
+        ),
+    )
+    support = (
+        li.filter(F.col("l_shipdate") < _CUT)
+        .groupBy(F.col("l_partkey").alias("id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+    )
+    return link_prior(catalog, support)
+
+
+
+@_register(
     "kg_evidence",
     f"""
 WITH ev AS (

@@ -431,3 +431,28 @@ def test_sentence_tokens_strip_periods(spark):
     }
     assert (0, "end") in toks and (1, "next") in toks and (1, "one") in toks
     assert not any(t.endswith(".") for _, t in toks)
+
+
+def test_link_prior_resolves_ambiguity(spark):
+    """Popularity prior: highest support wins, ties break to lowest id,
+    candidates with no support rows count as 0, unambiguous names pass
+    through."""
+    from genie_spark.canonicalize import link_prior
+
+    catalog = spark.createDataFrame(
+        [("acme", 1), ("acme", 2), ("acme", 3), ("solo", 9),
+         ("tied", 4), ("tied", 5)],
+        ["name", "id"],
+    )
+    support = spark.createDataFrame(
+        [(1, 7), (2, 11), (4, 3), (5, 3)], ["id", "support"]
+    )
+    got = {
+        r["name"]: (r["n_candidates"], r["entity_id"], r["support"])
+        for r in link_prior(catalog, support).collect()
+    }
+    assert got == {
+        "acme": (3, 2, 11),   # id 3 has no support row -> 0
+        "solo": (1, 9, 0),
+        "tied": (2, 4, 3),    # tie on support -> lowest id
+    }
