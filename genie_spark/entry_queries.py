@@ -4073,6 +4073,43 @@ def calibration_bins_q(spark, sf_dir):
 
 
 @_register(
+    "kg_constraint_violations",
+    f"""
+WITH cv AS (
+  SELECT l_orderkey AS s, l_returnflag AS r, l_partkey AS o
+  FROM lineitem WHERE l_shipdate < TIMESTAMP '{_CUT}'
+)
+SELECT s::BIGINT AS s, r, count(DISTINCT o)::BIGINT AS n_objects,
+       min(o)::BIGINT AS min_o, max(o)::BIGINT AS max_o
+FROM cv WHERE r IN ('N', 'R') GROUP BY s, r
+HAVING count(DISTINCT o) > 1
+""",
+)
+def kg_constraint_violations_q(spark, sf_dir):
+    """Wikidata-style single-value property-constraint checking over
+    the target graph: relations 'N' and 'R' are declared functional;
+    every subject holding >1 distinct object under them is a violation
+    row. Relation filter pushes to the scan; ONE partial-agg groupBy;
+    violation-sized output."""
+    from .datapipe.graph import constraint_violations
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") < _CUT)
+    triples = li.select(
+        F.col("l_orderkey").alias("s"),
+        F.col("l_returnflag").alias("r"),
+        F.col("l_partkey").alias("o"),
+    )
+    out = constraint_violations(triples, ["N", "R"])
+    return out.select(
+        F.col("s").cast("bigint").alias("s"),
+        "r",
+        "n_objects",
+        F.col("min_o").cast("bigint").alias("min_o"),
+        F.col("max_o").cast("bigint").alias("max_o"),
+    )
+
+
+@_register(
     "link_prior",
     f"""
 WITH lpr_cat AS (

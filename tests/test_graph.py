@@ -296,3 +296,21 @@ def test_link_prediction_metrics_shape(spark):
         assert r["hits1_ppm"] <= r["hits3_ppm"] <= r["hits10_ppm"] <= 10**6
         assert r["sum_rank"] >= r["n_test"]
     assert sum(r["n_test"] for r in rows) == len(set(triples))
+
+
+def test_constraint_violations(spark):
+    from genie_spark.datapipe.graph import constraint_violations
+
+    triples = spark.createDataFrame(
+        [("a", "f", "x"), ("a", "f", "y"), ("a", "f", "y"),  # violation
+         ("b", "f", "x"),                                    # fine
+         ("a", "g", "x"), ("a", "g", "y")],                  # undeclared
+        ["s", "r", "o"],
+    )
+    got = {
+        (r["s"], r["r"]): (r["n_objects"], r["min_o"], r["max_o"])
+        for r in constraint_violations(triples, ["f"]).collect()
+    }
+    assert got == {("a", "f"): (2, "x", "y")}
+    with pytest.raises(ValueError, match="non-empty"):
+        constraint_violations(triples, [])
