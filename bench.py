@@ -182,6 +182,12 @@ HEADLINE = [
     "kg_evidence",
     "kg_fuse_weighted",
     "kg_chain_rules",
+    "distant_supervision_sentences",
+    "kg_link_prediction",
+    "calibration_bins",
+    "link_prior",
+    "kg_constraint_violations",
+    "kg_communities",
 ]
 
 

@@ -911,3 +911,91 @@ def constraint_violations(
         )
         .filter(F.col("n_objects") > 1)
     )
+
+
+def lpa_sql_chain(edges_cte: str = "e", iterations: int = 3) -> str:
+    """DuckDB twin of :func:`label_propagation_fixed`: the same
+    synchronous, deterministically tie-broken label-propagation rounds
+    unrolled as one CTE pair per iteration. ``edges_cte`` must hold
+    DISTINCT directed ``(src, dst)`` rows; the caller selects from
+    ``lpa{iterations}``."""
+    parts = [
+        f"lpa_sym AS (SELECT src AS u, dst AS w FROM {edges_cte}"
+        f" UNION SELECT dst, src FROM {edges_cte})",
+        "lpa0 AS (SELECT DISTINCT u AS v, u AS lbl FROM lpa_sym)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""lpv{i} AS (
+  SELECT s.w AS v, l.lbl, count(*) AS c
+  FROM lpa_sym s JOIN lpa{i - 1} l ON l.v = s.u
+  GROUP BY s.w, l.lbl)"""
+        )
+        parts.append(
+            f"""lpa{i} AS (
+  SELECT v, lbl FROM (
+    SELECT v, lbl,
+           row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rn
+    FROM lpv{i}) WHERE rn = 1)"""
+        )
+    return ",\n".join(parts)
+
+
+def label_propagation_fixed(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    use_local_checkpoint: bool = True,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) made deterministic and engine-exact: a FIXED iteration
+    count and an exact tiebreak (most-frequent neighbor label, ties to
+    the LEXICOGRAPHICALLY SMALLEST label) replace the random order and
+    random tie-coin of the original — the same determinism discipline
+    as pagerank_fixed. Labels start as the vertex's own id; every round
+    each vertex adopts the argmax label over its neighbors. Returns
+    ``(id, community)`` for every vertex in the edge list.
+
+    Unlike min-label propagation (:func:`connected_components`, which
+    converges to one label per connected component), the frequency vote
+    stops at community boundaries: a label needs majority support to
+    cross, so dense blocks keep their own labels.
+
+    Scale shape (100 TB edge lists): per round ONE join keyed on vertex
+    + two partial-aggregatable groupBys — the vote shuffle carries
+    (vertex, label, count) partial sums, never the raw neighbor list;
+    lineage is cut per round (localCheckpoint) so the plan stays O(1)
+    deep. Synchronous LPA can oscillate on bipartite structures — the
+    fixed iteration count bounds that deterministically, as in the
+    GraphFrames/Pregel formulation."""
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("w"))
+    sym = sym.union(
+        sym.select(F.col("w").alias("u"), F.col("u").alias("w"))
+    ).distinct()
+    if use_local_checkpoint:
+        sym = sym.localCheckpoint(eager=False)
+    labels = (
+        sym.select(F.col("u").alias("v")).distinct()
+        .withColumn("lbl", F.col("v"))
+    )
+    for _ in range(iterations):
+        votes = (
+            sym.join(labels.withColumnRenamed("v", "u"), "u")
+            .groupBy(F.col("w").alias("v"), "lbl")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        key = F.struct(
+            (F.lit(0).cast("long") - F.col("c")).alias("nc"),
+            F.col("lbl").alias("l"),
+        )
+        labels = (
+            votes.groupBy("v")
+            .agg(F.min(key).alias("_w"))
+            .select("v", F.col("_w.l").alias("lbl"))
+        )
+        if use_local_checkpoint:
+            labels = labels.localCheckpoint(eager=False)
+    return labels.select(
+        F.col("v").alias("id"), F.col("lbl").alias("community")
+    )

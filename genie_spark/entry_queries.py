@@ -1297,6 +1297,40 @@ def _kg_pagerank_sql() -> str:
 ORACLES["kg_pagerank"] = _kg_pagerank_sql()
 
 
+_LPA_ITERS = 3
+
+
+@_register("kg_communities", None)
+def kg_communities_q(spark, sf_dir):
+    """Deterministic label-propagation community detection over the
+    constructed KG (synchronous LPA, fixed 3 rounds, frequency vote
+    with exact min-label tiebreak — Raghavan et al. 2007 made
+    engine-exact). Per round: one vertex-keyed join + two partial-agg
+    groupBys; lineage cut per round (datapipe/graph.py
+    label_propagation_fixed)."""
+    from .datapipe.graph import label_propagation_fixed
+
+    out = label_propagation_fixed(
+        _kg_edges_df(spark, sf_dir), iterations=_LPA_ITERS
+    )
+    return out.select(
+        F.col("id").alias("entity"), "community"
+    )
+
+
+def _kg_communities_sql() -> str:
+    from .datapipe.graph import lpa_sql_chain
+
+    return (
+        f"WITH {_KG_EDGES_SQL},\n"
+        + lpa_sql_chain("kg_edges", iterations=_LPA_ITERS)
+        + f"\nSELECT v AS entity, lbl AS community FROM lpa{_LPA_ITERS}"
+    )
+
+
+ORACLES["kg_communities"] = _kg_communities_sql()
+
+
 @_register(
     "kg_two_hop",
     f"""

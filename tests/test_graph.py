@@ -314,3 +314,34 @@ def test_constraint_violations(spark):
     assert got == {("a", "f"): (2, "x", "y")}
     with pytest.raises(ValueError, match="non-empty"):
         constraint_violations(triples, [])
+
+
+def test_label_propagation_matches_bruteforce(spark):
+    """Deterministic synchronous LPA must equal a pure-Python twin of
+    the rule (frequency vote over neighbors, ties to smallest label,
+    fixed rounds) on a two-triangle bridge graph."""
+    from genie_spark.datapipe.graph import label_propagation_fixed
+
+    edges = [("a", "b"), ("b", "c"), ("a", "c"),
+             ("d", "e"), ("e", "f"), ("d", "f"), ("c", "d")]
+    sym = set()
+    for u, w in edges:
+        sym.add((u, w))
+        sym.add((w, u))
+    verts = sorted({u for u, _ in sym})
+    lbl = {v: v for v in verts}
+    for _ in range(3):
+        new = {}
+        for v in verts:
+            votes = {}
+            for u, w in sym:
+                if w == v:
+                    votes[lbl[u]] = votes.get(lbl[u], 0) + 1
+            new[v] = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        lbl = new
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["id"]: r["community"]
+        for r in label_propagation_fixed(df, iterations=3).collect()
+    }
+    assert got == lbl
