@@ -172,6 +172,7 @@ HEADLINE = [
     "kg_negative_samples",
     "kg_relation_profile",
     "kg_rule_confidence",
+    "kg_inverse_rules",
     "kg_fuse_vote",
     "kg_snapshot_diff",
     "kg_cooccurrence",

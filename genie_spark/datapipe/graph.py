@@ -999,3 +999,122 @@ def label_propagation_fixed(
     return labels.select(
         F.col("v").alias("id"), F.col("lbl").alias("community")
     )
+
+
+def transitive_closure(
+    edges: DataFrame,
+    max_hops: int = 12,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Reachability closure of the directed graph: every pair
+    ``(src, dst, min_hops)`` such that dst is reachable from src, with
+    the MINIMUM hop count. Semi-naive datalog evaluation (the textbook
+    recursive-query strategy, and what ``WITH RECURSIVE`` engines run
+    underneath): each round joins only the PREVIOUS round's delta
+    against the edge list and anti-joins pairs already known, so work
+    per round is proportional to NEW facts, never the whole closure.
+    Terminates when a round discovers nothing (or at ``max_hops``, the
+    cycle guard — min_hops is still exact for every emitted pair
+    because BFS order discovers each pair at its shortest distance).
+
+    Scale notes (100 TB edge lists): per round ONE join keyed on the
+    frontier's dst (delta is the small side once the frontier
+    stabilizes — at web-KG diameters the closure converges in < 10
+    rounds) + one left-anti join against the accumulated closure, both
+    partition-colocatable on the pair key. Lineage is cut per round
+    (eager localCheckpoint on the delta — it is reused twice: as the
+    next frontier and in the union; lazy on the accumulator), and the
+    per-round driver cost is one count() on the delta, the same
+    convergence probe as connected_components. Dense closures (the
+    output can be quadratic on hub-heavy graphs) are the caller's
+    contract: run it on layered / DAG-ish KGs (ontology subsumption,
+    containment hierarchies), not on social graphs."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    e2 = e.select(F.col("src").alias("mid"), F.col("dst").alias("nxt"))
+    seen = e.select(
+        "src", "dst", F.lit(1).cast("int").alias("min_hops")
+    ).localCheckpoint(eager=True)
+    delta = seen.select("src", "dst")
+    hop = 1
+    while hop < max_hops:
+        hop += 1
+        new = (
+            delta.join(e2, delta.dst == F.col("mid"))
+            .select("src", F.col("nxt").alias("dst"))
+            .distinct()
+            .join(seen.select("src", "dst"), ["src", "dst"], "left_anti")
+            .select("src", "dst", F.lit(hop).cast("int").alias("min_hops"))
+            .localCheckpoint(eager=True)
+        )
+        if new.count() == 0:
+            break
+        seen = seen.union(new).localCheckpoint(eager=False)
+        delta = new.select("src", "dst")
+    return seen
+
+
+def closure_sql(edges_cte: str = "e", max_hops: int = 12) -> str:
+    """DuckDB twin of :func:`transitive_closure`: a bounded
+    ``WITH RECURSIVE`` reachability walk (UNION ALL + hop guard — the
+    guard terminates cyclic inputs exactly like max_hops) followed by
+    the min-hop group-by. Returned as the RECURSIVE cte-list fragment;
+    the caller prefixes ``WITH RECURSIVE <edges>,`` and selects from
+    ``reach_min``."""
+    return f"""reach AS (
+  SELECT src, dst, 1 AS h FROM {edges_cte}
+  UNION ALL
+  SELECT r.src, t.dst, r.h + 1
+  FROM reach r JOIN {edges_cte} t ON r.dst = t.src
+  WHERE r.h < {max_hops}
+),
+reach_min AS (
+  SELECT src, dst, min(h)::INT AS min_hops FROM reach GROUP BY src, dst
+)"""
+
+
+def inverse_rule_confidence(facts: DataFrame) -> DataFrame:
+    """AMIE-style inverse-rule mining: for every ordered relation pair,
+    the CWA confidence of ``r_body(x, y) => r_head(y, x)`` in integer
+    ppm. The diagonal (r_body = r_head) is the SYMMETRY score of a
+    relation — 1,000,000 ppm means the relation is perfectly symmetric
+    in the KG (the owl:SymmetricProperty / owl:inverseOf discovery pass
+    of ontology induction; Galárraga et al., AMIE, WWW'13 §5 mines the
+    same rule shape).
+
+    Input: ``(s, r, o)`` fact triples (duplicates tolerated — deduped
+    first). Output: ``(r_body, r_head, support, n_body,
+    confidence_ppm)``.
+
+    Scale shape: the support join is keyed on the ENTITY PAIR — facts
+    are hashed on (s, o) against the reversed copy on (o, s), so
+    per-key fan-out is the relation multiplicity of that pair (tiny),
+    never entity degree; both aggregates are partial-aggregatable
+    groupBys. Integer ppm floor-division keeps it engine-exact
+    (sampling.split_thresholds discipline)."""
+    fd = facts.select("s", "r", "o").distinct().localCheckpoint(eager=False)
+    body = fd.groupBy(F.col("r").alias("r_body")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_body")
+    )
+    rev = fd.select(
+        F.col("o").alias("s"), F.col("r").alias("r_head"), F.col("s").alias("o")
+    )
+    sup = (
+        fd.withColumnRenamed("r", "r_body")
+        .join(rev, ["s", "o"])
+        .groupBy("r_body", "r_head")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+    )
+    return sup.join(body, "r_body").select(
+        "r_body",
+        "r_head",
+        "support",
+        "n_body",
+        F.expr("(support * 1000000L) div n_body").cast("long").alias(
+            "confidence_ppm"
+        ),
+    )

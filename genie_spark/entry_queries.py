@@ -1331,6 +1331,138 @@ def _kg_communities_sql() -> str:
 ORACLES["kg_communities"] = _kg_communities_sql()
 
 
+# Closure runs on the layered part→supplier→nation→region hierarchy plus
+# a seeded slice of the order layer (orderkey % 7) — depth-4 DAG, so the
+# semi-naive loop must survive ≥4 rounds and detect convergence; seeding
+# keeps the emitted pair set gate-sized without losing the deep layer.
+_CLOSURE_EDGES_SQL = """
+  cl_edges AS (
+    SELECT DISTINCT 'O' || l_orderkey AS src, 'P' || l_partkey AS dst
+    FROM lineitem WHERE l_orderkey % 7 = 0
+    UNION
+    SELECT DISTINCT 'P' || l_partkey, 'S' || l_suppkey FROM lineitem
+    UNION
+    SELECT DISTINCT 'S' || s_suppkey, 'N' || s_nationkey FROM supplier
+    UNION
+    SELECT DISTINCT 'N' || n_nationkey, 'R' || n_regionkey FROM nation
+  )
+"""
+
+
+def _kg_closure_sql() -> str:
+    from .datapipe.graph import closure_sql
+
+    return (
+        f"WITH RECURSIVE {_CLOSURE_EDGES_SQL},\n"
+        + closure_sql("cl_edges", max_hops=12)
+        + "\nSELECT src, dst, min_hops FROM reach_min"
+    )
+
+
+@_register("kg_closure", None)
+def kg_closure(spark, sf_dir):
+    """Transitive reachability closure (src, dst, min_hops) of the
+    seeded KG hierarchy — SEMI-NAIVE datalog iteration: each round
+    joins only the last round's delta against the edge list and
+    anti-joins known pairs, stopping on an empty delta (the Spark form
+    of WITH RECURSIVE; oracle is DuckDB's actual WITH RECURSIVE over
+    the same edges). Ontology-subsumption / containment-hierarchy
+    closure is the canonical KG-construction use
+    (datapipe/graph.py transitive_closure)."""
+    from .datapipe.graph import transitive_closure
+
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+
+    def edge(df, a, ta, b, tb):
+        return df.select(
+            F.concat(F.lit(ta), F.col(a).cast("string")).alias("src"),
+            F.concat(F.lit(tb), F.col(b).cast("string")).alias("dst"),
+        )
+
+    edges = (
+        edge(li.filter(F.col("l_orderkey") % 7 == 0), "l_orderkey", "O", "l_partkey", "P")
+        .union(edge(li, "l_partkey", "P", "l_suppkey", "S"))
+        .union(edge(sup, "s_suppkey", "S", "s_nationkey", "N"))
+        .union(edge(nat, "n_nationkey", "N", "n_regionkey", "R"))
+        .distinct()
+    )
+    return transitive_closure(edges, max_hops=12)
+
+
+ORACLES["kg_closure"] = _kg_closure_sql()
+
+
+# Inverse/symmetry mining runs on a 3-relation fact set with engineered
+# structure: hosts(N,S) is the (partial, even-suppkey) inverse of
+# based_in(S,N); near(N,N) is symmetric by construction — so the miner
+# must find confidence_ppm = 1e6 on (hosts => based_in) and the (near,
+# near) diagonal, and the even-suppkey fraction on (based_in => hosts).
+_INV_FACTS_SQL = """
+  inv_facts AS (
+    SELECT 'S' || s_suppkey AS s, 'based_in' AS r, 'N' || s_nationkey AS o
+    FROM supplier
+    UNION ALL
+    SELECT 'N' || s_nationkey, 'hosts', 'S' || s_suppkey
+    FROM supplier WHERE s_suppkey % 2 = 0
+    UNION ALL
+    SELECT 'N' || a.n_nationkey, 'near', 'N' || b.n_nationkey
+    FROM nation a JOIN nation b
+      ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey
+  )
+"""
+
+
+@_register(
+    "kg_inverse_rules",
+    f"""
+WITH {_INV_FACTS_SQL},
+fd AS (SELECT DISTINCT s, r, o FROM inv_facts),
+body AS (SELECT r AS r_body, count(*)::BIGINT AS n_body FROM fd GROUP BY r),
+sup AS (
+  SELECT a.r AS r_body, b.r AS r_head, count(*)::BIGINT AS support
+  FROM fd a JOIN fd b ON a.s = b.o AND a.o = b.s
+  GROUP BY 1, 2
+)
+SELECT r_body, r_head, support, n_body,
+       (support * 1000000 // n_body)::BIGINT AS confidence_ppm
+FROM sup JOIN body USING (r_body)
+""",
+)
+def kg_inverse_rules(spark, sf_dir):
+    """AMIE inverse-rule mining: confidence of r_body(x,y) => r_head(y,x)
+    per ordered relation pair, in integer ppm; the diagonal is each
+    relation's symmetry score (the owl:inverseOf / owl:SymmetricProperty
+    discovery pass). Support join keyed on the ENTITY PAIR — per-key
+    fan-out is pair-level relation multiplicity, never entity degree
+    (datapipe/graph.py inverse_rule_confidence)."""
+    from .datapipe.graph import inverse_rule_confidence
+
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    sn = F.concat(F.lit("S"), F.col("s_suppkey").cast("string"))
+    nn = F.concat(F.lit("N"), F.col("s_nationkey").cast("string"))
+    facts = sup.select(sn.alias("s"), F.lit("based_in").alias("r"), nn.alias("o"))
+    facts = facts.unionByName(
+        sup.filter(F.col("s_suppkey") % 2 == 0).select(
+            nn.alias("s"), F.lit("hosts").alias("r"), sn.alias("o")
+        )
+    )
+    a = nat.select(F.col("n_nationkey").alias("ka"), F.col("n_regionkey").alias("rg"))
+    b = nat.select(F.col("n_nationkey").alias("kb"), F.col("n_regionkey").alias("rg"))
+    near = (
+        a.join(b, "rg")
+        .filter(F.col("ka") != F.col("kb"))
+        .select(
+            F.concat(F.lit("N"), F.col("ka").cast("string")).alias("s"),
+            F.lit("near").alias("r"),
+            F.concat(F.lit("N"), F.col("kb").cast("string")).alias("o"),
+        )
+    )
+    return inverse_rule_confidence(facts.unionByName(near))
+
+
 @_register(
     "kg_two_hop",
     f"""
