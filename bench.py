@@ -152,6 +152,7 @@ HEADLINE = [
     "graph_materialize",
     "curation_report",
     "line_dedup_newline",
+    "boilerplate_strip",
     "ann_ivf_pq_topk",
     "dedup_semantic",
     "dedup_components",

@@ -588,3 +588,63 @@ def line_dedup(
             "n_lines_dropped"
         ),
     )
+
+
+def boilerplate_strip(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_words: int = 8,
+    split: Optional[str] = None,
+    min_df: int = 3,
+) -> DataFrame:
+    """Boilerplate-line removal by corpus document frequency: a line is
+    BOILERPLATE if it occurs in ≥ ``min_df`` DISTINCT documents (nav
+    bars, cookie banners, shared headers/footers), and ALL its
+    occurrences drop — unlike :func:`line_dedup`, which keeps the first.
+    This is the frequency leg of the CCNet/RefinedWeb line-filter family
+    (C4 drops boilerplate lines by rule; CCNet dedups paragraphs by
+    digest; the df-threshold form is the corpus-statistical variant that
+    needs a distributed engine). Returns (id, clean_text, n_lines_kept,
+    n_lines_dropped) for every input doc.
+
+    Scale shape (100 TB): the df count shuffles (digest, doc) pairs once
+    and partial-aggregates; the boilerplate set (lines in ≥min_df docs)
+    is the filtered output — tiny relative to the corpus by Zipf, but
+    NOT assumed broadcastable: the drop is a digest-keyed left-anti join
+    that reuses the df groupBy's hash partitioning (no second content
+    shuffle of the corpus text). Reassembly shuffles kept lines once on
+    doc id; order restored via array_sort, no global sort."""
+    lines = lines_col(F.col(text_col), line_words, split)
+    joiner = split if split is not None else " "
+    ex = docs.select(
+        F.col(id_col), F.posexplode(lines).alias("pos", "line")
+    ).withColumn("lh", F.md5("line"))
+    boiler = (
+        ex.groupBy("lh")
+        .agg(F.count_distinct(F.col(id_col)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("lh")
+    )
+    kept = ex.join(boiler, "lh", "left_anti")
+    per_doc = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("line")))
+                ),
+                lambda s: s["line"],
+            ),
+            joiner,
+        ).alias("clean_text"),
+        F.count("*").alias("n_lines_kept"),
+    )
+    totals = docs.select(F.col(id_col), F.size(lines).alias("n_lines"))
+    return totals.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+        (F.col("n_lines") - F.coalesce("n_lines_kept", F.lit(0))).alias(
+            "n_lines_dropped"
+        ),
+    )

@@ -2644,6 +2644,56 @@ def line_dedup_newline_q(spark, sf_dir):
     )
 
 
+_BOILERPLATE_MIN_DF = 3
+
+_BOILERPLATE_ORACLE = f"""
+WITH {_MULTILINE_DOCS_SQL},
+bl_base AS (SELECT doc_id, string_split(text, chr(10)) AS w FROM mdocs),
+bl_l AS (
+  SELECT doc_id, generate_subscripts(w, 1) - 1 AS pos, unnest(w) AS line
+  FROM bl_base),
+bl_boiler AS (
+  SELECT md5(line) AS lh FROM bl_l
+  GROUP BY 1 HAVING count(DISTINCT doc_id) >= {_BOILERPLATE_MIN_DF}),
+bl_keep AS (
+  SELECT doc_id, pos, line FROM bl_l
+  WHERE md5(line) NOT IN (SELECT lh FROM bl_boiler)),
+bl_agg AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM bl_keep GROUP BY 1),
+bl_tot AS (SELECT doc_id, len(w) AS n_lines FROM bl_base)
+SELECT t.doc_id::BIGINT AS doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       coalesce(a.n_kept, 0)::BIGINT AS n_lines_kept,
+       (t.n_lines - coalesce(a.n_kept, 0))::BIGINT AS n_lines_dropped
+FROM bl_tot t LEFT JOIN bl_agg a ON t.doc_id = a.doc_id
+"""
+
+
+@_register("boilerplate_strip", _BOILERPLATE_ORACLE)
+def boilerplate_strip_q(spark, sf_dir):
+    """Corpus-frequency boilerplate removal (the C4/CCNet line-filter
+    family's statistical leg): every line occurring in ≥3 DISTINCT
+    documents drops from ALL of them — the shared header and per-source
+    footers of the fabricated crawl pages vanish, page bodies survive.
+    Complements line_dedup (which keeps first occurrences). One
+    (digest, doc) shuffle for the df count; the drop join reuses its
+    partitioning (datapipe/dedup.py boilerplate_strip)."""
+    from .datapipe.dedup import boilerplate_strip
+
+    out = boilerplate_strip(
+        _multiline_docs_df(spark, sf_dir), split="\n",
+        min_df=_BOILERPLATE_MIN_DF,
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "clean_text",
+        F.col("n_lines_kept").cast("bigint").alias("n_lines_kept"),
+        F.col("n_lines_dropped").cast("bigint").alias("n_lines_dropped"),
+    )
+
+
 def _gate_chain_sql(table: str = "documents", id_col: str = "doc_id") -> str:
     """WITH-body (no leading WITH) computing the quality-gate feature +
     verdict chain over ``{table}({id_col}, text)`` — ends in CTE
