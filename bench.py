@@ -117,6 +117,7 @@ HEADLINE = [
     "annotate_id_triples",
     "kilt_filters",
     "topk_per_group",
+    "sessionize",
     "sentence_split",
     "sentence_split_bounded",
     "linearize_roundtrip",

@@ -361,3 +361,62 @@ SELECT rf.{id_col}::BIGINT AS {id_col},
 FROM rf JOIN ftab ON ftab.b = rf.b
 GROUP BY rf.{id_col}
 """
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Gap-based sessionization: consecutive events of the same user
+    belong to one session while the inter-event gap stays ≤
+    ``gap_minutes``; a larger gap starts a new session. The classic
+    two-window formulation: a per-user lag marks session starts, a
+    per-user running sum numbers them. Returns one row per session:
+    ``(user, session_idx, n_events, start_us, end_us, duration_us)``
+    with timestamps as INTEGER epoch microseconds (cross-engine exact —
+    float epoch seconds round differently per engine).
+
+    Determinism: window order is (epoch_us, event id) — same-microsecond
+    events tie-break on the id, so numbering is partition-invariant.
+
+    Scale shape (100 TB event logs): both windows are PARTITIONED BY
+    user — no global sort, no global window; the shuffle keys on the
+    user id and the second window reuses the first's partitioning
+    (one Exchange in the plan). Per-user data must fit a task (true for
+    human-scale activity); for adversarial hot keys production splits
+    the key by (user, day) first — same plan shape, documented here as
+    the standard mitigation."""
+    from pyspark.sql import Window
+
+    # tz-free epoch micros: unix_micros() rejects TIMESTAMP_NTZ (the
+    # parquet type here) and casting NTZ->TZ would apply the session
+    # timezone — timestampdiff against the NTZ epoch matches DuckDB's
+    # epoch_us(ts) on naive timestamps exactly
+    tus = F.expr(
+        "timestampdiff(MICROSECOND, "
+        f"TIMESTAMP_NTZ '1970-01-01 00:00:00', `{ts_col}`)"
+    )
+    w = Window.partitionBy(user_col).orderBy("tus", id_col)
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    ev = events.select(F.col(user_col), F.col(id_col), tus.alias("tus"))
+    flagged = ev.withColumn("prev", F.lag("tus").over(w)).withColumn(
+        "ns",
+        F.when(
+            F.col("prev").isNull()
+            | (F.col("tus") - F.col("prev") > F.lit(gap_us)),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_idx",
+        F.sum("ns").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy(user_col, "session_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("tus").cast("long").alias("start_us"),
+        F.max("tus").cast("long").alias("end_us"),
+        (F.max("tus") - F.min("tus")).cast("long").alias("duration_us"),
+    )

@@ -540,6 +540,51 @@ def topk_per_group(spark, sf_dir):
     )
 
 
+@_register(
+    "sessionize",
+    """
+WITH se_ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+se_lag AS (
+  SELECT user_id, event_id, tus,
+         lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev
+  FROM se_ev),
+se_flag AS (
+  SELECT user_id, event_id, tus,
+         CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS ns
+  FROM se_lag),
+se_num AS (
+  SELECT user_id, tus,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM se_flag)
+SELECT user_id, session_idx::BIGINT AS session_idx,
+       count(*)::BIGINT AS n_events,
+       min(tus)::BIGINT AS start_us,
+       max(tus)::BIGINT AS end_us,
+       (max(tus) - min(tus))::BIGINT AS duration_us
+FROM se_num GROUP BY 1, 2
+""",
+)
+def sessionize_q(spark, sf_dir):
+    """Gap-based sessionization of the event log (30-min inactivity
+    gap): per-user lag marks session starts, per-user running sum
+    numbers them, one aggregate per session. Both windows PARTITIONED BY
+    user — no global sort; timestamps as integer epoch microseconds for
+    cross-engine exactness (datapipe/sampling.py sessionize)."""
+    from .datapipe.sampling import sessionize
+
+    out = sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
+    return out.select(
+        "user_id",
+        F.col("session_idx").cast("bigint").alias("session_idx"),
+        "n_events",
+        "start_us",
+        "end_us",
+        "duration_us",
+    )
+
+
 # -- J1-analog: broadcast canonicalization join chain --------------------------
 
 @_register(
