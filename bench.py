@@ -137,6 +137,7 @@ HEADLINE = [
     "lang_id",
     "quality_score",
     "token_count",
+    "length_deciles",
     "fingerprint",
     "sample_stratified",
     "split_assign",

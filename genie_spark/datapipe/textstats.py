@@ -532,3 +532,38 @@ SELECT d.{id_col},
          AS mean_bits_ppm
 FROM {table} d LEFT JOIN lm_doc s USING ({id_col})
 """
+
+
+def length_deciles(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """EXACT decile boundaries of the corpus word-length distribution —
+    the cutoffs curation uses to pick min/max-length filters. One row
+    per decile q in 1..9: ``(decile, value)`` where value is the word
+    count at sorted position ceil(n*q/10) (1-based, ties broken by doc
+    id — integer-exact and engine-invariant; approximate quantile
+    sketches differ per engine and per partitioning, so they can't be
+    the number of record).
+
+    Scale shape (100 TB): no single-partition sort anywhere — ranks come
+    from the distributed range-partition rank (metrics._distributed_rank:
+    range-repartition + local rank + broadcast offset join), and the
+    decile probe is a broadcast join of NINE rows against the ranked
+    corpus. The ceil is integer math ((n*q + 9) div 10), same formula in
+    the DuckDB twin."""
+    from ..metrics import _distributed_rank
+
+    keyed = docs.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), " ")).alias("v")
+    )
+    ranked, total = _distributed_rank(keyed, ["v", id_col], "_rk")
+    pos = total.select(
+        F.explode(F.expr("sequence(1, 9)")).alias("decile"), F.col("_n")
+    ).select(
+        F.col("decile").cast("int").alias("decile"),
+        F.expr("(_n * decile + 9) div 10 - 1").alias("_pos0"),
+    )
+    return (
+        ranked.join(F.broadcast(pos), F.col("_rk") == F.col("_pos0"))
+        .select("decile", F.col("v").cast("bigint").alias("value"))
+    )

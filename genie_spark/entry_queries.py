@@ -2063,6 +2063,31 @@ def token_count_q(spark, sf_dir):
 
 
 @_register(
+    "length_deciles",
+    """
+WITH ld_l AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS v FROM documents),
+ld_r AS (
+  SELECT v, row_number() OVER (ORDER BY v, doc_id) AS rn,
+         count(*) OVER () AS n
+  FROM ld_l),
+ld_q AS (SELECT unnest(generate_series(1, 9)) AS decile)
+SELECT q.decile::INT AS decile, r.v::BIGINT AS value
+FROM ld_q q JOIN ld_r r ON r.rn = (r.n * q.decile + 9) // 10
+""",
+)
+def length_deciles_q(spark, sf_dir):
+    """Exact corpus length-distribution deciles (curation cutoff
+    boundaries) with NO single-partition sort: distributed
+    range-partition rank + a broadcast 9-row probe join. The oracle's
+    global window is the semantic spec; the Spark plan is the scale
+    shape (datapipe/textstats.py length_deciles)."""
+    from .datapipe.textstats import length_deciles
+
+    return length_deciles(_t(spark, sf_dir, "documents"))
+
+
+@_register(
     "fingerprint",
     f"""
 WITH {_SHINGLES_SQL},
