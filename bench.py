@@ -138,6 +138,7 @@ HEADLINE = [
     "quality_score",
     "token_count",
     "length_deciles",
+    "bigram_counts",
     "fingerprint",
     "sample_stratified",
     "split_assign",

@@ -567,3 +567,40 @@ def length_deciles(
         ranked.join(F.broadcast(pos), F.col("_rk") == F.col("_pos0"))
         .select("decile", F.col("v").cast("bigint").alias("value"))
     )
+
+
+def bigram_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_n: int = 100,
+) -> DataFrame:
+    """Corpus-wide ADJACENT word-pair (bigram) counts, top ``top_n`` by
+    (count desc, bigram asc — the deterministic tiebreak). This is the
+    inner-loop count of tokenizer/BPE training and of n-gram LM
+    estimation — positional adjacency, not the doc-level set
+    co-occurrence of kg_cooccurrence. Returns ``(bigram, cnt)``.
+
+    Scale shape (100 TB): pair generation is row-local (transform over
+    the word array — no self-join); the count is ONE
+    partial-aggregatable groupBy on the bigram (Zipf-head bigrams
+    combine map-side); top-n is TakeOrderedAndProject, never a global
+    sort."""
+    w = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit("")
+    )
+    pairs = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat(
+                F.element_at(w, i), F.lit(" "), F.element_at(w, i + 1)
+            ),
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    return (
+        docs.select(F.explode(pairs).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(top_n)
+    )

@@ -2088,6 +2088,30 @@ def length_deciles_q(spark, sf_dir):
 
 
 @_register(
+    "bigram_counts",
+    """
+WITH bg_w AS (
+  SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+  FROM documents),
+bg_p AS (
+  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i + 1])) AS bigram
+  FROM bg_w)
+SELECT bigram, count(*)::BIGINT AS cnt FROM bg_p
+GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 100
+""",
+)
+def bigram_counts_q(spark, sf_dir):
+    """Top-100 adjacent word bigrams corpus-wide — the tokenizer/BPE
+    training and n-gram LM count shape: row-local pair generation, one
+    partial-agg groupBy, TakeOrderedAndProject top-n
+    (datapipe/textstats.py bigram_counts)."""
+    from .datapipe.textstats import bigram_counts
+
+    return bigram_counts(_t(spark, sf_dir, "documents"), top_n=100)
+
+
+@_register(
     "fingerprint",
     f"""
 WITH {_SHINGLES_SQL},
