@@ -1118,3 +1118,70 @@ def inverse_rule_confidence(facts: DataFrame) -> DataFrame:
             "confidence_ppm"
         ),
     )
+
+
+def closure_delta(
+    old_closure: DataFrame,
+    new_edges: DataFrame,
+    all_edges: DataFrame,
+    max_hops: int = 12,
+) -> DataFrame:
+    """INCREMENTAL transitive-closure maintenance: the reachability
+    pairs that appear when ``new_edges`` arrive, WITHOUT recomputing
+    the closure of the whole graph — the daily-crawl-update shape of a
+    production KG (semi-naive delta evaluation of the recursive
+    reachability view; Gupta/Mumick-style incremental datalog
+    maintenance specialised to edge INSERTS, where delta rules suffice
+    and no over-deletion pass is needed).
+
+    Every genuinely-new pair contains ≥1 new edge, so the delta seeds
+    from the new edges and grows by composing with ALL edges on the
+    right (semi-naive: only last round's delta joins), plus one closing
+    pass composing the old closure on the LEFT (x reaches a new-edge
+    tail through old pairs). Work is proportional to the DELTA — the
+    old closure is touched only as a join side, never re-derived.
+
+    Inputs: ``old_closure`` (src, dst [, ...]) — the materialized
+    closure of the old graph; ``new_edges`` / ``all_edges`` (src, dst).
+    Returns NEW pairs only (src, dst), exactly
+    closure(all) − closure(old). Hop counts are NOT emitted: an
+    inserted edge can shorten an existing pair's distance without
+    creating a new pair — min-hop maintenance needs the
+    delete-then-rederive pass that insert-only reachability avoids."""
+    old_c = old_closure.select("src", "dst").localCheckpoint(eager=False)
+    e_all = all_edges.select(
+        F.col("src").alias("mid"), F.col("dst").alias("nxt")
+    ).distinct().localCheckpoint(eager=False)
+
+    def not_known(df, known):
+        return df.join(known.select("src", "dst"), ["src", "dst"], "left_anti")
+
+    # round 0: the new edges themselves (minus already-known pairs)
+    delta = not_known(
+        new_edges.select("src", "dst").distinct(), old_c
+    ).localCheckpoint(eager=True)
+    seen = delta
+    for _ in range(max_hops):
+        # grow right: delta ∘ all_edges
+        grown = (
+            delta.join(e_all, delta.dst == F.col("mid"))
+            .select("src", F.col("nxt").alias("dst"))
+            .distinct()
+        )
+        new = (
+            not_known(not_known(grown, old_c), seen)
+            .localCheckpoint(eager=True)
+        )
+        if new.count() == 0:
+            break
+        seen = seen.union(new).localCheckpoint(eager=False)
+        delta = new
+    # close left: old pairs reaching into any delta pair
+    # (x →old u, (u, y) ∈ seen) — one join, then the final dedup
+    left = (
+        old_c.select(F.col("src").alias("x"), F.col("dst").alias("u"))
+        .join(seen.withColumnRenamed("src", "u"), "u")
+        .select(F.col("x").alias("src"), "dst")
+        .distinct()
+    )
+    return not_known(seen.union(left).distinct(), old_c)

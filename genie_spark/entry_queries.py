@@ -1439,6 +1439,65 @@ def kg_closure(spark, sf_dir):
 ORACLES["kg_closure"] = _kg_closure_sql()
 
 
+@_register(
+    "kg_closure_delta",
+    f"""
+WITH RECURSIVE {_CLOSURE_EDGES_SQL},
+cd_new AS (
+  SELECT 'S' || s_suppkey AS src, 'N' || s_nationkey AS dst
+  FROM supplier WHERE s_suppkey % 10 = 0),
+cd_old AS (
+  SELECT e.src, e.dst FROM cl_edges e
+  WHERE NOT EXISTS (SELECT 1 FROM cd_new n
+                    WHERE n.src = e.src AND n.dst = e.dst)),
+r_all AS (
+  SELECT src, dst FROM cl_edges
+  UNION
+  SELECT r.src, t.dst FROM r_all r JOIN cl_edges t ON r.dst = t.src),
+r_old AS (
+  SELECT src, dst FROM cd_old
+  UNION
+  SELECT r.src, t.dst FROM r_old r JOIN cd_old t ON r.dst = t.src)
+SELECT src, dst FROM r_all EXCEPT SELECT src, dst FROM r_old
+""",
+)
+def kg_closure_delta(spark, sf_dir):
+    """INCREMENTAL closure maintenance: the reachability pairs created
+    by newly-arrived edges (every-10th supplier's based-in link),
+    computed from the materialized old closure + the delta ONLY — never
+    re-deriving the old closure (the daily-crawl-update shape; oracle
+    recomputes both closures via WITH RECURSIVE and EXCEPTs them, the
+    semantic spec the incremental algorithm must match). New pairs seed
+    from the new edges, right-grow semi-naively through ALL edges, and
+    close on the left with ONE join against the old closure
+    (datapipe/graph.py closure_delta)."""
+    from .datapipe.graph import closure_delta, transitive_closure
+
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+
+    def edge(df, a, ta, b, tb):
+        return df.select(
+            F.concat(F.lit(ta), F.col(a).cast("string")).alias("src"),
+            F.concat(F.lit(tb), F.col(b).cast("string")).alias("dst"),
+        )
+
+    all_edges = (
+        edge(li.filter(F.col("l_orderkey") % 7 == 0), "l_orderkey", "O", "l_partkey", "P")
+        .union(edge(li, "l_partkey", "P", "l_suppkey", "S"))
+        .union(edge(sup, "s_suppkey", "S", "s_nationkey", "N"))
+        .union(edge(nat, "n_nationkey", "N", "n_regionkey", "R"))
+        .distinct()
+    )
+    new_edges = edge(
+        sup.filter(F.col("s_suppkey") % 10 == 0), "s_suppkey", "S", "s_nationkey", "N"
+    )
+    old_edges = all_edges.join(new_edges, ["src", "dst"], "left_anti")
+    old_closure = transitive_closure(old_edges, max_hops=12)
+    return closure_delta(old_closure, new_edges, all_edges, max_hops=12)
+
+
 # Inverse/symmetry mining runs on a 3-relation fact set with engineered
 # structure: hosts(N,S) is the (partial, even-suppkey) inverse of
 # based_in(S,N); near(N,N) is symmetric by construction — so the miner

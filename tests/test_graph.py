@@ -345,3 +345,62 @@ def test_label_propagation_matches_bruteforce(spark):
         for r in label_propagation_fixed(df, iterations=3).collect()
     }
     assert got == lbl
+
+
+def test_transitive_closure_min_hops_bruteforce(spark):
+    """Semi-naive closure must equal brute-force BFS min-hops on a DAG
+    with diamond multi-path pairs (min wins) and a cycle guard case."""
+    from genie_spark.datapipe.graph import transitive_closure
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"),  # diamond
+             ("x", "y"), ("y", "x")]                          # 2-cycle
+    # brute force BFS from every vertex
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+    want = {}
+    for s in {u for e in edges for u in e}:
+        # seen starts EMPTY: a vertex on a cycle reaches itself (hop = cycle
+        # length), and the closure emits that pair — reachability via >=1 edge
+        frontier, hop, seen = [s], 0, set()
+        while frontier:
+            hop += 1
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, []):
+                    if v not in seen:
+                        seen.add(v)
+                        nxt.append(v)
+                        want[(s, v)] = hop
+            frontier = nxt
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        (r["src"], r["dst"]): r["min_hops"]
+        for r in transitive_closure(df, max_hops=10).collect()
+    }
+    assert got == want
+
+
+def test_closure_delta_matches_full_recompute(spark):
+    """Incremental closure must equal closure(all) - closure(old) on a
+    chain where new pairs need old-prefix + new + old-middle + new
+    compositions (two separate new edges on one witness path)."""
+    from genie_spark.datapipe.graph import closure_delta, transitive_closure
+
+    old = [("a", "b"), ("c", "d"), ("e", "f")]
+    new = [("b", "c"), ("d", "e")]   # a->b NEW b->c old... chain a..f
+    alle = old + new
+    old_df = spark.createDataFrame(old, ["src", "dst"])
+    new_df = spark.createDataFrame(new, ["src", "dst"])
+    all_df = spark.createDataFrame(alle, ["src", "dst"])
+    full = {
+        (r["src"], r["dst"])
+        for r in transitive_closure(all_df, max_hops=10).collect()
+    }
+    base_df = transitive_closure(old_df, max_hops=10)
+    base = {(r["src"], r["dst"]) for r in base_df.collect()}
+    got = {
+        (r["src"], r["dst"])
+        for r in closure_delta(base_df, new_df, all_df, max_hops=10).collect()
+    }
+    assert got == full - base and got  # non-empty delta
