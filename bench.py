@@ -156,6 +156,7 @@ HEADLINE = [
     "curation_report",
     "line_dedup_newline",
     "boilerplate_strip",
+    "domain_blocklist",
     "ann_ivf_pq_topk",
     "dedup_semantic",
     "dedup_components",

@@ -102,3 +102,47 @@ def dedup_by_url(
         .groupBy("norm_url")
         .agg(keep_agg, F.count("*").alias("n_dups"))
     )
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    rules: DataFrame,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain-blocklist verdicts with SUBDOMAIN (suffix) matching — the
+    crawl-filtering form: a rule ``src1.com`` blocks ``src1.com`` AND
+    every ``*.src1.com``. Each host explodes into its label-suffix
+    chain (``www.src1.com`` → [www.src1.com, src1.com, com]) — row-local
+    and bounded by label count — and the chain joins the rule set by
+    exact key. No regex scan, no LIKE '%' (both defeat pushdown and
+    cost O(rules) per row); the join is O(labels) per host however
+    large the blocklist grows. Ties (nested rules both matching) pick
+    the lexicographically smallest rule — deterministic. Returns one
+    row per input doc: ``(id, host, blocked, rule)`` with rule NULL for
+    clean hosts.
+
+    Scale shape (100 TB): the suffix explode is a constant ≤ ~6× row
+    fan-out on the (id, host) projection only; the rule join hash-keys
+    on the suffix (broadcastable when the blocklist is small, still a
+    plain shuffle join when it is not — not assumed); the verdict
+    groupBy folds back to one row per doc."""
+    w = F.split(F.col(host_col), "\\.")
+    suffixes = F.transform(
+        F.sequence(F.lit(1), F.size(w)),
+        lambda i: F.array_join(F.slice(w, i, F.size(w) - i + 1), "."),
+    )
+    ex = docs.select(
+        F.col(id_col), F.col(host_col), F.explode(suffixes).alias("suf")
+    )
+    hits = (
+        ex.join(rules.select(F.col("rule").alias("suf"), "rule"), "suf")
+        .groupBy(id_col)
+        .agg(F.min("rule").alias("rule"))
+    )
+    return docs.select(id_col, host_col).join(hits, id_col, "left").select(
+        F.col(id_col),
+        F.col(host_col),
+        F.col("rule").isNotNull().alias("blocked"),
+        "rule",
+    )

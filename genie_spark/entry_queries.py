@@ -2267,6 +2267,52 @@ FROM variants GROUP BY 1
 """
 
 
+_BLOCK_RULES = ["src1.com", "src2.org", "src5.net", "src8.com", "www.src4.net"]
+
+
+@_register(
+    "domain_blocklist",
+    f"""
+WITH db_docs AS (
+  SELECT doc_id,
+         'www.' || source || '.' ||
+         CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END AS host
+  FROM documents),
+db_rules AS (SELECT * FROM (VALUES {", ".join(f"('{r}')" for r in _BLOCK_RULES)}) t(rule)),
+db_suf AS (
+  SELECT doc_id, host,
+         unnest(list_transform(generate_series(1, len(string_split(host, '.'))),
+                i -> array_to_string(string_split(host, '.')[i:], '.'))) AS suf
+  FROM db_docs),
+db_hit AS (
+  SELECT s.doc_id, min(r.rule) AS rule
+  FROM db_suf s JOIN db_rules r ON s.suf = r.rule
+  GROUP BY 1)
+SELECT d.doc_id, d.host, h.rule IS NOT NULL AS blocked, h.rule
+FROM db_docs d LEFT JOIN db_hit h ON d.doc_id = h.doc_id
+""",
+)
+def domain_blocklist_q(spark, sf_dir):
+    """Crawl-side domain blocklist with subdomain (suffix) matching over
+    fabricated multi-label hosts: each host explodes into its
+    label-suffix chain and joins the rule set by exact key — O(labels)
+    per host, no regex/LIKE scan (datapipe/urls.py blocklist_filter)."""
+    from .datapipe.urls import blocklist_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    hosts = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("www."), F.col("source"), F.lit("."),
+            F.when(F.col("doc_id") % 3 == 0, "com")
+            .when(F.col("doc_id") % 3 == 1, "org")
+            .otherwise("net"),
+        ).alias("host"),
+    )
+    rules = spark.createDataFrame([(r,) for r in _BLOCK_RULES], ["rule"])
+    return blocklist_filter(hosts, rules)
+
+
 @_register("dedup_url", _url_dedup_oracle())
 def dedup_url(spark, sf_dir):
     """URL-keyed dedup over fabricated crawl variants: every page appears
