@@ -140,6 +140,7 @@ HEADLINE = [
     "length_deciles",
     "bigram_counts",
     "fingerprint",
+    "winnow_fps",
     "sample_stratified",
     "split_assign",
     "upsample_mix",

@@ -648,3 +648,66 @@ def boilerplate_strip(
             "n_lines_dropped"
         ),
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every word ``k``-gram, slide a
+    ``w``-hash window, select each window's MINIMUM hash (RIGHTMOST on
+    ties, the paper's rule), dedupe selections. Guarantees any shared
+    run of ≥ w+k-1 words between two documents shares ≥1 fingerprint,
+    while storing only ~2/(w+1) of the gram hashes — the
+    position-robust middle ground between exact-hash dedup (brittle)
+    and full MinHash (positionless). Returns ``(id, pos, fp)`` rows —
+    join fp against fp to find local overlaps.
+
+    Docs shorter than k words contribute one whole-text fingerprint
+    (shingles_col convention). Entirely ROW-LOCAL selection (array
+    expressions, no UDF); the only shuffle is the final DISTINCT on
+    (id, pos, fp) — and any downstream fp-keyed candidate join is
+    banded by construction, never all-pairs."""
+    from .hashes import h60
+
+    wd = words_col(F.col(text_col))
+    n = F.size(wd)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(wd, i, k)),
+        ),
+    ).otherwise(F.array(F.col(text_col)))
+    # materialize the hash array in its OWN projection: the window lambda
+    # below references it ~4x per window, and CollapseProject would
+    # otherwise inline (and codegen would re-evaluate) the md5-per-gram
+    # transform inside every reference — measured 53s -> ~2s at sf0.01
+    hashed = docs.select(
+        F.col(id_col), F.transform(grams, h60).alias("_hs")
+    )
+    hs = F.col("_hs")
+    m = F.size(hs)
+
+    def pick(i):
+        sl = F.slice(hs, i, w)
+        mn = F.array_min(sl)
+        return F.struct(
+            (i + F.size(sl) - F.array_position(F.reverse(sl), mn))
+            .cast("int")
+            .alias("pos"),
+            mn.alias("fp"),
+        )
+
+    sel = F.transform(
+        F.sequence(F.lit(1), F.greatest(m - F.lit(w - 1), F.lit(1))), pick
+    )
+    return (
+        hashed.select(F.col(id_col), F.explode(sel).alias("s"))
+        .select(id_col, F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
+        .distinct()
+    )

@@ -2147,6 +2147,38 @@ def length_deciles_q(spark, sf_dir):
 
 
 @_register(
+    "winnow_fps",
+    f"""
+WITH wf_base AS (SELECT doc_id, string_split(text, ' ') AS wd, text FROM documents),
+wf_h AS (
+  SELECT doc_id,
+    CASE WHEN len(wd) >= 3 THEN
+      list_transform(generate_series(1, len(wd) - 2),
+        i -> {_h60_sql("array_to_string(wd[i:i+2], ' ')")})
+    ELSE [{_h60_sql("text")}] END AS hs
+  FROM wf_base),
+wf_sel AS (
+  SELECT doc_id,
+    unnest(list_transform(generate_series(1, greatest(len(hs) - 3, 1)),
+      i -> struct_pack(
+        p := i + len(hs[i:i+3]) - list_position(list_reverse(hs[i:i+3]),
+                                                list_min(hs[i:i+3])),
+        v := list_min(hs[i:i+3])))) AS f
+  FROM wf_h)
+SELECT DISTINCT doc_id, f['p']::INT AS pos, f['v']::BIGINT AS fp FROM wf_sel
+""",
+)
+def winnow_fps_q(spark, sf_dir):
+    """Winnowing fingerprints (MOSS): per-window rightmost-min gram
+    hash, k=3 / w=4 — the local-overlap detector of the dedup family.
+    Row-local array selection, one DISTINCT shuffle
+    (datapipe/dedup.py winnow_fingerprints)."""
+    from .datapipe.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"), k=3, w=4)
+
+
+@_register(
     "bigram_counts",
     """
 WITH bg_w AS (
