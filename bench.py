@@ -142,6 +142,7 @@ HEADLINE = [
     "fingerprint",
     "winnow_fps",
     "sample_stratified",
+    "domain_cap",
     "split_assign",
     "upsample_mix",
     "token_windows",

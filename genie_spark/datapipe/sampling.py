@@ -420,3 +420,36 @@ def sessionize(
         F.max("tus").cast("long").alias("end_us"),
         (F.max("tus") - F.min("tus")).cast("long").alias("duration_us"),
     )
+
+
+def group_cap(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    k: int = 50,
+    salt: str = "cap",
+    out_col: str = "grp_rank",
+) -> DataFrame:
+    """Deterministic per-group QUOTA cap: keep at most ``k`` rows per
+    group, chosen by the salted-hash order (h60(salt ␁ id), id) — the
+    domain-capping step of pretraining mixes (bound any single domain's
+    share regardless of its crawl volume). Unlike
+    :func:`stratified_sample` (per-group FRACTION), the quota is an
+    absolute count, and the hash order makes the kept set rerun- and
+    partitioning-stable (a torch-style random choice is neither).
+    Returns the surviving rows + their 1-based ``out_col`` rank.
+
+    Scale shape: ONE window partitioned by group (no global sort); the
+    rank shuffle keys on the group — a skewed mega-domain bounds at its
+    own row count and is then cut to k. For quantile-grade skew,
+    pre-filter with an approximate per-group count and sample_fraction
+    first; the exact window pass then runs on the bounded survivor
+    set."""
+    from pyspark.sql import Window
+
+    key = h60_salted(F.col(id_col).cast("string"), F.lit(salt))
+    w = Window.partitionBy(group_col).orderBy(key, F.col(id_col))
+    return (
+        df.withColumn(out_col, F.row_number().over(w))
+        .filter(F.col(out_col) <= k)
+    )

@@ -2146,6 +2146,35 @@ def length_deciles_q(spark, sf_dir):
     return length_deciles(_t(spark, sf_dir, "documents"))
 
 
+def _domain_cap_oracle() -> str:
+    from .datapipe.hashes import h60_salted_sql
+
+    key = h60_salted_sql("doc_id", "'cap'")
+    return f"""
+SELECT doc_id, source, rn::INT AS grp_rank FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY {key}, doc_id) AS rn
+  FROM documents)
+WHERE rn <= 50
+"""
+
+
+@_register("domain_cap", _domain_cap_oracle())
+def domain_cap_q(spark, sf_dir):
+    """Deterministic per-domain quota cap (≤50 docs per source, salted
+    hash order): the domain-capping step of pretraining mixes — an
+    absolute per-group count, rerun- and partitioning-stable, ONE
+    group-partitioned window, no global sort
+    (datapipe/sampling.py group_cap)."""
+    from .datapipe.sampling import group_cap
+
+    out = group_cap(
+        _t(spark, sf_dir, "documents"), group_col="source", k=50, salt="cap"
+    )
+    return out.select("doc_id", "source", F.col("grp_rank").cast("int").alias("grp_rank"))
+
+
 @_register(
     "winnow_fps",
     f"""
