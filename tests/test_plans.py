@@ -492,3 +492,44 @@ def test_bucketed_join_and_agg_are_exchange_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS bkt_facts")
         spark.sql("DROP TABLE IF EXISTS bkt_dims")
+
+
+def test_sessionize_single_exchange(spark):
+    """Both sessionization windows and the session aggregate must share
+    ONE user-keyed Exchange — the lag window, the running-sum window and
+    the final groupBy all reuse the same hash partitioning."""
+    from genie_spark.datapipe.sampling import sessionize
+
+    df = sessionize(_t(spark, "events"), gap_minutes=30)
+    tree = _tree(df)
+    assert tree.count("Exchange") == 1, tree
+
+
+def test_length_deciles_no_global_sort(spark):
+    """Exact deciles must come from the range-partition rank: no global
+    Sort over the corpus and no empty-partition-spec Window. The ONE
+    SinglePartition exchange allowed is the 1-row total over the
+    counter-sized (≤ shuffle-partitions rows) partition-size table."""
+    from genie_spark.datapipe.textstats import length_deciles
+
+    df = length_deciles(_t(spark, "documents"))
+    plan = _plan(df)
+    assert plan.count("SinglePartition") <= 1, plan
+    # every Window node must be partitioned (the local per-range rank);
+    # an empty partition spec would be the global-window shape
+    for seg in plan.split("\n\n"):
+        if seg.startswith("(") and ") Window" in seg.split("\n")[0]:
+            assert "PartitionSpec: []" not in seg, seg
+
+
+def test_winnow_hash_array_not_reinlined(spark):
+    """The winnowing window lambda references the gram-hash array ~4x
+    per window; the md5-per-gram transform must stay in its OWN project
+    node (exactly one 'transform' evaluating md5 in the plan details),
+    not be collapsed into every reference — the 53s->7s regression
+    guard."""
+    from genie_spark.datapipe.dedup import winnow_fingerprints
+
+    df = winnow_fingerprints(_t(spark, "documents"), k=3, w=4)
+    plan = _plan(df)
+    assert plan.count("md5") <= 2, plan[:4000]
