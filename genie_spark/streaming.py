@@ -569,3 +569,90 @@ def stream_distant_supervision(
         q.awaitTermination()
         return q
     return writer.trigger(processingTime=trigger_interval).start()
+
+
+EVENT_STREAM_SCHEMA = "event_id bigint, ts timestamp, user_id bigint"
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    gap_minutes: int = 30,
+    available_now: bool = True,
+    trigger_interval: str = "500 milliseconds",
+):
+    """Stateful streaming sessionization: the continuous form of
+    :func:`genie_spark.datapipe.sampling.sessionize`. Per-user state is
+    one fixed-width open-session record (session_idx, start_us, last_us,
+    n); each micro-batch sorts its per-user events locally, extends the
+    open session while gaps stay ≤ ``gap_minutes``, and EMITS a session
+    row the moment a larger gap closes it — so the sink is the closed-
+    session log, and the open tail lives only in state. A session that
+    spans micro-batches stays ONE session (the state carries it across).
+
+    Ordering contract: event files must arrive in per-user time order
+    across batches (true for time-partitioned logs; the in-batch sort
+    handles intra-batch disorder). Production late-data handling would
+    add an event-time timeout + watermark; this build's
+    availableNow/timeout interaction is documented in CLAUDE.md, so the
+    TTL-free form is the supported one here.
+
+    Session numbering, timestamps (integer epoch micros) and aggregates
+    match the batch operator exactly: the emitted log equals batch
+    sessionize minus each user's still-open final session (asserted in
+    tests)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    events = spark.readStream.schema(EVENT_STREAM_SCHEMA).parquet(input_dir)
+    out_type = (
+        "user_id bigint, session_idx bigint, n_events bigint, "
+        "start_us bigint, end_us bigint, duration_us bigint"
+    )
+    state_type = "session_idx bigint, start_us bigint, last_us bigint, n bigint"
+    cols = ["user_id", "session_idx", "n_events", "start_us", "end_us",
+            "duration_us"]
+
+    def sess(key, pdf_iter, state):
+        rows = []
+        for pdf in pdf_iter:
+            for _, row in pdf.iterrows():
+                rows.append(
+                    (int(row["ts"].value // 1_000), int(row["event_id"]))
+                )
+        if not rows:
+            return
+        rows.sort()
+        if state.exists:
+            idx, start, last, n = state.get
+        else:
+            idx, start, last, n = 0, None, None, 0
+        closed = []
+        for tus, _eid in rows:
+            if start is None:
+                idx, start, last, n = idx + 1, tus, tus, 1
+            elif tus - last > gap_us:
+                closed.append((key[0], idx, n, start, last, last - start))
+                idx, start, last, n = idx + 1, tus, tus, 1
+            else:
+                last, n = max(last, tus), n + 1
+        state.update((int(idx), int(start), int(last), int(n)))
+        if closed:
+            yield pd.DataFrame(closed, columns=cols)
+
+    sessions = events.groupBy("user_id").applyInPandasWithState(
+        sess, out_type, state_type, "append", GroupStateTimeout.NoTimeout
+    )
+    writer = (
+        sessions.writeStream.format("parquet")
+        .option("path", os.path.join(output_dir, "data"))
+        .option("checkpointLocation", os.path.join(output_dir, "_checkpoint"))
+        .outputMode("append")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.trigger(processingTime=trigger_interval).start()

@@ -416,3 +416,56 @@ def test_stream_distant_supervision_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert first < len(got)  # second run appended only the new docs
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    """Streaming sessionization: sessions spanning the batch boundary
+    stay one session; the emitted closed-session log must equal the
+    batch operator minus each user's still-open final session."""
+    import datetime
+
+    from genie_spark.datapipe.sampling import sessionize
+    from genie_spark.streaming import stream_sessionize
+
+    t = datetime.datetime
+    in_dir, out_dir = str(tmp_path / "s_in"), str(tmp_path / "s_out")
+    schema = "event_id bigint, ts timestamp, user_id bigint"
+    base = t(2024, 1, 1)
+    m = datetime.timedelta(minutes=1)
+    batch1 = [
+        (1, base, 10), (2, base + 10 * m, 10),          # A session 1
+        (5, base, 20), (6, base + 10 * m, 20),          # B session 1 start
+    ]
+    batch2 = [
+        (3, base + 120 * m, 10),                        # A session 2
+        (4, base + 300 * m, 10),                        # A session 3 (open)
+        (7, base + 20 * m, 20),                         # B session 1 spans!
+        (8, base + 180 * m, 20),                        # B session 2 (open)
+    ]
+    spark.createDataFrame(batch1, schema).write.mode("overwrite").parquet(in_dir)
+    stream_sessionize(spark, in_dir, out_dir, gap_minutes=30)
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(in_dir)
+    stream_sessionize(spark, in_dir, out_dir, gap_minutes=30)
+
+    got = {
+        (r["user_id"], r["session_idx"]): (
+            r["n_events"], r["start_us"], r["end_us"], r["duration_us"]
+        )
+        for r in spark.read.parquet(os.path.join(out_dir, "data")).collect()
+    }
+    full = sessionize(
+        spark.createDataFrame(batch1 + batch2, schema), gap_minutes=30
+    ).collect()
+    last_idx = {}
+    for r in full:
+        last_idx[r["user_id"]] = max(
+            last_idx.get(r["user_id"], 0), r["session_idx"]
+        )
+    want = {
+        (r["user_id"], r["session_idx"]): (
+            r["n_events"], r["start_us"], r["end_us"], r["duration_us"]
+        )
+        for r in full
+        if r["session_idx"] != last_idx[r["user_id"]]
+    }
+    assert got == want and len(want) == 3  # A:2 closed + B:1 closed
