@@ -650,8 +650,16 @@ def main():
     # kept compact — headline numbers + per-query timings + a pointer —
     # while every nested detail (scaling levels, hw baseline, record) is
     # in the file.
+    # Mode-aware filename: --gen-only workers (spawned per scaling level)
+    # and --scaling campaigns must NOT clobber the committed full-suite
+    # record — a gen-only worker overwrote suite_latest.json with its
+    # 5-field result once (committed at 8e5e883; caught round 5).
+    artifact = (
+        "suite_latest.json" if not (args.scaling or args.gen_only)
+        else ("scaling_latest.json" if args.scaling else "gen_only_latest.json")
+    )
     full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH", "suite_latest.json"
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", artifact
     )
     try:
         os.makedirs(os.path.dirname(full_path), exist_ok=True)
