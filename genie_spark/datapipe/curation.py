@@ -86,6 +86,8 @@ def curate_pages(
     neardup_cc: bool = False,
     redact: bool = False,
     dedup_lines: bool = False,
+    strip_boilerplate: bool = False,
+    boilerplate_min_df: int = 3,
     text_col: str = "text",
     url_col: str = "url",
 ) -> DataFrame:
@@ -124,6 +126,23 @@ def curate_pages(
         )
         pages = (
             pages.join(ld, url_col)
+            .withColumn(text_col, F.col("clean_text"))
+            .drop("clean_text")
+            .filter(F.length(text_col) > 0)
+        )
+    if strip_boilerplate:
+        # corpus-frequency boilerplate removal AFTER line dedup: lines in
+        # >= min_df distinct surviving pages drop from all of them
+        # (C4/CCNet family; dedup.boilerplate_strip). In-place rewrite
+        # keyed on the page url; fully-boilerplate pages drop.
+        from .dedup import boilerplate_strip
+
+        bs = boilerplate_strip(
+            pages, text_col=text_col, id_col=url_col,
+            min_df=boilerplate_min_df,
+        ).select(url_col, "clean_text")
+        pages = (
+            pages.join(bs, url_col)
             .withColumn(text_col, F.col("clean_text"))
             .drop("clean_text")
             .filter(F.length(text_col) > 0)

@@ -152,6 +152,10 @@ def parse_args(argv=None):
                     help="rewrite emails/URLs in page text to <EMAIL>/<URL>")
     ap.add_argument("--line-dedup", action="store_true",
                     help="corpus-wide first-occurrence line dedup of page text")
+    ap.add_argument("--strip-boilerplate", action="store_true",
+                    help="drop lines appearing in >= --boilerplate-min-df "
+                         "distinct pages (C4/CCNet boilerplate removal)")
+    ap.add_argument("--boilerplate-min-df", type=int, default=3)
     if cfg_ns.config:
         with open(cfg_ns.config, encoding="utf-8") as f:
             cfg = json.load(f)
@@ -177,6 +181,7 @@ def main():
     curation_on = (
         args.dedup_url or args.decontaminate_eval or args.quality_gate
         or args.neardup_cc or args.redact_contacts or args.line_dedup
+        or args.strip_boilerplate
     )
     if curation_on:
         from genie_spark.datapipe.curation import curate_pages
@@ -194,6 +199,8 @@ def main():
             neardup_cc=args.neardup_cc,
             redact=args.redact_contacts,
             dedup_lines=args.line_dedup,
+            strip_boilerplate=args.strip_boilerplate,
+            boilerplate_min_df=args.boilerplate_min_df,
         )
 
     # catalogs derive from the CURATED corpus: dropped/redacted text must
@@ -277,6 +284,7 @@ def main():
             "neardup_cc": bool(args.neardup_cc),
             "redact_contacts": bool(args.redact_contacts),
             "line_dedup": bool(args.line_dedup),
+            "strip_boilerplate": bool(args.strip_boilerplate),
         },
     }
     print(json.dumps(summary))

@@ -161,6 +161,7 @@ def test_run_pipeline_e2e_with_curation(spark, tmp_path):
     assert summary["curation"] == {
         "dedup_url": True, "decontaminate": False, "quality_gate": True,
         "neardup_cc": False, "redact_contacts": False, "line_dedup": True,
+        "strip_boilerplate": False,
     }
     assert os.path.exists(os.path.join(out_dir, "graph"))
 
@@ -181,3 +182,23 @@ def test_curate_pages_neardup_cc_collapses_chains(spark):
     kept = sorted(r["url"] for r in out.collect())
     # the a~b~c chain collapses to its min url; z survives as a singleton
     assert kept == ["https://h/a", "https://h/z"]
+
+
+def test_curate_pages_strip_boilerplate(spark):
+    """Boilerplate stage: 8-word chunks appearing in >= min_df distinct
+    pages drop from ALL of them; unique body text survives; a
+    fully-boilerplate page drops entirely."""
+    header = "cookie notice please accept our terms to continue"  # 8 words
+    rows = [
+        (f"https://h/b{i}", 1, header + f" unique body text number {i} "
+                                        "with several distinct plain words")
+        for i in range(3)
+    ] + [("https://h/allboiler", 1, header)]
+    pages = spark.createDataFrame(rows, ["url", "warc_ts", "text"])
+    out = curate_pages(pages, strip_boilerplate=True, boilerplate_min_df=3)
+    got = {r["url"]: r["text"] for r in out.collect()}
+    assert "https://h/allboiler" not in got          # nothing left
+    assert set(got) == {f"https://h/b{i}" for i in range(3)}
+    for i in range(3):
+        t = got[f"https://h/b{i}"]
+        assert "cookie notice" not in t and f"number {i}" in t
