@@ -133,6 +133,7 @@ HEADLINE = [
     "ann_pq_topk",
     "ann_pq_kmeans_topk",
     "ann_pq_rerank_topk",
+    "ann_recall_eval",
     "embedding_neardup_lsh",
     "lang_id",
     "quality_score",

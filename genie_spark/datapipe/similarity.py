@@ -1348,3 +1348,126 @@ dropped AS (
 SELECT c.vec_id, c.cell FROM cells c
 ANTI JOIN dropped d ON d.vec_id = c.vec_id
 """
+
+
+def lsh_recall_eval(
+    emb: DataFrame,
+    n_planes: int = 4,
+    dim: int = 64,
+    k: int = 10,
+    query_mod: int = 97,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of the hyperplane-LSH probe against exact brute force,
+    measured over a hash-drawn query panel (ids ≡ 0 mod ``query_mod``)
+    drawn from the corpus itself — the accuracy accounting every
+    approximate index owes its users (the recall/cost curve is THE
+    ANN tuning artifact; see e.g. Johnson et al., faiss, 2017). Per
+    query: ground truth = global top-k by (cosine, id); approximate =
+    top-k restricted to the query's own bucket; returns
+    ``(qid, n_hits, recall_ppm)`` in integer ppm.
+
+    Scale shape: ground truth is a query-panel × corpus join (panel is
+    a broadcast; per-row math is JVM zip_with/aggregate), the approx
+    side joins on the BUCKET key, and both top-ks are
+    query-partitioned windows — no global sort; the recall join moves
+    k rows per query."""
+    from pyspark.sql import Window
+
+    planes = hyperplanes(n_planes, dim, seed)
+    q = (
+        emb.filter(F.col(id_col) % query_mod == 0)
+        .select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("qemb"),
+        )
+        .withColumn("qb", hyperplane_bucket_col(F.col("qemb"), planes))
+    )
+    e = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_bucket_col(F.col(vec_col), planes).alias("eb"),
+    )
+    cos = F.round(cosine_col(F.col(vec_col), F.col("qemb")), 6)
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc(id_col))
+
+    def topk(pairs):
+        return (
+            pairs.select("qid", F.col(id_col), cos.alias("cosine"))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select("qid", id_col)
+        )
+
+    gt = topk(
+        F.broadcast(q).crossJoin(e).filter(F.col(id_col) != F.col("qid"))
+    )
+    ap = topk(
+        q.join(e, q.qb == e.eb).filter(F.col(id_col) != F.col("qid"))
+    )
+    hits = gt.join(ap, ["qid", id_col]).groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    return (
+        q.select("qid")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.expr(f"(coalesce(n_hits, 0L) * 1000000L) div {k}L")
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+    )
+
+
+def lsh_recall_eval_sql(
+    n_planes: int = 4,
+    dim: int = 64,
+    k: int = 10,
+    query_mod: int = 97,
+    seed: int = 42,
+) -> str:
+    """DuckDB twin of :func:`lsh_recall_eval` — same plane literals,
+    same (round(cosine,6), id) ordering, same integer-ppm recall."""
+    planes = hyperplanes(n_planes, dim, seed)
+    b_e = _bucket_expr_sql(planes, "embedding")
+    b_q = _bucket_expr_sql(planes, "qemb")
+    cos = (
+        "round(list_sum(list_transform(list_zip(embedding, qemb),"
+        " p -> p[1]::DOUBLE * p[2]::DOUBLE))"
+        " / (sqrt(list_sum(list_transform(embedding,"
+        " x -> x::DOUBLE * x::DOUBLE)))"
+        " * sqrt(list_sum(list_transform(qemb,"
+        " x -> x::DOUBLE * x::DOUBLE)))), 6)"
+    )
+    return f"""
+WITH re_q AS (
+  SELECT vec_id AS qid, embedding AS qemb, {b_q.replace("embedding", "qemb")} AS qb
+  FROM (SELECT vec_id, embedding, embedding AS qemb FROM embeddings
+        WHERE vec_id % {query_mod} = 0)),
+re_e AS (SELECT vec_id, embedding, {b_e} AS eb FROM embeddings),
+re_gt AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, e.vec_id,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY {cos} DESC, e.vec_id ASC) AS rn
+    FROM re_q q CROSS JOIN re_e e WHERE e.vec_id <> q.qid)
+  WHERE rn <= {k}),
+re_ap AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, e.vec_id,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY {cos} DESC, e.vec_id ASC) AS rn
+    FROM re_q q JOIN re_e e ON q.qb = e.eb WHERE e.vec_id <> q.qid)
+  WHERE rn <= {k}),
+re_hit AS (
+  SELECT g.qid, count(*)::BIGINT AS n_hits
+  FROM re_gt g JOIN re_ap a ON g.qid = a.qid AND g.vec_id = a.vec_id
+  GROUP BY 1)
+SELECT q.qid, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       (coalesce(h.n_hits, 0) * 1000000 // {k})::BIGINT AS recall_ppm
+FROM re_q q LEFT JOIN re_hit h ON q.qid = h.qid
+"""

@@ -1763,6 +1763,33 @@ def ann_lsh_multiprobe_topk(spark, sf_dir):
     )
 
 
+@_register("ann_recall_eval", None)
+def ann_recall_eval(spark, sf_dir):
+    """Recall@10 of the hyperplane-LSH probe vs exact brute force over a
+    hash-drawn query panel from the corpus itself — the accuracy
+    accounting an approximate index owes its users. Ground truth is a
+    broadcast panel × corpus join; the approximate side joins on the
+    bucket key; integer-ppm recall per query
+    (datapipe/similarity.py lsh_recall_eval)."""
+    from .datapipe.similarity import lsh_recall_eval
+
+    return lsh_recall_eval(
+        _t(spark, sf_dir, "embeddings"), n_planes=_LSH_PLANES,
+        dim=len(ANN_QUERY), k=_ANN_K, query_mod=97,
+    )
+
+
+def _install_recall_oracle():
+    from .datapipe.similarity import lsh_recall_eval_sql
+
+    ORACLES["ann_recall_eval"] = lsh_recall_eval_sql(
+        n_planes=_LSH_PLANES, dim=len(ANN_QUERY), k=_ANN_K, query_mod=97
+    )
+
+
+_install_recall_oracle()
+
+
 _IVF_CELLS = 8
 _IVF_PROBE = 2
 
