@@ -176,6 +176,7 @@ HEADLINE = [
     "lm_surprisal",
     "fuzzy_link",
     "kg_fuse_latest",
+    "kg_fact_intervals",
     "rdf_ntriples",
     "kg_negative_samples",
     "kg_relation_profile",

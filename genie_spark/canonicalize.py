@@ -734,3 +734,62 @@ def link_prior(
             (F.lit(0).cast("long") - F.col("_w.ns")).alias("support"),
         )
     )
+
+
+def fact_intervals(
+    assertions: DataFrame,
+    s_col: str = "s",
+    r_col: str = "r",
+    o_col: str = "o",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Temporal fact VERSIONING: collapse the timestamped assertion
+    stream into validity intervals per (subject, relation) — each run of
+    consecutive assertions of the same object becomes one version
+    ``[valid_from, valid_to)``, open-ended (NULL valid_to) for the
+    current one. This is the temporal-KG representation (Wikidata
+    start/end qualifiers; bitemporal fact tables) that latest-wins
+    fusion (:func:`fuse_latest`) throws away. The islands construction:
+    a per-key lag marks object changes, a running sum numbers versions
+    (the sessionize pattern over value changes instead of time gaps),
+    one aggregate per version, and a lead over the version-grain frame
+    closes each interval at its successor's start.
+
+    Determinism: assertion order within a key is (ts, o) — same-instant
+    conflicting objects split versions in object order, engine-exact.
+
+    Scale shape (100 TB assertion logs): all three windows and the
+    aggregate are PARTITIONED BY (s, r) — one hash Exchange, reused
+    across the chain (the lead runs on the version-grain frame, which is
+    already keyed); no global sort anywhere."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(s_col, r_col).orderBy(ts_col, o_col)
+    chg = F.when(
+        F.lag(o_col).over(w).isNull()
+        | (F.col(o_col) != F.lag(o_col).over(w)),
+        1,
+    ).otherwise(0)
+    ver = (
+        assertions.select(s_col, r_col, o_col, ts_col)
+        .withColumn("_chg", chg)
+        .withColumn(
+            "_ver",
+            F.sum("_chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    runs = ver.groupBy(s_col, r_col, "_ver").agg(
+        F.min(o_col).alias(o_col),
+        F.min(ts_col).alias("_from"),
+        F.count(F.lit(1)).cast("long").alias("n_assertions"),
+    )
+    wv = Window.partitionBy(s_col, r_col).orderBy("_ver")
+    return runs.withColumn("_to", F.lead("_from").over(wv)).select(
+        s_col,
+        r_col,
+        o_col,
+        F.col("_ver").cast("long").alias("version"),
+        F.unix_timestamp("_from").cast("bigint").alias("valid_from_epoch"),
+        F.unix_timestamp("_to").cast("bigint").alias("valid_to_epoch"),
+        "n_assertions",
+    )

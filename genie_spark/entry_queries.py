@@ -3747,6 +3747,62 @@ def fuzzy_link_q(spark, sf_dir):
 
 
 @_register(
+    "kg_fact_intervals",
+    f"""
+WITH fi AS (
+  SELECT l_orderkey AS s, l_returnflag AS r, l_partkey AS o, l_shipdate AS ts
+  FROM lineitem WHERE l_shipdate < TIMESTAMP '{_CUT}'
+),
+fi_chg AS (
+  SELECT s, r, o, ts,
+         CASE WHEN lag(o) OVER w IS NULL OR o <> lag(o) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM fi WINDOW w AS (PARTITION BY s, r ORDER BY ts, o)
+),
+fi_ver AS (
+  SELECT s, r, o, ts,
+         sum(chg) OVER (PARTITION BY s, r ORDER BY ts, o
+                        ROWS UNBOUNDED PRECEDING) AS ver
+  FROM fi_chg
+),
+fi_runs AS (
+  SELECT s, r, min(o) AS o, ver, min(ts) AS f,
+         count(*)::BIGINT AS n_assertions
+  FROM fi_ver GROUP BY s, r, ver
+)
+SELECT s::BIGINT AS s, r, o::BIGINT AS o, ver::BIGINT AS version,
+       epoch(f)::BIGINT AS valid_from_epoch,
+       epoch(lead(f) OVER (PARTITION BY s, r ORDER BY ver))::BIGINT
+         AS valid_to_epoch,
+       n_assertions
+FROM fi_runs
+""",
+)
+def kg_fact_intervals_q(spark, sf_dir):
+    """Temporal fact versioning: the assertion stream collapsed into
+    validity intervals per (s, r) — islands construction (lag change
+    marks + running sum + one aggregate + lead), all windows partitioned
+    on the key, ONE reused hash Exchange, no global sort
+    (canonicalize.fact_intervals). The temporal-KG representation
+    latest-wins fusion discards."""
+    from .canonicalize import fact_intervals
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") < _CUT)
+    assertions = li.select(
+        F.col("l_orderkey").alias("s"),
+        F.col("l_returnflag").alias("r"),
+        F.col("l_partkey").alias("o"),
+        F.col("l_shipdate").alias("ts"),
+    )
+    out = fact_intervals(assertions)
+    return out.select(
+        F.col("s").cast("bigint").alias("s"), "r",
+        F.col("o").cast("bigint").alias("o"),
+        "version", "valid_from_epoch", "valid_to_epoch", "n_assertions",
+    )
+
+
+@_register(
     "kg_fuse_latest",
     f"""
 WITH fu AS (
