@@ -177,6 +177,7 @@ HEADLINE = [
     "fuzzy_link",
     "kg_fuse_latest",
     "kg_fact_intervals",
+    "kg_asof_snapshot",
     "rdf_ntriples",
     "kg_negative_samples",
     "kg_relation_profile",

@@ -793,3 +793,29 @@ def fact_intervals(
         F.unix_timestamp("_to").cast("bigint").alias("valid_to_epoch"),
         "n_assertions",
     )
+
+
+def asof_snapshot(
+    intervals: DataFrame,
+    at_epoch: int,
+    s_col: str = "s",
+    r_col: str = "r",
+    o_col: str = "o",
+) -> DataFrame:
+    """Time-travel query over :func:`fact_intervals` output: the graph
+    AS OF ``at_epoch`` — the version whose interval covers the instant
+    (valid_from ≤ t < valid_to, open current intervals included). A pure
+    row-local filter over the materialized interval table: snapshot
+    reconstruction costs a scan, never a re-fusion of the assertion
+    log — the point of storing intervals. Returns one (s, r, o) per key
+    valid at t, plus how long the fact had been valid by then."""
+    t = F.lit(int(at_epoch)).cast("bigint")
+    return intervals.filter(
+        (F.col("valid_from_epoch") <= t)
+        & (F.col("valid_to_epoch").isNull() | (F.col("valid_to_epoch") > t))
+    ).select(
+        s_col,
+        r_col,
+        o_col,
+        (t - F.col("valid_from_epoch")).cast("bigint").alias("valid_for_s"),
+    )

@@ -3802,6 +3802,70 @@ def kg_fact_intervals_q(spark, sf_dir):
     )
 
 
+# mid-1995 instant: inside the assertion window (facts < _CUT) so the
+# snapshot mixes closed and still-open versions
+_ASOF_EPOCH = 804556800  # 1995-07-01 00:00:00 UTC
+
+
+@_register(
+    "kg_asof_snapshot",
+    f"""
+WITH fi AS (
+  SELECT l_orderkey AS s, l_returnflag AS r, l_partkey AS o, l_shipdate AS ts
+  FROM lineitem WHERE l_shipdate < TIMESTAMP '{_CUT}'
+),
+fi_chg AS (
+  SELECT s, r, o, ts,
+         CASE WHEN lag(o) OVER w IS NULL OR o <> lag(o) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM fi WINDOW w AS (PARTITION BY s, r ORDER BY ts, o)
+),
+fi_ver AS (
+  SELECT s, r, o, ts,
+         sum(chg) OVER (PARTITION BY s, r ORDER BY ts, o
+                        ROWS UNBOUNDED PRECEDING) AS ver
+  FROM fi_chg
+),
+fi_runs AS (
+  SELECT s, r, min(o) AS o, ver, min(ts) AS f,
+         count(*)::BIGINT AS n_assertions
+  FROM fi_ver GROUP BY s, r, ver
+),
+fi_iv AS (
+  SELECT s, r, o, epoch(f)::BIGINT AS vf,
+         epoch(lead(f) OVER (PARTITION BY s, r ORDER BY ver))::BIGINT AS vt
+  FROM fi_runs
+)
+SELECT s::BIGINT AS s, r, o::BIGINT AS o,
+       ({_ASOF_EPOCH} - vf)::BIGINT AS valid_for_s
+FROM fi_iv
+WHERE vf <= {_ASOF_EPOCH} AND (vt IS NULL OR vt > {_ASOF_EPOCH})
+""",
+)
+def kg_asof_snapshot_q(spark, sf_dir):
+    """Time-travel: the KG AS OF 1995-07-01, reconstructed as a pure
+    row-local filter over the materialized interval table (one scan —
+    never a re-fusion of the assertion log; the reason intervals are
+    stored). Composes fact_intervals → asof_snapshot
+    (canonicalize.asof_snapshot)."""
+    from .canonicalize import asof_snapshot, fact_intervals
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") < _CUT)
+    iv = fact_intervals(
+        li.select(
+            F.col("l_orderkey").alias("s"),
+            F.col("l_returnflag").alias("r"),
+            F.col("l_partkey").alias("o"),
+            F.col("l_shipdate").alias("ts"),
+        )
+    )
+    out = asof_snapshot(iv, _ASOF_EPOCH)
+    return out.select(
+        F.col("s").cast("bigint").alias("s"), "r",
+        F.col("o").cast("bigint").alias("o"), "valid_for_s",
+    )
+
+
 @_register(
     "kg_fuse_latest",
     f"""
