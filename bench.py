@@ -193,6 +193,7 @@ HEADLINE = [
     "kg_evidence",
     "kg_fuse_weighted",
     "kg_chain_rules",
+    "kg_rule_infer",
     "distant_supervision_sentences",
     "kg_link_prediction",
     "calibration_bins",

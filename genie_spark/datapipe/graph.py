@@ -1237,3 +1237,73 @@ def closure_delta(
         .distinct()
     )
     return not_known(seen.union(left).distinct(), old_c)
+
+
+def rule_based_inference(
+    triples: DataFrame,
+    min_confidence_ppm: int = 300_000,
+    min_support: int = 5,
+    s_col: str = "s",
+    r_col: str = "r",
+    o_col: str = "o",
+) -> DataFrame:
+    """KB COMPLETION by mined rules — the application half of the AMIE
+    loop (:func:`chain_rule_confidence` mines; this infers): every
+    body path (x →r1 z →r2 y) of a rule that cleared the confidence and
+    support bars proposes the head fact (x, r_head, y); facts already
+    in the KB anti-join away; each surviving candidate keeps its BEST
+    supporting rule (max confidence, ties to lexicographically
+    smallest body) as provenance. Returns
+    ``(s, r, o, r1, r2, confidence_ppm)`` — new facts with the rule
+    that predicted them, the GenIE-style closed-world graph completed
+    where the evidence was missing.
+
+    Scale shape: the mined rule table is relation-vocabulary-sized —
+    BROADCAST onto the path set; the path join is the same z-keyed
+    AMIE join as mining (share/materialize it in a real pipeline); the
+    known-fact anti-join and the best-rule groupBy are keyed on the
+    candidate fact. Nothing moves at |facts|² anywhere."""
+    facts = triples.select(
+        F.col(s_col).alias("s"), F.col(r_col).alias("r"), F.col(o_col).alias("o")
+    ).distinct().localCheckpoint(eager=False)
+    rules = chain_rule_confidence(facts, min_support=min_support).filter(
+        F.col("confidence_ppm") >= min_confidence_ppm
+    )
+    hop1 = facts.select(
+        F.col("s").alias("x"), F.col("o").alias("z"), F.col("r").alias("r1")
+    )
+    hop2 = facts.select(
+        F.col("s").alias("z"), F.col("o").alias("y"), F.col("r").alias("r2")
+    )
+    paths = hop1.join(hop2, "z").select("x", "y", "r1", "r2").distinct()
+    cand = paths.join(
+        F.broadcast(rules.select("r1", "r2", "r_head", "confidence_ppm")),
+        ["r1", "r2"],
+    )
+    new = cand.join(
+        facts.select(
+            F.col("s").alias("x"), F.col("r").alias("r_head"),
+            F.col("o").alias("y"),
+        ),
+        ["x", "r_head", "y"],
+        "left_anti",
+    )
+    # best rule = max confidence, ties to smallest (r1, r2): one min
+    # over the (-confidence, r1, r2) struct
+    key = F.struct(
+        (F.lit(0).cast("long") - F.col("confidence_ppm")).alias("nc"),
+        F.col("r1").alias("a"),
+        F.col("r2").alias("b"),
+    )
+    return (
+        new.groupBy("x", "r_head", "y")
+        .agg(F.min(key).alias("_k"))
+        .select(
+            F.col("x").alias("s"),
+            F.col("r_head").alias("r"),
+            F.col("y").alias("o"),
+            F.col("_k.a").alias("r1"),
+            F.col("_k.b").alias("r2"),
+            (F.lit(0).cast("long") - F.col("_k.nc")).alias("confidence_ppm"),
+        )
+    )

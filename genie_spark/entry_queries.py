@@ -4929,6 +4929,12 @@ def kg_chain_rules_q(spark, sf_dir):
     join."""
     from .datapipe.graph import chain_rule_confidence
 
+    return chain_rule_confidence(_chain_facts_df(spark, sf_dir), min_support=1)
+
+
+def _chain_facts_df(spark, sf_dir):
+    """Spark twin of _CHAIN_FACTS_SQL (the 5-relation engineered fact
+    universe shared by the rule-mining and rule-application queries)."""
     sup = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation")
     cust = _t(spark, sf_dir, "customer")
@@ -4979,7 +4985,63 @@ def kg_chain_rules_q(spark, sf_dir):
             F.concat(F.lit("R"), F.col("n_regionkey").cast("string")),
         )
     )
-    return chain_rule_confidence(facts, min_support=1)
+    return facts
+
+
+_RULE_MIN_CONF = 300_000
+_RULE_MIN_SUP = 5
+
+
+@_register(
+    "kg_rule_infer",
+    f"""
+WITH {_CHAIN_FACTS_SQL},
+ri_f AS (SELECT DISTINCT s, r, o FROM cf),
+ri_paths AS (
+  SELECT DISTINCT a.s AS x, b.o AS y, a.r AS r1, b.r AS r2
+  FROM ri_f a JOIN ri_f b ON a.o = b.s),
+ri_body AS (SELECT r1, r2, count(*)::BIGINT AS n_body FROM ri_paths GROUP BY 1, 2),
+ri_sup AS (
+  SELECT p.r1, p.r2, h.r AS r_head, count(*)::BIGINT AS support
+  FROM ri_paths p JOIN ri_f h ON p.x = h.s AND p.y = h.o
+  GROUP BY 1, 2, 3),
+ri_rules AS (
+  SELECT s.r1, s.r2, s.r_head,
+         (s.support * 1000000 // b.n_body)::BIGINT AS confidence_ppm
+  FROM ri_sup s JOIN ri_body b USING (r1, r2)
+  WHERE s.support >= {_RULE_MIN_SUP}
+    AND (s.support * 1000000 // b.n_body) >= {_RULE_MIN_CONF}),
+ri_cand AS (
+  SELECT p.x, r.r_head, p.y, r.r1, r.r2, r.confidence_ppm
+  FROM ri_paths p JOIN ri_rules r USING (r1, r2)
+  WHERE NOT EXISTS (SELECT 1 FROM ri_f f
+                    WHERE f.s = p.x AND f.r = r.r_head AND f.o = p.y)),
+ri_best AS (
+  SELECT x, r_head, y,
+         min(struct_pack(nc := -confidence_ppm, a := r1, b := r2)) AS k
+  FROM ri_cand GROUP BY 1, 2, 3)
+SELECT x AS s, r_head AS r, y AS o, k['a'] AS r1, k['b'] AS r2,
+       (-k['nc'])::BIGINT AS confidence_ppm
+FROM ri_best
+""",
+)
+def kg_rule_infer_q(spark, sf_dir):
+    """KB completion by mined rules — the application half of the AMIE
+    loop: confident chain rules (≥0.3 conf, ≥5 support) propose head
+    facts from body paths, known facts anti-join away, each new fact
+    keeps its best supporting rule. On the engineered universe this
+    reconstructs exactly the located_in/cust_region facts the fixture
+    withheld (suppkey%3=0, odd custkeys) — mining completes the KG
+    where evidence was dropped. Rules broadcast; candidate anti-join
+    and best-rule groupBy keyed on the fact
+    (datapipe/graph.py rule_based_inference)."""
+    from .datapipe.graph import rule_based_inference
+
+    return rule_based_inference(
+        _chain_facts_df(spark, sf_dir),
+        min_confidence_ppm=_RULE_MIN_CONF,
+        min_support=_RULE_MIN_SUP,
+    )
 
 
 @_register(
