@@ -165,6 +165,7 @@ HEADLINE = [
     "dedup_components",
     "kg_degree",
     "kg_pagerank",
+    "kg_ppr",
     "kg_two_hop",
     "kg_triangles",
     "dup_span_stats",

@@ -1307,3 +1307,129 @@ def rule_based_inference(
             (F.lit(0).cast("long") - F.col("_k.nc")).alias("confidence_ppm"),
         )
     )
+
+
+def personalized_pagerank_fixed(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 5,
+    scale: int = 10**12,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "v",
+) -> DataFrame:
+    """Personalized PageRank (random walk with restart to a SEED set) in
+    the same INTEGER fixed-point discipline as :func:`pagerank_fixed` —
+    the KG relatedness measure entity disambiguation and related-entity
+    retrieval run (all teleport and dangling mass returns to the seeds,
+    so rank concentrates in the seeds' neighborhood instead of
+    spreading globally). Per vertex::
+
+        r'(v) = [v∈S]·((den−num)·scale)//(den·|S|)
+                + (num·(inflow(v) + [v∈S]·(dangling//|S|)))//den
+
+    Returns ``(entity, rank_fp)`` for every vertex (zero off the
+    reachable neighborhood). Same per-iteration shape as PageRank: one
+    edges⋈ranks join + a partial-agg groupBy + a lazy 1-row dangling
+    aggregate + a broadcast seed-flag join; lineage cut per round."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    verts = (
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sd = seeds.select(F.col(seed_col).alias("v")).distinct().localCheckpoint(
+        eager=False
+    )
+    outd = e.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("od")
+    ).localCheckpoint(eager=False)
+    ns = sd.count()
+    tele = ((damping_den - damping_num) * scale) // (damping_den * ns)
+    flagged = verts.join(
+        F.broadcast(sd.withColumn("_is", F.lit(1))), "v", "left"
+    ).select("v", F.coalesce("_is", F.lit(0)).alias("_is"))
+    pr = flagged.select(
+        "v",
+        (F.col("_is") * F.lit(scale // ns)).cast("long").alias("r"),
+    )
+    for _ in range(iterations):
+        contrib = (
+            e.join(pr.withColumnRenamed("v", "src"), "src")
+            .join(outd.withColumnRenamed("v", "src"), "src")
+            .select(F.col("dst").alias("v"), F.expr("r div od").alias("c"))
+        )
+        inflow = contrib.groupBy("v").agg(F.sum("c").cast("long").alias("s"))
+        dang = (
+            pr.join(outd, "v", "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("d"))
+        )
+        pr = (
+            flagged.join(inflow, "v", "left")
+            .crossJoin(dang)
+            .select(
+                "v",
+                "_is",
+                (
+                    F.col("_is").cast("long") * F.lit(tele).cast("long")
+                    + F.expr(
+                        f"({damping_num}L * (coalesce(s, 0L)"
+                        f" + (_is * (d div {ns}L))))"
+                        f" div {damping_den}L"
+                    )
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return pr.select(F.col("v").alias("entity"), F.col("r").alias("rank_fp"))
+
+
+def ppr_sql_chain(
+    edges_cte: str = "e",
+    seeds_cte: str = "sds",
+    iterations: int = 5,
+    scale: int = 10**12,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> str:
+    """DuckDB twin of :func:`personalized_pagerank_fixed` (unrolled CTE
+    chain; caller selects from ``ppr{iterations}``). ``seeds_cte`` must
+    hold DISTINCT seed vertices in column ``v``."""
+    tele = (
+        f"(({damping_den - damping_num}::BIGINT * {scale})"
+        f" // ({damping_den} * (SELECT n FROM pns)))"
+    )
+    parts = [
+        f"verts AS (SELECT src AS v FROM {edges_cte} UNION SELECT dst FROM {edges_cte})",
+        f"pns AS (SELECT count(*)::BIGINT AS n FROM {seeds_cte})",
+        f"outd AS (SELECT src AS v, count(*)::BIGINT AS od FROM {edges_cte} GROUP BY src)",
+        f"""pfl AS (
+  SELECT v.v, CASE WHEN s.v IS NULL THEN 0 ELSE 1 END AS isd
+  FROM verts v LEFT JOIN {seeds_cte} s ON s.v = v.v)""",
+        f"ppr0 AS (SELECT v, (isd * ({scale}::BIGINT // (SELECT n FROM pns)))::BIGINT AS r FROM pfl)",
+    ]
+    for i in range(1, iterations + 1):
+        p = f"ppr{i - 1}"
+        parts.append(
+            f"""pinf{i} AS (
+  SELECT {edges_cte}.dst AS v, sum(p.r // o.od)::BIGINT AS s
+  FROM {edges_cte} JOIN {p} p ON p.v = {edges_cte}.src
+  JOIN outd o ON o.v = {edges_cte}.src GROUP BY {edges_cte}.dst)"""
+        )
+        parts.append(
+            f"""pdang{i} AS (
+  SELECT coalesce(sum(p.r), 0)::BIGINT AS d
+  FROM {p} p LEFT JOIN outd o ON o.v = p.v WHERE o.v IS NULL)"""
+        )
+        parts.append(
+            f"""ppr{i} AS (
+  SELECT f.v, (f.isd * {tele}
+    + ({damping_num}::BIGINT * (coalesce(i{i}.s, 0)
+       + (f.isd * ((SELECT d FROM pdang{i}) // (SELECT n FROM pns)))))
+      // {damping_den})::BIGINT AS r
+  FROM pfl f LEFT JOIN pinf{i} i{i} ON i{i}.v = f.v)"""
+        )
+    return ",\n".join(parts)

@@ -1376,6 +1376,47 @@ def _kg_communities_sql() -> str:
 ORACLES["kg_communities"] = _kg_communities_sql()
 
 
+@_register("kg_ppr", None)
+def kg_ppr(spark, sf_dir):
+    """Personalized PageRank (random walk with restart) from the
+    deterministic order seed set over the constructed KG — the
+    relatedness measure entity disambiguation runs; all teleport and
+    dangling mass returns to the seeds, integer fixed-point exact
+    (datapipe/graph.py personalized_pagerank_fixed; unrolled DuckDB CTE
+    twin)."""
+    from .datapipe.graph import personalized_pagerank_fixed
+
+    li = _t(spark, sf_dir, "lineitem")
+    seeds = (
+        li.filter(F.col("l_orderkey") % _KG_SEED_MOD == 0)
+        .select(
+            F.concat(F.lit("O"), F.col("l_orderkey").cast("string")).alias("v")
+        )
+        .distinct()
+    )
+    return personalized_pagerank_fixed(
+        _kg_edges_df(spark, sf_dir), seeds,
+        iterations=_PR_ITERS, scale=_PR_SCALE,
+    )
+
+
+def _kg_ppr_sql() -> str:
+    from .datapipe.graph import ppr_sql_chain
+
+    seeds = (
+        f"sds AS (SELECT DISTINCT 'O' || l_orderkey AS v FROM lineitem"
+        f" WHERE l_orderkey % {_KG_SEED_MOD} = 0)"
+    )
+    return (
+        f"WITH {_KG_EDGES_SQL},\n{seeds},\n"
+        + ppr_sql_chain("kg_edges", "sds", iterations=_PR_ITERS, scale=_PR_SCALE)
+        + f"\nSELECT v AS entity, r AS rank_fp FROM ppr{_PR_ITERS}"
+    )
+
+
+ORACLES["kg_ppr"] = _kg_ppr_sql()
+
+
 # Closure runs on the layered part→supplier→nation→region hierarchy plus
 # a seeded slice of the order layer (orderkey % 7) — depth-4 DAG, so the
 # semi-naive loop must survive ≥4 rounds and detect convergence; seeding
