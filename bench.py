@@ -118,6 +118,7 @@ HEADLINE = [
     "kilt_filters",
     "topk_per_group",
     "sessionize",
+    "event_rates_hopping",
     "sentence_split",
     "sentence_split_bounded",
     "linearize_roundtrip",

@@ -453,3 +453,50 @@ def group_cap(
         df.withColumn(out_col, F.row_number().over(w))
         .filter(F.col(out_col) <= k)
     )
+
+
+def hopping_window_rates(
+    events: DataFrame,
+    window_minutes: int = 30,
+    hop_minutes: int = 15,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Overlapping (hopping) time-window aggregation of the event log:
+    per (window start, event type) the event count and value sum, with
+    window size ``window_minutes`` advancing every ``hop_minutes`` —
+    the batch twin of the streaming windowed aggregation
+    (streaming.stream_page_rates), kept ENGINE-EXACT by doing the
+    window assignment in integer epoch-microsecond arithmetic instead
+    of engine-native window functions (Spark's F.window and DuckDB's
+    time_bucket draw boundaries differently around epoch offsets; the
+    explicit floor math cannot disagree). Each event explodes into
+    window/hop overlapping windows (a constant ≤ size/hop fan-out),
+    then ONE partial-aggregatable groupBy. Value sums are ppm-quantized
+    integers (determinism discipline: float sums are order-dependent)."""
+    hop_us = int(hop_minutes) * 60 * 1_000_000
+    n_win = int(window_minutes // hop_minutes)
+    tus = F.expr(
+        "timestampdiff(MICROSECOND, "
+        f"TIMESTAMP_NTZ '1970-01-01 00:00:00', `{ts_col}`)"
+    )
+    base = events.select(
+        tus.alias("_tus"),
+        F.col(type_col).alias("event_type"),
+        F.round(F.col(value_col) * 1_000_000).cast("long").alias("_v_ppm"),
+    )
+    win = base.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_win - 1)),
+                lambda i: (F.floor(F.col("_tus") / hop_us) - i) * hop_us,
+            )
+        ).alias("win_start_us"),
+        "event_type",
+        "_v_ppm",
+    )
+    return win.groupBy("win_start_us", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("_v_ppm").cast("long").alias("value_sum_ppm"),
+    )

@@ -541,6 +541,37 @@ def topk_per_group(spark, sf_dir):
 
 
 @_register(
+    "event_rates_hopping",
+    """
+WITH hw_b AS (
+  SELECT epoch_us(ts) AS tus, event_type,
+         round(value * 1000000)::BIGINT AS v_ppm
+  FROM events),
+hw_w AS (
+  SELECT ((tus // 900000000) - i) * 900000000 AS win_start_us,
+         event_type, v_ppm
+  FROM hw_b, unnest(generate_series(0, 1)) AS t(i))
+SELECT win_start_us, event_type,
+       count(*)::BIGINT AS n_events,
+       sum(v_ppm)::BIGINT AS value_sum_ppm
+FROM hw_w GROUP BY 1, 2
+""",
+)
+def event_rates_hopping_q(spark, sf_dir):
+    """Hopping-window event aggregation (30-min windows, 15-min hop) in
+    integer epoch-microsecond arithmetic — the batch twin of the
+    streaming windowed rates, engine-exact where native window
+    functions draw boundaries differently. Constant ≤2× explode then
+    ONE partial-agg groupBy; value sums ppm-quantized
+    (datapipe/sampling.py hopping_window_rates)."""
+    from .datapipe.sampling import hopping_window_rates
+
+    return hopping_window_rates(
+        _t(spark, sf_dir, "events"), window_minutes=30, hop_minutes=15
+    )
+
+
+@_register(
     "sessionize",
     """
 WITH se_ev AS (
