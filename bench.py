@@ -119,6 +119,8 @@ HEADLINE = [
     "topk_per_group",
     "sessionize",
     "event_rates_hopping",
+    "asof_enrich",
+    "range_band_join",
     "sentence_split",
     "sentence_split_bounded",
     "linearize_roundtrip",
