@@ -120,6 +120,7 @@ HEADLINE = [
     "sessionize",
     "event_rates_hopping",
     "asof_enrich",
+    "skew_profile",
     "range_band_join",
     "sentence_split",
     "sentence_split_bounded",
