@@ -167,6 +167,7 @@ HEADLINE = [
     "ann_ivf_pq_topk",
     "dedup_semantic",
     "dedup_components",
+    "dedup_cluster_sizes",
     "kg_degree",
     "kg_pagerank",
     "kg_ppr",

@@ -1401,6 +1401,56 @@ FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
 )
 
 
+@_register("dedup_cluster_sizes", None)
+def dedup_cluster_sizes(spark, sf_dir):
+    """Duplicate-cluster size histogram — the audit number a dedup run
+    reports (how much mass sits in clusters of size 2, 3, ...; size-1 =
+    unique docs). Composes the connected-components closure with two
+    counter-sized aggregates: component → size, size → (n_clusters,
+    n_docs). Both groupBys partial-aggregate; output is
+    histogram-sized."""
+    from .datapipe.dedup import minhash_jaccard_pairs
+    from .datapipe.graph import components_with_singletons
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_jaccard_pairs(
+        docs, num_hashes=_MINHASH_N, bands=_MINHASH_BANDS,
+        threshold=_MINHASH_T,
+    )
+    comp = components_with_singletons(docs.select("doc_id"), pairs, "doc_id")
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    return sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("sz").cast("long").alias("n_docs"),
+    )
+
+
+ORACLES["dedup_cluster_sizes"] = (
+    f"WITH RECURSIVE {_minhash_chain_sql('documents')},\n"
+    f"""edges AS (
+  SELECT id_a AS u, id_b AS w FROM est WHERE ej >= {_MINHASH_T}
+  UNION ALL
+  SELECT id_b, id_a FROM est WHERE ej >= {_MINHASH_T}
+),
+reach(v, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.w, reach.r FROM reach JOIN edges e ON e.u = reach.v
+),
+comp AS (SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v),
+lbl AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+szs AS (SELECT component, count(*)::BIGINT AS sz FROM lbl GROUP BY 1)
+SELECT sz AS cluster_size, count(*)::BIGINT AS n_clusters,
+       sum(sz)::BIGINT AS n_docs
+FROM szs GROUP BY 1
+"""
+)
+
+
 # -- KG analytics ----------------------------------------------------------------
 #
 # Once the engine has constructed and canonicalized a KG, users run graph
