@@ -171,6 +171,7 @@ HEADLINE = [
     "kg_degree",
     "kg_pagerank",
     "kg_ppr",
+    "kg_hits",
     "kg_two_hop",
     "kg_triangles",
     "dup_span_stats",

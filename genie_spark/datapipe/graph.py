@@ -1433,3 +1433,122 @@ def ppr_sql_chain(
   FROM pfl f LEFT JOIN pinf{i} i{i} ON i{i}.v = f.v)"""
         )
     return ",\n".join(parts)
+
+
+def hits_fixed(
+    edges: DataFrame,
+    iterations: int = 3,
+    scale: int = 10**6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) in INTEGER fixed-point
+    with L1 normalization — the float L2 norm of the original is
+    engine-divergent (non-associative sums, sqrt), the integer L1 form
+    (x' = x·scale // Σx) is exact and preserves the ranking. Per
+    iteration: authorities = normalized in-flow of hub mass, hubs =
+    normalized out-flow of authority mass — two edges⋈scores joins +
+    two partial-agg groupBys + two lazy 1-row totals; lineage cut per
+    iteration. Returns ``(entity, hub_fp, auth_fp)`` in units of
+    1/scale. ``scale`` stays at 1e6 so raw·scale fits signed-64 even at
+    web in-degrees (raw ≤ scale·deg)."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    verts = (
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    h = verts.select("v", F.lit(scale).cast("long").alias("r"))
+    a = None
+    for _ in range(iterations):
+        araw = (
+            e.join(h.withColumnRenamed("v", "src"), "src")
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.sum("r").cast("long").alias("s"))
+        )
+        atot = araw.agg(F.sum("s").cast("long").alias("t"))
+        a = (
+            verts.join(araw, "v", "left")
+            .crossJoin(atot)
+            .select(
+                "v",
+                F.when(
+                    F.col("s").isNull(), F.lit(0).cast("long")
+                ).otherwise(
+                    F.expr(f"(s * {scale}L) div t")
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        hraw = (
+            e.join(a.withColumnRenamed("v", "dst"), "dst")
+            .groupBy(F.col("src").alias("v"))
+            .agg(F.sum("r").cast("long").alias("s"))
+        )
+        htot = hraw.agg(F.sum("s").cast("long").alias("t"))
+        h = (
+            verts.join(hraw, "v", "left")
+            .crossJoin(htot)
+            .select(
+                "v",
+                F.when(
+                    F.col("s").isNull(), F.lit(0).cast("long")
+                ).otherwise(
+                    F.expr(f"(s * {scale}L) div t")
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        h.withColumnRenamed("r", "hub_fp")
+        .join(a.withColumnRenamed("r", "auth_fp"), "v")
+        .select(F.col("v").alias("entity"), "hub_fp", "auth_fp")
+    )
+
+
+def hits_sql_chain(
+    edges_cte: str = "e", iterations: int = 3, scale: int = 10**6
+) -> str:
+    """DuckDB twin of :func:`hits_fixed` (unrolled CTE chain; caller
+    selects entity/hub_fp/auth_fp from ``hsel``)."""
+    parts = [
+        f"hverts AS (SELECT src AS v FROM {edges_cte} UNION SELECT dst FROM {edges_cte})",
+        f"h0 AS (SELECT v, {scale}::BIGINT AS r FROM hverts)",
+    ]
+    for i in range(1, iterations + 1):
+        p = f"h{i - 1}"
+        parts.append(
+            f"""ar{i} AS (
+  SELECT {edges_cte}.dst AS v, sum(p.r)::BIGINT AS s
+  FROM {edges_cte} JOIN {p} p ON p.v = {edges_cte}.src GROUP BY 1)"""
+        )
+        parts.append(f"at{i} AS (SELECT sum(s)::BIGINT AS t FROM ar{i})")
+        parts.append(
+            f"""a{i} AS (
+  SELECT v.v, CASE WHEN ar.s IS NULL THEN 0
+    ELSE (ar.s * {scale}) // (SELECT t FROM at{i}) END::BIGINT AS r
+  FROM hverts v LEFT JOIN ar{i} ar ON ar.v = v.v)"""
+        )
+        parts.append(
+            f"""hr{i} AS (
+  SELECT {edges_cte}.src AS v, sum(p.r)::BIGINT AS s
+  FROM {edges_cte} JOIN a{i} p ON p.v = {edges_cte}.dst GROUP BY 1)"""
+        )
+        parts.append(f"ht{i} AS (SELECT sum(s)::BIGINT AS t FROM hr{i})")
+        parts.append(
+            f"""h{i} AS (
+  SELECT v.v, CASE WHEN hr.s IS NULL THEN 0
+    ELSE (hr.s * {scale}) // (SELECT t FROM ht{i}) END::BIGINT AS r
+  FROM hverts v LEFT JOIN hr{i} hr ON hr.v = v.v)"""
+        )
+    parts.append(
+        f"""hsel AS (
+  SELECT h.v AS entity, h.r AS hub_fp, a.r AS auth_fp
+  FROM h{iterations} h JOIN a{iterations} a ON a.v = h.v)"""
+    )
+    return ",\n".join(parts)

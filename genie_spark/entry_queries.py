@@ -1583,6 +1583,34 @@ def _kg_communities_sql() -> str:
 ORACLES["kg_communities"] = _kg_communities_sql()
 
 
+_HITS_ITERS = 3
+
+
+@_register("kg_hits", None)
+def kg_hits(spark, sf_dir):
+    """HITS hubs & authorities over the constructed KG in integer
+    fixed-point with L1 normalization (float L2 is engine-divergent) —
+    the other classic centrality pair next to PageRank; per iteration
+    two edges⋈scores joins + two partial-agg groupBys + two lazy 1-row
+    totals (datapipe/graph.py hits_fixed; unrolled CTE twin)."""
+    from .datapipe.graph import hits_fixed
+
+    return hits_fixed(_kg_edges_df(spark, sf_dir), iterations=_HITS_ITERS)
+
+
+def _kg_hits_sql() -> str:
+    from .datapipe.graph import hits_sql_chain
+
+    return (
+        f"WITH {_KG_EDGES_SQL},\n"
+        + hits_sql_chain("kg_edges", iterations=_HITS_ITERS)
+        + "\nSELECT entity, hub_fp, auth_fp FROM hsel"
+    )
+
+
+ORACLES["kg_hits"] = _kg_hits_sql()
+
+
 @_register("kg_ppr", None)
 def kg_ppr(spark, sf_dir):
     """Personalized PageRank (random walk with restart) from the
