@@ -207,6 +207,9 @@ HEADLINE = [
     "link_prior",
     "kg_constraint_violations",
     "kg_communities",
+    "sketch_distinct",
+    "cms_heavy_hitters",
+    "bloom_decontaminate",
 ]
 
 

@@ -5400,3 +5400,204 @@ def distant_supervision_sentences_q(spark, sf_dir):
 ORACLES["distant_supervision_sentences"] = ORACLES[
     "distant_supervision_sentences"
 ].replace("{ALIGN_CTES}", _align_sql().strip())
+
+
+# -- Sketches: the approximate-query tier (datapipe/sketches.py) -------------
+#
+# At 100 TB, exact distinct-counts, full key-frequency tables, and raw
+# eval-set broadcasts are the scale bottlenecks these three classic
+# sketches exist to remove. Each query materializes the sketch AND the
+# exact answer side-by-side so the error the approximation trades away
+# is itself part of the audited output; every number is integer
+# arithmetic over the cross-engine h60/affine_mix hash family, so the
+# DuckDB oracle reproduces the sketch contents bit-for-bit.
+
+_DSK_BUCKETS = 256
+
+
+def _tok_sql() -> str:
+    return (
+        "tokx AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),\n"
+        "tk AS (SELECT t FROM tokx WHERE t <> '')"
+    )
+
+
+def _tok_df(spark, sf_dir) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(F.explode(F.split("text", " ")).alias("t")).filter(
+        F.col("t") != ""
+    )
+
+
+def _sketch_distinct_sql() -> str:
+    from .datapipe.sketches import distinct_sketch_sql
+
+    return f"""
+WITH {_tok_sql()},
+{distinct_sketch_sql('tk', 't', _DSK_BUCKETS)},
+ex AS (SELECT count(DISTINCT t)::BIGINT AS exact_distinct FROM tk)
+SELECT est_distinct, exact_distinct,
+       ((abs(est_distinct - exact_distinct) * 1000000) // exact_distinct)::BIGINT AS err_ppm,
+       {_DSK_BUCKETS}::BIGINT AS n_buckets
+FROM dsk_e, ex
+"""
+
+
+@_register("sketch_distinct", None)
+def sketch_distinct_q(spark, sf_dir):
+    """Corpus vocabulary size by min-hash sketch vs exact, one row with
+    the realized error in ppm. The sketch side is ONE partial-agg
+    groupBy down to 256 (bucket, min) rows — the distinct-count shape
+    that survives 100 TB (count-distinct shuffles every distinct value;
+    the sketch is duplication-insensitive and mergeable). The exact
+    side rides along as the audit (datapipe/sketches.py
+    minhash_distinct_sketch)."""
+    from .datapipe.sketches import distinct_estimate, minhash_distinct_sketch
+
+    tok = _tok_df(spark, sf_dir)
+    est = distinct_estimate(
+        minhash_distinct_sketch(tok, "t", _DSK_BUCKETS), _DSK_BUCKETS
+    )
+    exact = tok.agg(F.count_distinct("t").cast("bigint").alias("exact_distinct"))
+    return est.crossJoin(exact).select(
+        "est_distinct",
+        "exact_distinct",
+        F.expr(
+            "(abs(est_distinct - exact_distinct) * 1000000L) div exact_distinct"
+        ).alias("err_ppm"),
+        F.lit(_DSK_BUCKETS).cast("bigint").alias("n_buckets"),
+    )
+
+
+ORACLES["sketch_distinct"] = _sketch_distinct_sql()
+
+
+_CMS_DEPTH, _CMS_WIDTH, _CMS_TOP = 4, 1024, 20
+
+
+def _cms_heavy_hitters_sql() -> str:
+    from .datapipe.hashes import affine_mix_sql, h60_sql
+    from .datapipe.sketches import cms_sql_chain
+
+    mix = affine_mix_sql("(" + h60_sql("t") + ")", "j")
+    return f"""
+WITH {_tok_sql()},
+{cms_sql_chain('tk', 't', _CMS_DEPTH, _CMS_WIDTH)},
+top AS (SELECT t, count(*)::BIGINT AS exact_cnt FROM tk GROUP BY t
+        ORDER BY exact_cnt DESC, t LIMIT {_CMS_TOP}),
+pc AS (SELECT top.t, top.exact_cnt, j::INT AS j, ({mix}) % {_CMS_WIDTH} AS b
+       FROM top, range({_CMS_DEPTH}) r(j))
+SELECT pc.t AS token, pc.exact_cnt,
+       min(c.cnt)::BIGINT AS cms_cnt,
+       (min(c.cnt) - pc.exact_cnt)::BIGINT AS overcount
+FROM pc JOIN cms_cells c ON c.j = pc.j AND c.b = pc.b
+GROUP BY 1, 2
+"""
+
+
+@_register("cms_heavy_hitters", None)
+def cms_heavy_hitters_q(spark, sf_dir):
+    """Count-min-sketch frequency estimates for the exact top-20 tokens,
+    with the realized one-sided overcount per token. The sketch is a
+    4x1024-cell table built by one partial-agg groupBy (mergeable by
+    cellwise sum) and broadcast to the probe join — the hot-key answer
+    whose state never grows with key cardinality (datapipe/sketches.py
+    cms_sketch/cms_estimate). The exact top-20 rides along as audit;
+    ties broken by token so both engines pick the same set."""
+    from .datapipe.sketches import cms_estimate, cms_sketch
+
+    tok = _tok_df(spark, sf_dir)
+    sk = cms_sketch(tok, "t", _CMS_DEPTH, _CMS_WIDTH)
+    top = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("t"))
+        .limit(_CMS_TOP)
+    )
+    est = cms_estimate(sk, top.select("t"), "t", _CMS_DEPTH, _CMS_WIDTH)
+    return top.join(est, "t").select(
+        F.col("t").alias("token"),
+        "exact_cnt",
+        "cms_cnt",
+        (F.col("cms_cnt") - F.col("exact_cnt")).cast("bigint").alias("overcount"),
+    )
+
+
+ORACLES["cms_heavy_hitters"] = _cms_heavy_hitters_sql()
+
+
+_BLOOM_BITS, _BLOOM_K = 1 << 16, 5
+
+
+def _bloom_decontaminate_sql() -> str:
+    from .datapipe.sketches import bloom_probe_sql, bloom_sql_chain
+
+    return f"""
+WITH tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+cg AS (SELECT DISTINCT unnest({_grams_sql(_DECONTAM_N)}) AS gram FROM tw),
+ev AS (SELECT list_slice(w, 1, 12) AS w FROM tw WHERE doc_id % 37 = 0),
+eg AS (SELECT DISTINCT unnest({_grams_sql(_DECONTAM_N)}) AS gram FROM ev),
+{bloom_sql_chain('eg', 'gram', _BLOOM_BITS, _BLOOM_K)},
+{bloom_probe_sql('cg', 'gram', _BLOOM_BITS, _BLOOM_K)},
+tot AS (SELECT count(*)::BIGINT AS n_probe_grams FROM cg),
+bh AS (SELECT count(*)::BIGINT AS n_bloom_hits FROM bl_hits),
+th AS (SELECT count(*)::BIGINT AS n_true_hits FROM cg JOIN eg USING (gram))
+SELECT n_probe_grams, n_bloom_hits, n_true_hits,
+       (n_bloom_hits - n_true_hits)::BIGINT AS n_false_pos,
+       (((n_bloom_hits - n_true_hits) * 1000000)
+        // (n_probe_grams - n_true_hits))::BIGINT AS fp_ppm
+FROM tot, bh, th
+"""
+
+
+@_register("bloom_decontaminate", None)
+def bloom_decontaminate_q(spark, sf_dir):
+    """Bloom-filter decontamination audit: the eval set (the
+    decontaminate fixture — first-12-word slices of every 37th doc,
+    8-grams) is packed into a 2^16-bit / k=5 Bloom bitmap of ~1k
+    62-bit words, and every distinct corpus 8-gram is probed against
+    it. One summary row: probe volume, Bloom hits, exact hits, and the
+    realized false-positive count/rate — no false negatives by
+    construction (asserted in tests). At 100 TB the bitmap's broadcast
+    size is fixed by `bits` alone, vs `decontaminate`'s raw-gram
+    broadcast growing with the eval set (datapipe/sketches.py
+    bloom_bitmap/bloom_hits)."""
+    from .datapipe.dedup import shingles_col
+    from .datapipe.sketches import bloom_bitmap, bloom_hits
+
+    docs = _t(spark, sf_dir, "documents")
+    cg = docs.select(
+        F.explode(shingles_col(F.col("text"), _DECONTAM_N)).alias("gram")
+    ).distinct()
+    eval_docs = docs.filter(F.pmod("doc_id", F.lit(37)) == 0).select(
+        F.array_join(F.slice(F.split("text", " "), 1, 12), " ").alias("text")
+    )
+    eg = eval_docs.select(
+        F.explode(shingles_col(F.col("text"), _DECONTAM_N)).alias("gram")
+    ).distinct()
+    bm = bloom_bitmap(eg, "gram", _BLOOM_BITS, _BLOOM_K)
+    hits = bloom_hits(cg, "gram", bm, _BLOOM_BITS, _BLOOM_K)
+    tot = cg.agg(F.count(F.lit(1)).cast("bigint").alias("n_probe_grams"))
+    bh = hits.agg(F.count(F.lit(1)).cast("bigint").alias("n_bloom_hits"))
+    th = cg.join(eg, "gram", "left_semi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true_hits")
+    )
+    return (
+        tot.crossJoin(bh)
+        .crossJoin(th)
+        .select(
+            "n_probe_grams",
+            "n_bloom_hits",
+            "n_true_hits",
+            (F.col("n_bloom_hits") - F.col("n_true_hits"))
+            .cast("bigint")
+            .alias("n_false_pos"),
+            F.expr(
+                "((n_bloom_hits - n_true_hits) * 1000000L)"
+                " div (n_probe_grams - n_true_hits)"
+            ).alias("fp_ppm"),
+        )
+    )
+
+
+ORACLES["bloom_decontaminate"] = _bloom_decontaminate_sql()
