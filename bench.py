@@ -210,6 +210,9 @@ HEADLINE = [
     "sketch_distinct",
     "cms_heavy_hitters",
     "bloom_decontaminate",
+    "kg_kcore",
+    "kg_sssp",
+    "kg_random_walks",
 ]
 
 

@@ -1552,3 +1552,257 @@ def hits_sql_chain(
   FROM h{iterations} h JOIN a{iterations} a ON a.v = h.v)"""
     )
     return ",\n".join(parts)
+
+
+def kcore_fixed(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core decomposition by fixed-round peeling (Seidman 1983; the
+    Matula-Beck peel made engine-exact): repeatedly delete vertices of
+    undirected degree < ``k`` and the edges they carry. Runs EXACTLY
+    ``rounds`` rounds in both engines (extra rounds past the fixpoint
+    are no-ops, so a fixed unroll is convergence-safe) rather than
+    looping to convergence, which would need a driver-side count per
+    round. Returns ``(entity, core_deg)`` — surviving vertices with
+    their degree inside the surviving subgraph.
+
+    Scale shape per round: one partial-agg degree groupBy (vertex-sized)
+    + two left-semi joins pushing the survivor set back onto the edge
+    list — no edge-list shuffle grows across rounds, and
+    ``localCheckpoint`` keeps the unrolled lineage linear. The k-core
+    is the standard KG-quality trim (drop weakly-attached crawl debris
+    before embedding training)."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(rounds):
+        deg = (
+            und.select(F.col("a").alias("v"))
+            .union(und.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        keep = deg.filter(F.col("c") >= k).select("v")
+        und = (
+            und.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        und.select(F.col("a").alias("v"))
+        .union(und.select(F.col("b").alias("v")))
+        .groupBy(F.col("v").alias("entity"))
+        .agg(F.count(F.lit(1)).cast("long").alias("core_deg"))
+    )
+
+
+def kcore_sql_chain(
+    edges_cte: str = "e", k: int = 2, rounds: int = 8
+) -> str:
+    """DuckDB twin of :func:`kcore_fixed`: emits ``ku0..ku{rounds}``;
+    caller aggregates degrees over ``ku{rounds}``. Every CTE is
+    ``MATERIALIZED``: each round references the previous edge set 5x,
+    so DuckDB's default inlining re-evaluates the chain ~5^rounds times
+    (observed as a too-many-open-files explosion at rounds=8)."""
+    parts = [
+        f"""ku0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM {edges_cte} WHERE src <> dst)"""
+    ]
+    for i in range(1, rounds + 1):
+        p = f"ku{i - 1}"
+        parts.append(
+            f"""kd{i} AS MATERIALIZED (
+  SELECT v, count(*)::BIGINT AS c FROM (
+    SELECT a AS v FROM {p} UNION ALL SELECT b FROM {p}) GROUP BY v)"""
+        )
+        parts.append(
+            f"""ku{i} AS MATERIALIZED (
+  SELECT u.a, u.b FROM {p} u
+  JOIN kd{i} da ON da.v = u.a AND da.c >= {k}
+  JOIN kd{i} db ON db.v = u.b AND db.c >= {k})"""
+        )
+    return ",\n".join(parts)
+
+
+def bellman_ford_fixed(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 6,
+    weight: str = None,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "v",
+) -> DataFrame:
+    """Multi-source shortest paths over integer edge weights by
+    fixed-round Bellman-Ford relaxation — the relational SSSP. Each
+    round relaxes every edge once: ``dist'(v) = min(dist(v), min over
+    in-edges (u,v) of dist(u) + w(u,v))``. ``rounds`` bounds the path
+    length considered (extra rounds past convergence are no-ops).
+    ``weight`` names an integer column on ``edges``; None means unit
+    weights (plain multi-source BFS). Returns ``(entity, dist)`` for
+    every vertex reached within ``rounds`` hops of any seed.
+
+    Scale shape per round: ONE edges⋈dist join (dist is vertex-sized,
+    broadcastable when seeds reach few vertices; shuffled join once the
+    frontier is graph-sized) + one partial-agg min groupBy; integer
+    mins are exact and associative, so partition order can never move
+    an answer. Lineage cut per round."""
+    w = F.col(weight).cast("long") if weight else F.lit(1).cast("long")
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
+    )
+    dist = seeds.select(
+        F.col(seed_col).alias("v"), F.lit(0).cast("long").alias("d")
+    ).distinct()
+    for _ in range(rounds):
+        relaxed = (
+            e.join(dist.withColumnRenamed("v", "src"), "src")
+            .select(F.col("dst").alias("v"), (F.col("d") + F.col("w")).alias("d"))
+        )
+        dist = (
+            dist.union(relaxed)
+            .groupBy("v")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=False)
+        )
+    return dist.select(F.col("v").alias("entity"), F.col("d").alias("dist"))
+
+
+def bellman_ford_sql_chain(
+    edges_cte: str = "e",
+    seeds_cte: str = "seeds",
+    rounds: int = 6,
+    weight_expr: str = "1",
+) -> str:
+    """DuckDB twin of :func:`bellman_ford_fixed`: emits ``bf0..bf{rounds}``
+    (``seeds_cte`` must expose column ``v``; ``weight_expr`` is evaluated
+    against ``{edges_cte}``'s columns); caller selects from
+    ``bf{rounds}``."""
+    parts = [
+        f"bfe AS (SELECT src, dst, ({weight_expr})::BIGINT AS w FROM {edges_cte})",
+        f"bf0 AS (SELECT DISTINCT v, 0::BIGINT AS d FROM {seeds_cte})",
+    ]
+    for i in range(1, rounds + 1):
+        p = f"bf{i - 1}"
+        parts.append(
+            f"""bf{i} AS (
+  SELECT v, min(d)::BIGINT AS d FROM (
+    SELECT v, d FROM {p}
+    UNION ALL
+    SELECT bfe.dst AS v, p.d + bfe.w AS d
+    FROM bfe JOIN {p} p ON p.v = bfe.src) GROUP BY v)"""
+        )
+    return ",\n".join(parts)
+
+
+def random_walks_fixed(
+    edges: DataFrame,
+    seeds: DataFrame,
+    steps: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "v",
+) -> DataFrame:
+    """Deterministic random-walk corpus (the DeepWalk/node2vec training
+    -data generator, p=q=1): one walk per seed, ``steps`` transitions;
+    at step ``t`` from vertex ``cur`` the walk takes out-neighbor number
+    ``affine_mix(h60(walk_id), t) mod out_deg(cur)`` in dst-sorted
+    order. No RNG: the "coin" is the cross-engine hash family keyed on
+    (walk, step), so walks are exactly reproducible — and exactly
+    checkable — in both engines, and re-running a shard regenerates
+    identical walks (the resumability property a 100 TB walk corpus
+    needs). Dead-ends stop the walk. Returns ``(walk_id, step,
+    entity)``, step 0 = seed.
+
+    Scale shape: adjacency is ranked ONCE (row_number over (src, dst)
+    — one shuffle, reused every step, lineage-cut); each step is one
+    out-degree lookup join + one (cur, idx) equi-join against the
+    ranked adjacency. Positions, not paths, flow between steps, so
+    state per walk is O(1)."""
+    from .hashes import affine_mix, h60
+
+    adj = edges.select(F.col(src).alias("s"), F.col(dst).alias("t")).distinct()
+    from pyspark.sql import Window
+
+    ranked = adj.select(
+        "s",
+        "t",
+        (F.row_number().over(Window.partitionBy("s").orderBy("t")) - 1).alias(
+            "rnk"
+        ),
+    ).localCheckpoint(eager=False)
+    od = ranked.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("od"))
+    cur = seeds.select(F.col(seed_col).alias("walk_id")).distinct().select(
+        "walk_id",
+        F.lit(0).cast("int").alias("step"),
+        F.col("walk_id").alias("entity"),
+    )
+    out = cur
+    for t in range(1, steps + 1):
+        step_in = cur.select("walk_id", F.col("entity").alias("s"))
+        nxt = (
+            step_in.join(od, "s")
+            .select(
+                "walk_id",
+                "s",
+                F.pmod(
+                    affine_mix(h60(F.col("walk_id")), F.lit(t)), F.col("od")
+                ).alias("rnk"),
+            )
+            .join(ranked, ["s", "rnk"])
+            .select(
+                "walk_id",
+                F.lit(t).cast("int").alias("step"),
+                F.col("t").alias("entity"),
+            )
+        )
+        cur = nxt.localCheckpoint(eager=False)
+        out = out.union(cur)
+    return out
+
+
+def random_walks_sql_chain(
+    edges_cte: str = "e", seeds_cte: str = "seeds", steps: int = 4
+) -> str:
+    """DuckDB twin of :func:`random_walks_fixed`: emits
+    ``rwadj/rwod/rw0..rw{steps}``; caller unions ``rw0..rw{steps}``
+    (or selects from ``rwall``)."""
+    from .hashes import affine_mix_sql, h60_sql
+
+    mix = affine_mix_sql(f"({h60_sql('walk_id')})", str("__T__"))
+    parts = [
+        f"""rwadj AS (
+  SELECT s, t, row_number() OVER (PARTITION BY s ORDER BY t) - 1 AS rnk
+  FROM (SELECT DISTINCT src AS s, dst AS t FROM {edges_cte}))""",
+        "rwod AS (SELECT s, count(*)::BIGINT AS od FROM rwadj GROUP BY s)",
+        f"rw0 AS (SELECT DISTINCT v AS walk_id, 0 AS step, v AS entity FROM {seeds_cte})",
+    ]
+    for t in range(1, steps + 1):
+        # literal salts must be BIGINT: DuckDB's INT32 literal arithmetic
+        # overflows inside affine_mix's multiplier product
+        m = mix.replace("__T__", f"{t}::BIGINT")
+        parts.append(
+            f"""rw{t} AS (
+  SELECT p.walk_id, {t} AS step, a.t AS entity
+  FROM rw{t - 1} p
+  JOIN rwod o ON o.s = p.entity
+  JOIN rwadj a ON a.s = p.entity AND a.rnk = ({m}) % o.od)"""
+        )
+    alls = " UNION ALL ".join(
+        f"SELECT walk_id, step::INT AS step, entity FROM rw{t}"
+        for t in range(steps + 1)
+    )
+    parts.append(f"rwall AS ({alls})")
+    return ",\n".join(parts)

@@ -5601,3 +5601,128 @@ def bloom_decontaminate_q(spark, sf_dir):
 
 
 ORACLES["bloom_decontaminate"] = _bloom_decontaminate_sql()
+
+
+# -- Graph completions: k-core trim, relational SSSP, walk corpus ------------
+
+_KCORE_K, _KCORE_ROUNDS = 2, 8
+
+
+def _kg_kcore_sql() -> str:
+    from .datapipe.graph import kcore_sql_chain
+
+    r = _KCORE_ROUNDS
+    return f"""
+WITH {_KG_EDGES_SQL},
+{kcore_sql_chain('kg_edges', _KCORE_K, r)}
+SELECT v AS entity, count(*)::BIGINT AS core_deg FROM (
+  SELECT a AS v FROM ku{r} UNION ALL SELECT b FROM ku{r}) GROUP BY v
+"""
+
+
+@_register("kg_kcore", None)
+def kg_kcore_q(spark, sf_dir):
+    """2-core of the constructed KG by fixed-round peeling — the
+    standard pre-embedding quality trim (drop weakly-attached crawl
+    debris). Fixed 8 rounds in BOTH engines (no-op past the fixpoint)
+    so no driver-side convergence count; per round one partial-agg
+    degree groupBy + two left-semi survivor joins
+    (datapipe/graph.py kcore_fixed)."""
+    from .datapipe.graph import kcore_fixed
+
+    return kcore_fixed(
+        _kg_edges_df(spark, sf_dir), k=_KCORE_K, rounds=_KCORE_ROUNDS
+    )
+
+
+ORACLES["kg_kcore"] = _kg_kcore_sql()
+
+
+_SSSP_ROUNDS = 6
+
+
+def _kg_sssp_sql() -> str:
+    from .datapipe.graph import bellman_ford_sql_chain
+    from .datapipe.hashes import h60_sql
+
+    w = f"1 + ({h60_sql('src || chr(124) || dst')}) % 5"
+    return f"""
+WITH {_KG_EDGES_SQL},
+seeds AS (SELECT DISTINCT 'O' || l_orderkey AS v FROM lineitem
+          WHERE l_orderkey % {_KG_SEED_MOD} = 0),
+{bellman_ford_sql_chain('kg_edges', 'seeds', _SSSP_ROUNDS, w)}
+SELECT v AS entity, d AS dist FROM bf{_SSSP_ROUNDS}
+"""
+
+
+@_register("kg_sssp", None)
+def kg_sssp_q(spark, sf_dir):
+    """Multi-source shortest paths (relational Bellman-Ford, 6 fixed
+    relaxation rounds) with deterministic integer edge weights
+    ``1 + h60(src|dst) % 5`` from the order seed set. Integer mins are
+    exact and associative — partition order can never move a distance.
+    Per round: one edges⋈dist join + one partial-agg min groupBy
+    (datapipe/graph.py bellman_ford_fixed)."""
+    from .datapipe.graph import bellman_ford_fixed
+    from .datapipe.hashes import h60
+
+    li = _t(spark, sf_dir, "lineitem")
+    seeds = (
+        li.filter(F.col("l_orderkey") % _KG_SEED_MOD == 0)
+        .select(
+            F.concat(F.lit("O"), F.col("l_orderkey").cast("string")).alias("v")
+        )
+        .distinct()
+    )
+    e = _kg_edges_df(spark, sf_dir).withColumn(
+        "w",
+        F.lit(1).cast("long")
+        + F.pmod(h60(F.concat("src", F.lit("|"), "dst")), F.lit(5)),
+    )
+    return bellman_ford_fixed(e, seeds, rounds=_SSSP_ROUNDS, weight="w")
+
+
+ORACLES["kg_sssp"] = _kg_sssp_sql()
+
+
+_WALK_STEPS = 4
+
+
+def _kg_walks_sql() -> str:
+    from .datapipe.graph import random_walks_sql_chain
+
+    return f"""
+WITH {_KG_EDGES_SQL},
+seeds AS (SELECT DISTINCT 'O' || l_orderkey AS v FROM lineitem
+          WHERE l_orderkey % {_KG_SEED_MOD} = 0),
+{random_walks_sql_chain('kg_edges', 'seeds', _WALK_STEPS)}
+SELECT walk_id, step, entity FROM rwall
+"""
+
+
+@_register("kg_random_walks", None)
+def kg_random_walks_q(spark, sf_dir):
+    """Deterministic random-walk corpus over the KG (the
+    DeepWalk/node2vec training-data generator, p=q=1): one 4-step walk
+    per order seed, transition = out-neighbor number
+    ``affine_mix(h60(walk_id), step) mod out_deg`` in dst-sorted order.
+    No RNG — walks are reproducible and re-runnable per shard, and the
+    DuckDB oracle replays them exactly. Adjacency ranked once and
+    reused each step; positions, not paths, flow between steps
+    (datapipe/graph.py random_walks_fixed)."""
+    from .datapipe.graph import random_walks_fixed
+
+    li = _t(spark, sf_dir, "lineitem")
+    seeds = (
+        li.filter(F.col("l_orderkey") % _KG_SEED_MOD == 0)
+        .select(
+            F.concat(F.lit("O"), F.col("l_orderkey").cast("string")).alias("v")
+        )
+        .distinct()
+    )
+    return random_walks_fixed(
+        _kg_edges_df(spark, sf_dir), seeds, steps=_WALK_STEPS
+    )
+
+
+ORACLES["kg_random_walks"] = _kg_walks_sql()
