@@ -228,10 +228,18 @@ def pagerank_fixed(
     PR step — edges⋈ranks on src (the big join; ranks are
     vertex-sized), then a partial-aggregated groupBy on dst. The
     dangling total stays a 1-row lazy aggregate cross-joined in (no
-    driver collect). ``localCheckpoint`` per iteration keeps the plan
-    linear — each iteration references the previous frame three times,
-    so an unchecked unroll would grow the logical plan 3^k."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    driver collect). Lineage control (profiled at sf0.1, 20.7s →
+    8.4s): the derived edge set is checkpointed EAGERLY once — without
+    it every iteration re-derives it (4 scans + a distinct shuffle),
+    and under AQE each lazy-checkpoint call re-materializes that
+    subtree — and the rank frame is cut every SECOND iteration (each
+    iteration references the previous frame three times, so the plan
+    grows 3^k between cuts: 9 is cheap, unbounded is not, and each
+    lazy-checkpoint call costs ~0.8s of driver-side RDD translation
+    regardless of data size)."""
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
     verts = (
         e.select(F.col("src").alias("v"))
         .union(e.select(F.col("dst").alias("v")))
@@ -244,7 +252,7 @@ def pagerank_fixed(
     n = verts.count()
     tele = ((damping_den - damping_num) * scale) // (damping_den * n)
     pr = verts.select("v", F.lit(scale // n).cast("long").alias("r"))
-    for _ in range(iterations):
+    for _it in range(iterations):
         contrib = (
             e.join(pr.withColumnRenamed("v", "src"), "src")
             .join(outd.withColumnRenamed("v", "src"), "src")
@@ -268,8 +276,9 @@ def pagerank_fixed(
                     )
                 ).alias("r"),
             )
-            .localCheckpoint(eager=False)
         )
+        if _it % 2 == 1 or _it == iterations - 1:
+            pr = pr.localCheckpoint(eager=False)
     return pr.select(F.col("v").alias("entity"), F.col("r").alias("rank_fp"))
 
 
@@ -1026,7 +1035,10 @@ def label_propagation_fixed(
         sym.select(F.col("w").alias("u"), F.col("u").alias("w"))
     ).distinct()
     if use_local_checkpoint:
-        sym = sym.localCheckpoint(eager=False)
+        # eager: the symmetrized edge set is re-joined every round, and
+        # under AQE a lazy checkpoint re-materializes the distinct
+        # shuffle per round (the pagerank_fixed lesson)
+        sym = sym.localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("u").alias("v")).distinct()
         .withColumn("lbl", F.col("v"))
@@ -1333,8 +1345,12 @@ def personalized_pagerank_fixed(
     Returns ``(entity, rank_fp)`` for every vertex (zero off the
     reachable neighborhood). Same per-iteration shape as PageRank: one
     edges⋈ranks join + a partial-agg groupBy + a lazy 1-row dangling
-    aggregate + a broadcast seed-flag join; lineage cut per round."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    aggregate + a broadcast seed-flag join; same lineage cadence too
+    (edge set checkpointed eagerly once, rank frame cut every second
+    iteration — see :func:`pagerank_fixed`)."""
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
     verts = (
         e.select(F.col("src").alias("v"))
         .union(e.select(F.col("dst").alias("v")))
@@ -1356,7 +1372,7 @@ def personalized_pagerank_fixed(
         "v",
         (F.col("_is") * F.lit(scale // ns)).cast("long").alias("r"),
     )
-    for _ in range(iterations):
+    for _it in range(iterations):
         contrib = (
             e.join(pr.withColumnRenamed("v", "src"), "src")
             .join(outd.withColumnRenamed("v", "src"), "src")
@@ -1382,8 +1398,9 @@ def personalized_pagerank_fixed(
                     )
                 ).alias("r"),
             )
-            .localCheckpoint(eager=False)
         )
+        if _it % 2 == 1 or _it == iterations - 1:
+            pr = pr.localCheckpoint(eager=False)
     return pr.select(F.col("v").alias("entity"), F.col("r").alias("rank_fp"))
 
 
@@ -1455,7 +1472,7 @@ def hits_fixed(
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     verts = (
         e.select(F.col("src").alias("v"))
@@ -1465,7 +1482,7 @@ def hits_fixed(
     )
     h = verts.select("v", F.lit(scale).cast("long").alias("r"))
     a = None
-    for _ in range(iterations):
+    for _it in range(iterations):
         araw = (
             e.join(h.withColumnRenamed("v", "src"), "src")
             .groupBy(F.col("dst").alias("v"))
@@ -1483,8 +1500,12 @@ def hits_fixed(
                     F.expr(f"(s * {scale}L) div t")
                 ).alias("r"),
             )
-            .localCheckpoint(eager=False)
         )
+        # one lineage cut per full iteration (on h below) bounds plan
+        # growth at ~9 refs; cutting a too just pays a second ~0.8s
+        # driver-side RDD translation per round
+        if _it == iterations - 1:
+            a = a.localCheckpoint(eager=False)
         hraw = (
             e.join(a.withColumnRenamed("v", "dst"), "dst")
             .groupBy(F.col("src").alias("v"))
@@ -1583,9 +1604,9 @@ def kcore_fixed(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
-    for _ in range(rounds):
+    for _it in range(rounds):
         deg = (
             und.select(F.col("a").alias("v"))
             .union(und.select(F.col("b").alias("v")))
@@ -1597,8 +1618,12 @@ def kcore_fixed(
             und.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
             .select("a", "b")
-            .localCheckpoint(eager=False)
         )
+        # und feeds the next round 5x (self + two degree unions inside
+        # keep, twice); cut every second round — 25 refs between cuts
+        # is still cheap, a per-round cut pays ~0.8s RDD translation
+        if _it % 2 == 1 or _it == rounds - 1:
+            und = und.localCheckpoint(eager=False)
     return (
         und.select(F.col("a").alias("v"))
         .union(und.select(F.col("b").alias("v")))
@@ -1662,21 +1687,21 @@ def bellman_ford_fixed(
     w = F.col(weight).cast("long") if weight else F.lit(1).cast("long")
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
-    )
+    ).localCheckpoint(eager=True)
     dist = seeds.select(
         F.col(seed_col).alias("v"), F.lit(0).cast("long").alias("d")
     ).distinct()
-    for _ in range(rounds):
+    for _it in range(rounds):
         relaxed = (
             e.join(dist.withColumnRenamed("v", "src"), "src")
             .select(F.col("dst").alias("v"), (F.col("d") + F.col("w")).alias("d"))
         )
-        dist = (
-            dist.union(relaxed)
-            .groupBy("v")
-            .agg(F.min("d").alias("d"))
-            .localCheckpoint(eager=False)
-        )
+        dist = dist.union(relaxed).groupBy("v").agg(F.min("d").alias("d"))
+        # dist feeds the next round twice (frontier + union); cut every
+        # second round — 4 refs between cuts, vs ~0.8s driver-side RDD
+        # translation per cut (the pagerank_fixed lesson)
+        if _it % 2 == 1 or _it == rounds - 1:
+            dist = dist.localCheckpoint(eager=False)
     return dist.select(F.col("v").alias("entity"), F.col("d").alias("dist"))
 
 
@@ -1742,8 +1767,10 @@ def random_walks_fixed(
         (F.row_number().over(Window.partitionBy("s").orderBy("t")) - 1).alias(
             "rnk"
         ),
+    ).localCheckpoint(eager=True)
+    od = ranked.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("od")
     ).localCheckpoint(eager=False)
-    od = ranked.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("od"))
     cur = seeds.select(F.col(seed_col).alias("walk_id")).distinct().select(
         "walk_id",
         F.lit(0).cast("int").alias("step"),
