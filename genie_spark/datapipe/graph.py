@@ -1537,32 +1537,37 @@ def hits_sql_chain(
 ) -> str:
     """DuckDB twin of :func:`hits_fixed` (unrolled CTE chain; caller
     selects entity/hub_fp/auth_fp from ``hsel``)."""
+    # every CTE is MATERIALIZED: the a/h frames are each referenced
+    # several times per iteration, and DuckDB's default inlining
+    # re-evaluates the whole chain multiplicatively (measured 15s at
+    # sf0.001 for 3 iterations; materialized: <1s) — the same lesson
+    # as kcore_sql_chain
     parts = [
-        f"hverts AS (SELECT src AS v FROM {edges_cte} UNION SELECT dst FROM {edges_cte})",
-        f"h0 AS (SELECT v, {scale}::BIGINT AS r FROM hverts)",
+        f"hverts AS MATERIALIZED (SELECT src AS v FROM {edges_cte} UNION SELECT dst FROM {edges_cte})",
+        f"h0 AS MATERIALIZED (SELECT v, {scale}::BIGINT AS r FROM hverts)",
     ]
     for i in range(1, iterations + 1):
         p = f"h{i - 1}"
         parts.append(
-            f"""ar{i} AS (
+            f"""ar{i} AS MATERIALIZED (
   SELECT {edges_cte}.dst AS v, sum(p.r)::BIGINT AS s
   FROM {edges_cte} JOIN {p} p ON p.v = {edges_cte}.src GROUP BY 1)"""
         )
-        parts.append(f"at{i} AS (SELECT sum(s)::BIGINT AS t FROM ar{i})")
+        parts.append(f"at{i} AS MATERIALIZED (SELECT sum(s)::BIGINT AS t FROM ar{i})")
         parts.append(
-            f"""a{i} AS (
+            f"""a{i} AS MATERIALIZED (
   SELECT v.v, CASE WHEN ar.s IS NULL THEN 0
     ELSE (ar.s * {scale}) // (SELECT t FROM at{i}) END::BIGINT AS r
   FROM hverts v LEFT JOIN ar{i} ar ON ar.v = v.v)"""
         )
         parts.append(
-            f"""hr{i} AS (
+            f"""hr{i} AS MATERIALIZED (
   SELECT {edges_cte}.src AS v, sum(p.r)::BIGINT AS s
   FROM {edges_cte} JOIN a{i} p ON p.v = {edges_cte}.dst GROUP BY 1)"""
         )
-        parts.append(f"ht{i} AS (SELECT sum(s)::BIGINT AS t FROM hr{i})")
+        parts.append(f"ht{i} AS MATERIALIZED (SELECT sum(s)::BIGINT AS t FROM hr{i})")
         parts.append(
-            f"""h{i} AS (
+            f"""h{i} AS MATERIALIZED (
   SELECT v.v, CASE WHEN hr.s IS NULL THEN 0
     ELSE (hr.s * {scale}) // (SELECT t FROM ht{i}) END::BIGINT AS r
   FROM hverts v LEFT JOIN hr{i} hr ON hr.v = v.v)"""
