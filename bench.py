@@ -213,6 +213,9 @@ HEADLINE = [
     "kg_kcore",
     "kg_sssp",
     "kg_random_walks",
+    "kg_entity_summary",
+    "kg_resource_alloc",
+    "collocations",
 ]
 
 

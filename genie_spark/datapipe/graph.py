@@ -1838,3 +1838,78 @@ def random_walks_sql_chain(
     )
     parts.append(f"rwall AS ({alls})")
     return ",\n".join(parts)
+
+
+def entity_summary(
+    facts: DataFrame,
+    top_k: int = 2,
+    s: str = "s",
+    r: str = "r",
+    o: str = "o",
+) -> DataFrame:
+    """Entity summarization: per subject, the ``top_k`` most
+    INFORMATIVE facts, informativeness = relation rarity (global
+    relation frequency ascending — the IDF intuition: 'located_in' on
+    2/3 of suppliers says less than a rare relation). Deterministic
+    tiebreak (r, o). Returns ``(s, r, o, rel_n, rank)`` — the "entity
+    card" projection a KG front-end serves.
+
+    Scale shape: relation frequencies are ONE partial-agg groupBy to a
+    relation-vocabulary-sized table (broadcast side of the annotate
+    join); the per-subject rank is one window shuffle keyed on s —
+    bounded output (top_k per subject), never a global sort."""
+    from pyspark.sql import Window
+
+    fd = facts.select(F.col(s).alias("s"), F.col(r).alias("r"), F.col(o).alias("o")).distinct()
+    rel_n = fd.groupBy("r").agg(F.count(F.lit(1)).cast("long").alias("rel_n"))
+    win = Window.partitionBy("s").orderBy(
+        F.asc("rel_n"), F.asc("r"), F.asc("o")
+    )
+    return (
+        fd.join(F.broadcast(rel_n), "r")
+        .select("s", "r", "o", "rel_n", F.row_number().over(win).alias("rank"))
+        .filter(F.col("rank") <= top_k)
+    )
+
+
+def resource_allocation_index(
+    facts: DataFrame,
+    pairs: DataFrame,
+    scale: int = 10**6,
+    s: str = "s",
+    o: str = "o",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Resource-Allocation link-prediction index (Zhou, Lü & Zhang
+    2009) for a CANDIDATE PAIR PANEL: ``RA(x,y) = Σ_{z ∈ Γout(x) ∩
+    Γout(y)} scale // deg_in(z)`` in integer units of 1/scale — the
+    degree-weighted upgrade of the common-neighbors count (hubs shared
+    by everyone contribute ~0). Adamic-Adar's 1/log(deg) needs float
+    log; the RA 1/deg form is the integer-exact member of the same
+    family and outperforms AA on most benchmarks. Returns ``(x, y,
+    n_common, ra_fp)``.
+
+    Scale shape — the serving reality: all-pairs RA explodes on hub
+    objects (in-deg d ⇒ d^2 wedges), so the operator scores a pair
+    panel instead: two panel⨝facts joins (panel-sized output), a
+    broadcast in-degree annotate, one partial-agg groupBy. The panel
+    is whatever upstream candidate generation (LSH, ANN, co-citation
+    df-cut) produced."""
+    fd = facts.select(F.col(s).alias("s"), F.col(o).alias("o")).distinct()
+    deg = fd.groupBy(F.col("o").alias("z")).agg(
+        F.count(F.lit(1)).cast("long").alias("dz")
+    )
+    p = pairs.select(F.col(x_col).alias("x"), F.col(y_col).alias("y")).distinct()
+    wedges = (
+        p.join(fd.select(F.col("s").alias("x"), F.col("o").alias("z")), "x")
+        .join(fd.select(F.col("s").alias("y"), F.col("o").alias("z")), ["y", "z"])
+    )
+    return (
+        wedges.join(F.broadcast(deg), "z")
+        .groupBy("x", "y")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum(F.expr(f"{scale}L div dz")).cast("long").alias("ra_fp"),
+        )
+    )

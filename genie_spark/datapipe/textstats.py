@@ -604,3 +604,63 @@ def bigram_counts(
         .orderBy(F.desc("cnt"), F.asc("bigram"))
         .limit(top_n)
     )
+
+
+def collocation_lift(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_n: int = 20,
+    min_count: int = 5,
+) -> DataFrame:
+    """Collocation mining: adjacent bigrams ranked by integer PMI-lift
+    ``observed/expected = (c_xy / c_x) * (N / c_y)`` in ppm — the
+    multiword-expression detector (Church & Hanks 1990's PMI with the
+    log dropped; log is engine-divergent float, the ratio is integer
+    and rank-equivalent). Computed as ``((c_xy*1e6) // c_x) * N //
+    c_y``: since ``c_xy <= c_x`` the first factor is <= 1e6, so the
+    product stays inside signed-64 even at 100 TB counts (a single
+    ``N*c_xy*1e6`` numerator would overflow at web scale). ``min_count``
+    suppresses the hapax noise PMI is notorious for. Returns top
+    ``top_n`` by (lift desc, bigram asc): ``(bigram, c_xy, c_x, c_y,
+    lift_ppm)``.
+
+    Scale shape: pair generation row-local; bigram and unigram counts
+    are each ONE partial-agg groupBy; the two unigram joins key on the
+    Zipf-headed word column (broadcastable when the vocabulary is
+    bounded); total-token count rides along as a lazy 1-row cross
+    join; top-n is TakeOrderedAndProject."""
+    w = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit("")
+    )
+    pairs = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.struct(
+                F.element_at(w, i).alias("w1"),
+                F.element_at(w, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.expr("array()").cast("array<struct<w1:string,w2:string>>"))
+    toks = docs.select(F.explode(w).alias("t"))
+    uc = toks.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ntot = toks.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    pc = (
+        docs.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+    )
+    out = (
+        pc.join(uc.select(F.col("t").alias("w1"), F.col("c").alias("c_x")), "w1")
+        .join(uc.select(F.col("t").alias("w2"), F.col("c").alias("c_y")), "w2")
+        .crossJoin(ntot)
+        .select(
+            F.concat("w1", F.lit(" "), "w2").alias("bigram"),
+            "c_xy",
+            "c_x",
+            "c_y",
+            F.expr("((c_xy * 1000000L) div c_x) * n div c_y").alias("lift_ppm"),
+        )
+    )
+    return out.orderBy(F.desc("lift_ppm"), F.asc("bigram")).limit(top_n)

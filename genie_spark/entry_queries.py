@@ -5726,3 +5726,116 @@ def kg_random_walks_q(spark, sf_dir):
 
 
 ORACLES["kg_random_walks"] = _kg_walks_sql()
+
+
+# -- Entity cards, pairwise link scoring, collocations -----------------------
+
+
+@_register(
+    "kg_entity_summary",
+    f"""
+WITH {_CHAIN_FACTS_SQL},
+cfd AS (SELECT DISTINCT s, r, o FROM cf),
+rel_n AS (SELECT r, count(*)::BIGINT AS rel_n FROM cfd GROUP BY r),
+rk AS (
+  SELECT s, r, o, rel_n,
+         row_number() OVER (PARTITION BY s ORDER BY rel_n, r, o) AS rank
+  FROM cfd JOIN rel_n USING (r))
+SELECT s, r, o, rel_n, rank::INT AS rank FROM rk WHERE rank <= 2
+""",
+)
+def kg_entity_summary_q(spark, sf_dir):
+    """Entity summarization over the 5-relation fact universe: per
+    subject the 2 most informative facts, informativeness = relation
+    rarity (IDF intuition), deterministic (r, o) tiebreak. Broadcast
+    relation-frequency annotate + ONE subject-keyed window — bounded
+    top-k output, no global sort (datapipe/graph.py entity_summary)."""
+    from .datapipe.graph import entity_summary
+
+    return entity_summary(_chain_facts_df(spark, sf_dir), top_k=2)
+
+
+@_register(
+    "kg_resource_alloc",
+    f"""
+WITH {_CHAIN_FACTS_SQL},
+cfd AS (SELECT DISTINCT s, o FROM cf),
+deg AS (SELECT o AS z, count(*)::BIGINT AS dz FROM cfd GROUP BY o),
+panel AS (
+  SELECT 'S' || s.s_suppkey AS x, 'C' || min(c.c_custkey) AS y
+  FROM supplier s JOIN customer c ON c.c_nationkey = s.s_nationkey
+  WHERE s.s_suppkey % 3 = 1
+  GROUP BY s.s_suppkey),
+wedge AS (
+  SELECT p.x, p.y, fx.o AS z
+  FROM panel p
+  JOIN cfd fx ON fx.s = p.x
+  JOIN cfd fy ON fy.s = p.y AND fy.o = fx.o)
+SELECT w.x, w.y, count(*)::BIGINT AS n_common,
+       sum(1000000 // d.dz)::BIGINT AS ra_fp
+FROM wedge w JOIN deg d ON d.z = w.z
+GROUP BY 1, 2
+""",
+)
+def kg_resource_alloc_q(spark, sf_dir):
+    """Resource-Allocation link-prediction index (the integer-exact
+    member of the Adamic-Adar family — 1/deg instead of float
+    1/log deg) for a blocking-style candidate panel: each supplier
+    (k%3=1, the located_in-covered stratum) paired with the min-key
+    customer of its nation — the shape upstream ER candidate
+    generation produces, with >=1 guaranteed common neighbor. All-pairs
+    RA explodes d^2 on hub objects, so the operator scores a candidate
+    panel — the ANN/LSH-candidates serving shape
+    (datapipe/graph.py resource_allocation_index)."""
+    from .datapipe.graph import resource_allocation_index
+
+    sup = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    panel = (
+        sup.filter(F.col("s_suppkey") % 3 == 1)
+        .join(cust, sup.s_nationkey == cust.c_nationkey)
+        .groupBy("s_suppkey")
+        .agg(F.min("c_custkey").alias("minc"))
+        .select(
+            F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("x"),
+            F.concat(F.lit("C"), F.col("minc").cast("string")).alias("y"),
+        )
+    )
+    return resource_allocation_index(_chain_facts_df(spark, sf_dir), panel)
+
+
+@_register(
+    "collocations",
+    """
+WITH tw AS (SELECT string_split(lower(text), ' ') AS w0 FROM documents),
+wf AS (SELECT list_filter(w0, t -> t <> '') AS w FROM tw),
+tok AS (SELECT unnest(w) AS t FROM wf),
+uc AS (SELECT t, count(*)::BIGINT AS c FROM tok GROUP BY t),
+nt AS (SELECT count(*)::BIGINT AS n FROM tok),
+pr AS (
+  SELECT unnest(CASE WHEN len(w) >= 2
+    THEN list_transform(range(1, len(w)), i -> {'w1': w[i], 'w2': w[i + 1]})
+    ELSE [] END) AS p
+  FROM wf),
+pc AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*)::BIGINT AS c_xy
+       FROM pr GROUP BY 1, 2 HAVING count(*) >= 5),
+j AS (
+  SELECT w1 || ' ' || w2 AS bigram, c_xy, ux.c AS c_x, uy.c AS c_y,
+         (((c_xy * 1000000) // ux.c) * (SELECT n FROM nt) // uy.c)::BIGINT
+           AS lift_ppm
+  FROM pc JOIN uc ux ON ux.t = pc.w1 JOIN uc uy ON uy.t = pc.w2)
+SELECT bigram, c_xy, c_x, c_y, lift_ppm FROM j
+ORDER BY lift_ppm DESC, bigram LIMIT 20
+""",
+)
+def collocations_q(spark, sf_dir):
+    """Collocation mining: top-20 adjacent bigrams by integer PMI-lift
+    (observed/expected in ppm; log-free so engine-exact), min count 5
+    against hapax noise. Row-local pair generation, two partial-agg
+    count groupBys, lazy 1-row total, TakeOrderedAndProject top-k
+    (datapipe/textstats.py collocation_lift)."""
+    from .datapipe.textstats import collocation_lift
+
+    return collocation_lift(
+        _t(spark, sf_dir, "documents"), top_n=20, min_count=5
+    )
