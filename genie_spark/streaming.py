@@ -656,3 +656,58 @@ def stream_sessionize(
         q.awaitTermination()
         return q
     return writer.trigger(processingTime=trigger_interval).start()
+
+
+def stream_cms_sketch(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    depth: int = 4,
+    width: int = 1024,
+    max_files_per_trigger: Optional[int] = 1,
+    available_now: bool = True,
+):
+    """Live count-min sketch over the document stream: the running
+    hot-token frequency table, continuously refreshed.
+
+    The CMS is a pure streaming aggregation — the cell build
+    (``datapipe.sketches.cms_sketch``) is groupBy+count, so Structured
+    Streaming maintains the (j, b) cell counts as incremental state in
+    ``complete`` mode, and because cell state is FIXED at depth*width
+    rows it never grows with stream length or key cardinality (the
+    whole point of sketching an unbounded crawl; contrast
+    stream_dedup_exact's per-key state, which needs a TTL). Each
+    micro-batch publishes the full refreshed sketch snapshot via
+    foreachBatch overwrite — the serving pattern for a live "what's
+    trending" table (probe it with ``cms_estimate``).
+
+    Batch parity: a drained stream's final snapshot equals
+    ``cms_sketch`` over the full corpus (asserted in
+    tests/test_streaming.py) — cellwise sums are order- and
+    batching-insensitive."""
+    from .datapipe.sketches import cms_sketch
+
+    docs = spark.readStream.schema(DOC_STREAM_SCHEMA)
+    if max_files_per_trigger:
+        docs = docs.option("maxFilesPerTrigger", max_files_per_trigger)
+    toks = (
+        docs.parquet(input_dir)
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") != "")
+    )
+    cells = cms_sketch(toks, "t", depth=depth, width=width)
+    data_dir = os.path.join(output_dir, "data")
+
+    def publish(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(data_dir)
+
+    writer = (
+        cells.writeStream.outputMode("complete")
+        .foreachBatch(publish)
+        .option("checkpointLocation", os.path.join(output_dir, "_checkpoint"))
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

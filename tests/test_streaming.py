@@ -469,3 +469,57 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
         if r["session_idx"] != last_idx[r["user_id"]]
     }
     assert got == want and len(want) == 3  # A:2 closed + B:1 closed
+
+
+def test_stream_cms_sketch_matches_batch(spark, tmp_path):
+    """Live CMS: the drained stream's final snapshot equals the batch
+    cms_sketch over the full corpus (cellwise sums are batching-
+    insensitive), and a restart with new files refreshes the snapshot
+    incrementally (fixed-size state, no reprocessing of old files)."""
+    from genie_spark.datapipe.sketches import cms_sketch
+    from genie_spark.streaming import stream_cms_sketch
+
+    in_dir = str(tmp_path / "docs_in")
+    out_dir = str(tmp_path / "cms_out")
+    docs1 = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 7} gamma") for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    docs1.write.mode("overwrite").parquet(in_dir)
+    stream_cms_sketch(spark, in_dir, out_dir, depth=4, width=256)
+    snap1 = {
+        (r.j, r.b): r.cnt
+        for r in spark.read.parquet(out_dir + "/data").collect()
+    }
+    want1 = {
+        (r.j, r.b): r.cnt
+        for r in cms_sketch(
+            docs1.select(F.explode(F.split("text", " ")).alias("t")).filter(
+                F.col("t") != ""
+            ),
+            "t", depth=4, width=256,
+        ).collect()
+    }
+    assert snap1 == want1 and len(snap1) > 0
+
+    docs2 = spark.createDataFrame(
+        [(100 + i, f"delta epsilon w{i % 5}") for i in range(25)],
+        "doc_id bigint, text string",
+    )
+    docs2.write.mode("append").parquet(in_dir)
+    stream_cms_sketch(spark, in_dir, out_dir, depth=4, width=256)
+    snap2 = {
+        (r.j, r.b): r.cnt
+        for r in spark.read.parquet(out_dir + "/data").collect()
+    }
+    alltok = (
+        docs1.unionByName(docs2)
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") != "")
+    )
+    want2 = {
+        (r.j, r.b): r.cnt
+        for r in cms_sketch(alltok, "t", depth=4, width=256).collect()
+    }
+    assert snap2 == want2
+    assert sum(snap2.values()) > sum(snap1.values())
