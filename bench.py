@@ -216,6 +216,7 @@ HEADLINE = [
     "kg_entity_summary",
     "kg_resource_alloc",
     "collocations",
+    "bpe_merges",
 ]
 
 

@@ -5839,3 +5839,36 @@ def collocations_q(spark, sf_dir):
     return collocation_lift(
         _t(spark, sf_dir, "documents"), top_n=20, min_count=5
     )
+
+
+# -- Tokenizer vocabulary induction (distributed BPE) ------------------------
+
+_BPE_MERGES = 6
+
+
+def _bpe_sql() -> str:
+    from .datapipe.vocab import bpe_sql_chain
+
+    return f"""
+WITH {bpe_sql_chain('documents', _BPE_MERGES)}
+SELECT step, "left", "right", merged, pair_cnt FROM bmerges
+"""
+
+
+@_register("bpe_merges", None)
+def bpe_merges_q(spark, sf_dir):
+    """Distributed BPE vocabulary induction: learn 6 merges over the
+    corpus word-frequency table. Each round is a pure distributed plan
+    — vocabulary-sized row-local pair generation, ONE partial-agg
+    count groupBy, a 1-row TakeOrderedAndProject argmax broadcast into
+    the merge application — no driver loop over data, no collect; the
+    merge table (step, left, right, merged, pair_cnt) is the artifact
+    a tokenizer ships (datapipe/vocab.py bpe_learn_merges)."""
+    from .datapipe.vocab import bpe_learn_merges
+
+    return bpe_learn_merges(
+        _t(spark, sf_dir, "documents"), merges=_BPE_MERGES
+    )
+
+
+ORACLES["bpe_merges"] = _bpe_sql()
