@@ -217,6 +217,7 @@ HEADLINE = [
     "kg_resource_alloc",
     "collocations",
     "bpe_merges",
+    "bpe_encode_stats",
 ]
 
 

@@ -175,3 +175,106 @@ def bpe_sql_chain(
     )
     parts.append(f"bmerges AS ({rows})")
     return ",\n".join(parts)
+
+
+def _doc_seq(text) -> "F.Column":
+    """Whole-document symbol string: lowercased, words spaced-char
+    encoded, word boundaries kept as a ``|`` sentinel symbol (never in
+    the merge table, so merges cannot cross words)."""
+    return F.concat(
+        F.lit(" "),
+        F.regexp_replace(
+            F.replace(F.lower(text), F.lit(" "), F.lit(" | ")),
+            "([^ |])",
+            "$1 ",
+        ),
+    )
+
+
+def _symbol_count(seq) -> "F.Column":
+    """Non-sentinel symbol count of a spaced symbol string."""
+    return F.size(
+        F.filter(
+            F.split(F.trim(seq), " "),
+            lambda x: (x != F.lit("|")) & (x != F.lit("")),
+        )
+    ).cast("long")
+
+
+def bpe_encode_stats(
+    docs: DataFrame,
+    merge_table: DataFrame,
+    merges: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned merge table to the corpus (in step order, the
+    same two-pass replace as training) and report the encoding effect:
+    one row ``(n_docs, n_symbols_before, n_symbols_after,
+    compression_ppm)`` — the "how much did my tokenizer shrink the
+    corpus" audit. The apply path is ROW-LOCAL (6 string replaces per
+    document), so at 100 TB it is a pure map over the corpus; each
+    merge arrives as a broadcast 1-row frame from the (tiny,
+    already-checkpointed) merge table, never a driver value."""
+    seq0 = docs.select(_doc_seq(F.col(text_col)).alias("seq"))
+    before = seq0.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(_symbol_count(F.col("seq"))).cast("long").alias("n_symbols_before"),
+    )
+    seq = seq0
+    for i in range(1, merges + 1):
+        m = merge_table.filter(F.col("step") == i).select(
+            F.col("left").alias("_l"), F.col("right").alias("_r")
+        )
+        seq = seq.crossJoin(F.broadcast(m)).select(
+            _apply_merge(F.col("seq"), F.col("_l"), F.col("_r")).alias("seq")
+        )
+    after = seq.agg(
+        F.sum(_symbol_count(F.col("seq"))).cast("long").alias("n_symbols_after")
+    )
+    return (
+        before.crossJoin(after)
+        .select(
+            "n_docs",
+            "n_symbols_before",
+            "n_symbols_after",
+            F.expr("(n_symbols_after * 1000000L) div n_symbols_before").alias(
+                "compression_ppm"
+            ),
+        )
+    )
+
+
+def bpe_encode_sql(
+    docs_cte: str = "documents",
+    merges: int = 6,
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`bpe_encode_stats`, composing on the
+    ``btp{i}`` merge CTEs of :func:`bpe_sql_chain`: emits
+    ``benc0..benc{merges}/bstat``."""
+    parts = [
+        f"""benc0 AS MATERIALIZED (
+  SELECT ' ' || regexp_replace(replace(lower({text_col}), ' ', ' | '),
+                               '([^ |])', '\\1 ', 'g') AS seq
+  FROM {docs_cte})""",
+    ]
+    for i in range(1, merges + 1):
+        l_, r_ = f"(SELECT l FROM btp{i})", f"(SELECT r FROM btp{i})"
+        pat = f"' ' || {l_} || ' ' || {r_} || ' '"
+        rep = f"' ' || {l_} || {r_} || ' '"
+        parts.append(
+            f"""benc{i} AS MATERIALIZED (
+  SELECT replace(replace(seq, {pat}, {rep}), {pat}, {rep}) AS seq
+  FROM benc{i - 1})"""
+        )
+    nsym = (
+        "sum(len(list_filter(string_split(trim(seq), ' '),"
+        " x -> x <> '|' AND x <> '')))::BIGINT"
+    )
+    parts.append(
+        f"""bstat AS (
+  SELECT (SELECT count(*)::BIGINT FROM benc0) AS n_docs,
+         (SELECT {nsym} FROM benc0) AS n_symbols_before,
+         (SELECT {nsym} FROM benc{merges}) AS n_symbols_after)"""
+    )
+    return ",\n".join(parts)

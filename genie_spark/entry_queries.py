@@ -5872,3 +5872,34 @@ def bpe_merges_q(spark, sf_dir):
 
 
 ORACLES["bpe_merges"] = _bpe_sql()
+
+
+def _bpe_encode_sql() -> str:
+    from .datapipe.vocab import bpe_encode_sql, bpe_sql_chain
+
+    return f"""
+WITH {bpe_sql_chain('documents', _BPE_MERGES)},
+{bpe_encode_sql('documents', _BPE_MERGES)}
+SELECT n_docs, n_symbols_before, n_symbols_after,
+       ((n_symbols_after * 1000000) // n_symbols_before)::BIGINT
+         AS compression_ppm
+FROM bstat
+"""
+
+
+@_register("bpe_encode_stats", None)
+def bpe_encode_stats_q(spark, sf_dir):
+    """Apply the learned BPE merge table back to the corpus (row-local
+    6-replace map, word boundaries kept as a '|' sentinel no merge can
+    cross) and audit the encoding: symbols before/after + compression
+    ppm, one row. The train→apply composition is the full tokenizer
+    lifecycle as distributed plans (datapipe/vocab.py
+    bpe_encode_stats)."""
+    from .datapipe.vocab import bpe_encode_stats, bpe_learn_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    mt = bpe_learn_merges(docs, merges=_BPE_MERGES)
+    return bpe_encode_stats(docs, mt, merges=_BPE_MERGES)
+
+
+ORACLES["bpe_encode_stats"] = _bpe_encode_sql()

@@ -58,3 +58,18 @@ def test_word_freq_counts(spark):
     docs = _docs(spark, ["a b a", "b  c"])
     wf = {r.word: r.cnt for r in word_freq(docs).collect()}
     assert wf == {"a": 2, "b": 2, "c": 1}
+
+
+def test_bpe_encode_stats_and_word_boundary(spark):
+    from genie_spark.datapipe.vocab import bpe_encode_stats
+
+    # "ab" is the only merge; "a b" as SEPARATE words must NOT merge
+    # across the boundary sentinel
+    docs = _docs(spark, ["abab abab", "a b a b"])
+    mt = bpe_learn_merges(docs, merges=1)
+    row = bpe_encode_stats(docs, mt, merges=1).collect()[0]
+    # doc1: 8 chars -> 4 "ab" symbols; doc2: 4 single chars unchanged
+    assert row.n_docs == 2
+    assert row.n_symbols_before == 12
+    assert row.n_symbols_after == 8
+    assert row.compression_ppm == 666666
