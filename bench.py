@@ -218,6 +218,7 @@ HEADLINE = [
     "collocations",
     "bpe_merges",
     "bpe_encode_stats",
+    "sketch_distinct_by_source",
 ]
 
 

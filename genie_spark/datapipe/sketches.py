@@ -316,3 +316,64 @@ def bloom_probe_sql(
     FROM {prefix}_pp JOIN {prefix}_map ON {prefix}_map.w = pos // 62
     GROUP BY item)
   WHERE n_set = {k})"""
+
+
+def minhash_distinct_sketch_grouped(
+    items: DataFrame, col: str, keys: list, buckets: int = 64
+) -> DataFrame:
+    """Per-group distinct sketch: ``(*keys, bucket, vmin)`` — the
+    GROUP BY form of :func:`minhash_distinct_sketch` (one sketch per
+    key, e.g. distinct tokens per domain). Still ONE partial-agg
+    groupBy; state is ``buckets`` rows per group instead of the
+    per-group distinct-value shuffle."""
+    if buckets & (buckets - 1):
+        raise ValueError("buckets must be a power of two")
+    shift = buckets.bit_length() - 1
+    h = h60(F.col(col))
+    return (
+        items.select(
+            *[F.col(k) for k in keys],
+            h.bitwiseAND(F.lit(buckets - 1).cast("long")).alias("bucket"),
+            F.shiftright(h, shift).alias("v"),
+        )
+        .groupBy(*keys, "bucket")
+        .agg(F.min("v").alias("vmin"))
+    )
+
+
+def distinct_estimate_grouped(
+    sketch: DataFrame, keys: list, buckets: int = 64
+) -> DataFrame:
+    """Per-group estimate ``(*keys, est_distinct)`` — same
+    empty-bucket-corrected inversion as :func:`distinct_estimate`,
+    aggregated per key."""
+    extra, rp, _ = _dsk_params(buckets)
+    s = sketch.groupBy(*keys).agg(
+        F.sum(F.shiftright("vmin", extra)).alias("s"),
+        (F.lit(buckets).cast("long") - F.count(F.lit(1))).alias("z"),
+    )
+    return s.select(
+        *keys,
+        F.expr(
+            f"({buckets}L * {rp}L * ({buckets}L - z))"
+            f" div (s + {rp}L * z + 1L)"
+        ).alias("est_distinct"),
+    )
+
+
+def distinct_sketch_grouped_sql(
+    items_cte: str, col: str, key: str, buckets: int = 64
+) -> str:
+    """DuckDB twin: emits ``dskg_h/dskg_b/dskg_e`` keyed on ``key``."""
+    shift = buckets.bit_length() - 1
+    extra, rp, _ = _dsk_params(buckets)
+    h = h60_sql(col)
+    return f"""dskg_h AS (SELECT {key} AS k, {h} AS h FROM {items_cte}),
+dskg_b AS (SELECT k, h & {buckets - 1} AS bucket, min(h >> {shift}) AS vmin
+           FROM dskg_h GROUP BY 1, 2),
+dskg_s AS (SELECT k, sum(vmin >> {extra})::BIGINT AS s,
+                  ({buckets} - count(*))::BIGINT AS z
+           FROM dskg_b GROUP BY k),
+dskg_e AS (SELECT k, (({buckets} * {rp} * ({buckets} - z))
+                      // (s + {rp} * z + 1))::BIGINT AS est_distinct
+           FROM dskg_s)"""

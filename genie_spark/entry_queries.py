@@ -5903,3 +5903,62 @@ def bpe_encode_stats_q(spark, sf_dir):
 
 
 ORACLES["bpe_encode_stats"] = _bpe_encode_sql()
+
+
+_DSKG_BUCKETS = 64
+
+
+def _sketch_distinct_by_source_sql() -> str:
+    from .datapipe.sketches import distinct_sketch_grouped_sql
+
+    return f"""
+WITH tokx AS (
+  SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+tks AS (SELECT source, t FROM tokx WHERE t <> ''),
+{distinct_sketch_grouped_sql('tks', 't', 'source', _DSKG_BUCKETS)},
+ex AS (SELECT source AS k, count(DISTINCT t)::BIGINT AS exact_distinct
+       FROM tks GROUP BY source)
+SELECT e.k AS source, e.est_distinct, x.exact_distinct,
+       ((abs(e.est_distinct - x.exact_distinct) * 1000000)
+        // x.exact_distinct)::BIGINT AS err_ppm
+FROM dskg_e e JOIN ex x ON x.k = e.k
+"""
+
+
+@_register("sketch_distinct_by_source", None)
+def sketch_distinct_by_source_q(spark, sf_dir):
+    """Per-source distinct-vocabulary estimation — the GROUP BY form of
+    sketch_distinct (distinct tokens per crawl domain, 64 buckets per
+    group). State is 64 rows per group vs the per-group distinct-value
+    shuffle of exact count-distinct; the exact answer rides along as
+    the per-group error audit (datapipe/sketches.py
+    minhash_distinct_sketch_grouped)."""
+    from .datapipe.sketches import (
+        distinct_estimate_grouped,
+        minhash_distinct_sketch_grouped,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("t")
+    ).filter(F.col("t") != "")
+    est = distinct_estimate_grouped(
+        minhash_distinct_sketch_grouped(toks, "t", ["source"], _DSKG_BUCKETS),
+        ["source"],
+        _DSKG_BUCKETS,
+    )
+    exact = toks.groupBy("source").agg(
+        F.count_distinct("t").cast("bigint").alias("exact_distinct")
+    )
+    return est.join(exact, "source").select(
+        "source",
+        "est_distinct",
+        "exact_distinct",
+        F.expr(
+            "(abs(est_distinct - exact_distinct) * 1000000L)"
+            " div exact_distinct"
+        ).alias("err_ppm"),
+    )
+
+
+ORACLES["sketch_distinct_by_source"] = _sketch_distinct_by_source_sql()
