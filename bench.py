@@ -219,6 +219,7 @@ HEADLINE = [
     "bpe_merges",
     "bpe_encode_stats",
     "sketch_distinct_by_source",
+    "bm25_topk",
 ]
 
 

@@ -664,3 +664,98 @@ def collocation_lift(
         )
     )
     return out.orderBy(F.desc("lift_ppm"), F.asc("bigram")).limit(top_n)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    top_k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    qid_col: str = "qid",
+    qtext_col: str = "qtext",
+) -> DataFrame:
+    """BM25 retrieval (Robertson-Sparck Jones) for a query panel, made
+    integer-exact: k1 = 6/5 and b = 3/4 are kept RATIONAL and the
+    per-term score is cleared of denominators::
+
+        score_t = ridf * 44 * tf * avgdl // (20*avgdl*tf + 6*avgdl + 18*dl)
+
+    with ``ridf = N*1e6 // df`` standing in for the log IDF (log is
+    engine-divergent float; the linear inverse-df weight is the same
+    monotone rarity signal — documented deviation). ``avgdl`` is the
+    integer mean doc length. Returns the top ``top_k`` docs per query
+    by (score desc, doc_id asc): ``(qid, doc_id, score_ppm, rank)``.
+    ``ridf`` is saturated at 1e9 (terms rarer than 1-in-1000 docs score
+    as equally rare) so the numerator stays inside signed-64 at any
+    corpus size under ANSI mode.
+
+    Scale shape: postings (term, doc, tf) are ONE partial-agg groupBy
+    over the ONE corpus explosion; doc lengths are a second partial
+    agg over the postings (never a second scan); document frequencies
+    are computed only for the panel's terms (a full-vocabulary df
+    broadcast would be billions of rows at web scale — the semi-join
+    restriction keeps the broadcast panel-sized); the query panel is
+    broadcast onto the postings so the fact side never shuffles on
+    query content; per-query top-k is a qid-keyed window over only
+    the matching postings."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), " "),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("t"),
+    )
+    postings = toks.groupBy("t", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dl = postings.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("dl")
+    )
+    stats = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs")).crossJoin(
+        dl.agg(F.sum("dl").cast("long").alias("n_toks"))
+    ).select("n_docs", F.expr("n_toks div n_docs").alias("avgdl"))
+    qt = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col(qtext_col)), " "),
+                    lambda x: x != F.lit(""),
+                )
+            )
+        ).alias("t"),
+    )
+    df_q = postings.join(
+        F.broadcast(qt.select("t").distinct()), "t", "left_semi"
+    ).groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    scored = (
+        postings.join(F.broadcast(qt), "t")
+        .join(dl, "doc_id")
+        .join(F.broadcast(df_q), "t")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "qid",
+            "doc_id",
+            F.expr(
+                "(least((n_docs * 1000000L) div df, 1000000000L)"
+                " * 44L * tf * avgdl)"
+                " div (20L * avgdl * tf + 6L * avgdl + 18L * dl)"
+            ).alias("s"),
+        )
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("s").cast("long").alias("score_ppm"))
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("qid").orderBy(
+        F.desc("score_ppm"), F.asc("doc_id")
+    )
+    return (
+        scored.select(
+            "qid", "doc_id", "score_ppm", F.row_number().over(win).alias("rank")
+        )
+        .filter(F.col("rank") <= top_k)
+    )

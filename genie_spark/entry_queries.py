@@ -5962,3 +5962,68 @@ def sketch_distinct_by_source_q(spark, sf_dir):
 
 
 ORACLES["sketch_distinct_by_source"] = _sketch_distinct_by_source_sql()
+
+
+# -- BM25 retrieval -----------------------------------------------------------
+
+_BM25_SQL = """
+WITH tw AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS t
+  FROM documents),
+post AS (SELECT t, doc_id, count(*)::BIGINT AS tf FROM tw GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM post GROUP BY 1),
+st AS (SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+              ((SELECT sum(dl) FROM dl)
+               // (SELECT count(*) FROM documents))::BIGINT AS avgdl),
+qp AS (SELECT doc_id AS qid,
+              array_to_string(
+                (list_filter(string_split(lower(text), ' '),
+                             t -> t <> ''))[1:3], ' ') AS qtext
+       FROM documents WHERE doc_id % 50 = 7),
+qt AS (SELECT DISTINCT qid, t FROM (
+         SELECT qid,
+                unnest(list_filter(string_split(lower(qtext), ' '),
+                                   t -> t <> '')) AS t
+         FROM qp)),
+dfr AS (SELECT t, count(*)::BIGINT AS df FROM post
+        WHERE t IN (SELECT t FROM qt) GROUP BY 1),
+sc AS (SELECT qt.qid, post.doc_id,
+              sum((least((st.n_docs * 1000000) // dfr.df, 1000000000)
+                   * 44 * post.tf * st.avgdl)
+                  // (20 * st.avgdl * post.tf + 6 * st.avgdl
+                      + 18 * dl.dl))::BIGINT AS score_ppm
+       FROM post JOIN qt ON qt.t = post.t
+       JOIN dl ON dl.doc_id = post.doc_id
+       JOIN dfr ON dfr.t = post.t
+       CROSS JOIN st
+       GROUP BY 1, 2),
+rk AS (SELECT qid, doc_id, score_ppm,
+              row_number() OVER (PARTITION BY qid
+                                 ORDER BY score_ppm DESC, doc_id ASC) AS rank
+       FROM sc)
+SELECT qid, doc_id, score_ppm, rank FROM rk WHERE rank <= 5
+"""
+
+
+@_register("bm25_topk", _BM25_SQL)
+def bm25_topk_q(spark, sf_dir):
+    """BM25 top-5 retrieval over a deterministic query panel (every
+    50th doc's first 3 tokens — self-contained, no external data).
+    Integer-exact scoring: rational k1=6/5, b=3/4 cleared of
+    denominators, inverse-df rarity weight saturated at 1e9 in place
+    of log-IDF (log is engine-divergent float; documented deviation).
+    Postings/doc-length/df all derive from ONE corpus explosion; df is
+    computed only for panel terms so every dimension broadcast stays
+    panel-sized at web scale (datapipe/textstats.py bm25_topk)."""
+    from .datapipe.textstats import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    wq = F.filter(
+        F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit("")
+    )
+    panel = docs.filter(F.col("doc_id") % 50 == 7).select(
+        F.col("doc_id").alias("qid"),
+        F.array_join(F.slice(wq, 1, 3), " ").alias("qtext"),
+    )
+    return bm25_topk(docs, panel, top_k=5)
