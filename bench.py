@@ -220,6 +220,7 @@ HEADLINE = [
     "bpe_encode_stats",
     "sketch_distinct_by_source",
     "bm25_topk",
+    "phrase_search",
 ]
 
 

@@ -759,3 +759,60 @@ def bm25_topk(
         )
         .filter(F.col("rank") <= top_k)
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrases: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    phrase_col: str = "phrase",
+) -> DataFrame:
+    """Exact 2-gram phrase search through a positional inverted index.
+    ``phrases`` is a panel of space-separated two-word phrases; returns
+    one row per phrase: ``(phrase, n_docs, n_occurrences)`` — documents
+    containing the exact adjacent pair, and total adjacent occurrences.
+
+    Scale shape: positional postings (doc_id, pos, token) come from ONE
+    posexplode of the corpus; both sides of the adjacency self-join are
+    first restricted to panel terms by a broadcast semi-join (only
+    panel-term postings ever shuffle — the corpus-sized posting list is
+    pruned before the exchange); adjacency is a pure equi-join on
+    (doc_id, next_pos, token) so Spark can hash/sort-merge it without
+    range logic; the final per-phrase aggregate is partial-aggregatable."""
+    wq = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit("")
+    )
+    post = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(wq).alias("pos", "t")
+    )
+    pp = phrases.select(
+        F.col(phrase_col).alias("phrase"),
+        F.split(F.lower(F.col(phrase_col)), " ").alias("pw"),
+    ).select(
+        "phrase",
+        F.col("pw").getItem(0).alias("w1"),
+        F.col("pw").getItem(1).alias("w2"),
+    ).distinct()
+    terms = pp.select(F.col("w1").alias("t")).union(
+        pp.select(F.col("w2").alias("t"))
+    ).distinct()
+    post_p = post.join(F.broadcast(terms), "t", "left_semi")
+    left = (
+        post_p.join(F.broadcast(pp), post_p["t"] == pp["w1"])
+        .select(
+            "phrase", "w2", "doc_id", (F.col("pos") + 1).alias("pos2")
+        )
+    )
+    hits = left.join(
+        post_p.select(
+            F.col("doc_id").alias("doc_id"),
+            F.col("pos").alias("pos2"),
+            F.col("t").alias("w2"),
+        ),
+        ["doc_id", "pos2", "w2"],
+    )
+    return hits.groupBy("phrase").agg(
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+    )

@@ -6027,3 +6027,48 @@ def bm25_topk_q(spark, sf_dir):
         F.array_join(F.slice(wq, 1, 3), " ").alias("qtext"),
     )
     return bm25_topk(docs, panel, top_k=5)
+
+
+_PHRASE_SQL = """
+WITH wf AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS w
+  FROM documents),
+pox AS (SELECT doc_id,
+               unnest(list_transform(range(1, len(w) + 1),
+                                     i -> {'pos': i - 1, 't': w[i]})) AS p
+        FROM wf),
+po AS (SELECT doc_id, p.pos AS pos, p.t AS t FROM pox),
+qp AS (SELECT DISTINCT w[1] || ' ' || w[2] AS phrase, w[1] AS w1, w[2] AS w2
+       FROM wf WHERE doc_id % 101 = 13 AND len(w) >= 2),
+lft AS (SELECT qp.phrase, qp.w2, po.doc_id, po.pos + 1 AS pos2
+        FROM po JOIN qp ON po.t = qp.w1),
+hits AS (SELECT lft.phrase, lft.doc_id
+         FROM lft JOIN po b
+           ON b.doc_id = lft.doc_id AND b.pos = lft.pos2 AND b.t = lft.w2)
+SELECT phrase, count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_occurrences
+FROM hits GROUP BY phrase
+"""
+
+
+@_register("phrase_search", _PHRASE_SQL)
+def phrase_search_q(spark, sf_dir):
+    """Exact 2-gram phrase search over a corpus-derived panel (every
+    101st doc's leading bigram): positional inverted index from ONE
+    posexplode, both adjacency sides pruned to panel terms by broadcast
+    semi-join BEFORE any shuffle, adjacency as a pure equi-join on
+    (doc_id, next_pos, token) (datapipe/textstats.py phrase_search)."""
+    from .datapipe.textstats import phrase_search
+
+    docs = _t(spark, sf_dir, "documents")
+    wq = F.filter(
+        F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit("")
+    )
+    panel = (
+        docs.filter(F.col("doc_id") % 101 == 13)
+        .select(wq.alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(F.array_join(F.slice("w", 1, 2), " ").alias("phrase"))
+    )
+    return phrase_search(docs, panel)
