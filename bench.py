@@ -221,6 +221,7 @@ HEADLINE = [
     "sketch_distinct_by_source",
     "bm25_topk",
     "phrase_search",
+    "sketch_quantiles_by_source",
 ]
 
 

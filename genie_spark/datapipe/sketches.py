@@ -377,3 +377,94 @@ dskg_s AS (SELECT k, sum(vmin >> {extra})::BIGINT AS s,
 dskg_e AS (SELECT k, (({buckets} * {rp} * ({buckets} - z))
                       // (s + {rp} * z + 1))::BIGINT AS est_distinct
            FROM dskg_s)"""
+
+
+def histogram_quantiles_grouped(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list,
+    width: int = 64,
+    percentiles: tuple = (50, 90),
+) -> DataFrame:
+    """Approximate per-group percentiles from a fixed-width integer
+    histogram — the bounded-state replacement for a per-group sort.
+    State per group is ``#occupied buckets`` (≤ domain/width) instead
+    of every row: at 100 TB a per-group exact percentile is a full
+    shuffle-sort of the fact table, while the histogram is ONE
+    partial-aggregatable count groupBy down to (group × bucket) rows;
+    the tiny per-group cumulative walk happens on histogram rows only.
+
+    Estimate for percentile p: the midpoint ``b*width + width div 2``
+    of the smallest bucket whose cumulative count reaches
+    ``ceil(p*n/100)`` (integer form ``(p*n + 99) div 100``). All
+    arithmetic is integer, so the DuckDB twin is digit-identical.
+    Returns group_cols + ``est_p{p}`` per requested percentile."""
+    from pyspark.sql import Window
+
+    w = int(width)
+    hist = df.select(
+        *group_cols,
+        F.expr(f"cast({value_col} as bigint) div {w}").alias("b"),
+    ).groupBy(*group_cols, "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    win = (
+        Window.partitionBy(*group_cols)
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        *group_cols,
+        "b",
+        F.sum("c").over(win).cast("long").alias("cum"),
+        F.sum("c").over(
+            Window.partitionBy(*group_cols)
+            .orderBy("b")
+            .rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("long").alias("n"),
+    )
+    aggs = []
+    for p in percentiles:
+        kp = f"(({p}L * n + 99L) div 100L)"
+        aggs.append(
+            F.min(
+                F.expr(
+                    f"CASE WHEN cum >= {kp}"
+                    f" THEN b * {w}L + {w // 2}L END"
+                )
+            ).cast("long").alias(f"est_p{p}")
+        )
+    return cum.groupBy(*group_cols).agg(*aggs)
+
+
+def histogram_quantiles_grouped_sql(
+    src: str,
+    value_col: str,
+    group_col: str,
+    width: int = 64,
+    percentiles: tuple = (50, 90),
+) -> str:
+    """DuckDB CTE chain mirroring :func:`histogram_quantiles_grouped`:
+    defines ``hq_e(k, est_p{p}...)``. ``src`` must expose
+    (group_col, value_col)."""
+    w = int(width)
+    ests = ",\n       ".join(
+        f"min(CASE WHEN cum >= (({p} * n + 99) // 100)"
+        f" THEN b * {w} + {w // 2} END)::BIGINT AS est_p{p}"
+        for p in percentiles
+    )
+    return f"""hq_h AS (
+  SELECT {group_col} AS k, ({value_col}::BIGINT // {w}) AS b,
+         count(*)::BIGINT AS c
+  FROM {src} GROUP BY 1, 2),
+hq_c AS (
+  SELECT k, b,
+         sum(c) OVER (PARTITION BY k ORDER BY b
+                      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+         sum(c) OVER (PARTITION BY k)::BIGINT AS n
+  FROM hq_h),
+hq_e AS (
+  SELECT k, {ests}
+  FROM hq_c GROUP BY k)"""

@@ -6072,3 +6072,85 @@ def phrase_search_q(spark, sf_dir):
         .select(F.array_join(F.slice("w", 1, 2), " ").alias("phrase"))
     )
     return phrase_search(docs, panel)
+
+
+def _hist_quantiles_sql() -> str:
+    from .datapipe.sketches import histogram_quantiles_grouped_sql
+
+    return f"""
+WITH dv AS (SELECT source, n_chars FROM documents),
+{histogram_quantiles_grouped_sql('dv', 'n_chars', 'source', 64, (50, 90))},
+xr AS (
+  SELECT source AS k, n_chars::BIGINT AS v,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+         count(*) OVER (PARTITION BY source)::BIGINT AS n
+  FROM dv),
+xe AS (
+  SELECT k,
+         min(CASE WHEN rn = ((50 * n + 99) // 100) THEN v END)::BIGINT
+           AS exact_p50,
+         min(CASE WHEN rn = ((90 * n + 99) // 100) THEN v END)::BIGINT
+           AS exact_p90
+  FROM xr GROUP BY k)
+SELECT e.k AS source, e.est_p50, e.est_p90, x.exact_p50, x.exact_p90,
+       ((abs(e.est_p50 - x.exact_p50) * 1000000) // x.exact_p50)::BIGINT
+         AS err50_ppm,
+       ((abs(e.est_p90 - x.exact_p90) * 1000000) // x.exact_p90)::BIGINT
+         AS err90_ppm
+FROM hq_e e JOIN xe x ON x.k = e.k
+"""
+
+
+@_register("sketch_quantiles_by_source", None)
+def sketch_quantiles_by_source_q(spark, sf_dir):
+    """Per-source approximate p50/p90 document length from a 64-wide
+    integer histogram (bounded state: occupied buckets per group, ONE
+    partial-agg groupBy — no per-group sort of the fact table), with
+    the exact disc-percentile audit riding along
+    (datapipe/sketches.py histogram_quantiles_grouped)."""
+    from pyspark.sql import Window
+
+    from .datapipe.sketches import histogram_quantiles_grouped
+
+    docs = _t(spark, sf_dir, "documents")
+    est = histogram_quantiles_grouped(
+        docs, "n_chars", ["source"], width=64, percentiles=(50, 90)
+    )
+    xr = docs.select(
+        "source",
+        F.col("n_chars").cast("long").alias("v"),
+    ).select(
+        "source",
+        "v",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("v"))
+        .alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("source"))
+        .cast("long")
+        .alias("n"),
+    )
+    exact = xr.groupBy("source").agg(
+        F.min(
+            F.expr("CASE WHEN rn = ((50L * n + 99L) div 100L) THEN v END")
+        ).cast("long").alias("exact_p50"),
+        F.min(
+            F.expr("CASE WHEN rn = ((90L * n + 99L) div 100L) THEN v END")
+        ).cast("long").alias("exact_p90"),
+    )
+    return est.join(exact, "source").select(
+        "source",
+        "est_p50",
+        "est_p90",
+        "exact_p50",
+        "exact_p90",
+        F.expr(
+            "(abs(est_p50 - exact_p50) * 1000000L) div exact_p50"
+        ).alias("err50_ppm"),
+        F.expr(
+            "(abs(est_p90 - exact_p90) * 1000000L) div exact_p90"
+        ).alias("err90_ppm"),
+    )
+
+
+ORACLES["sketch_quantiles_by_source"] = _hist_quantiles_sql()
