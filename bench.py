@@ -222,6 +222,7 @@ HEADLINE = [
     "bm25_topk",
     "phrase_search",
     "sketch_quantiles_by_source",
+    "corpus_cube",
 ]
 
 

@@ -6154,3 +6154,46 @@ def sketch_quantiles_by_source_q(spark, sf_dir):
 
 
 ORACLES["sketch_quantiles_by_source"] = _hist_quantiles_sql()
+
+
+_CUBE_SQL = """
+SELECT coalesce(source, '<all>') AS source,
+       coalesce(lang, '<all>') AS lang,
+       GROUPING(source, lang)::BIGINT AS gid,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars,
+       (sum(n_chars) // count(*))::BIGINT AS mean_chars
+FROM documents
+GROUP BY CUBE(source, lang)
+"""
+
+
+@_register("corpus_cube", _CUBE_SQL)
+def corpus_cube_q(spark, sf_dir):
+    """OLAP CUBE over (source, lang): all four grouping levels of the
+    corpus census (doc count, total/mean chars) in ONE pass —
+    grouping-set expansion happens inside the aggregate's partial
+    phase, so at 100 TB this costs one scan + one shuffle instead of
+    four separate groupBys; grouping_id disambiguates the levels and
+    NULL group keys are folded to '<all>' so the output is
+    join-friendly."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.cube("source", "lang")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.expr("sum(n_chars) div count(1)").cast("long").alias(
+                "mean_chars"
+            ),
+        )
+        .select(
+            F.coalesce(F.col("source"), F.lit("<all>")).alias("source"),
+            F.coalesce(F.col("lang"), F.lit("<all>")).alias("lang"),
+            "gid",
+            "n_docs",
+            "total_chars",
+            "mean_chars",
+        )
+    )
