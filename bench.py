@@ -223,6 +223,7 @@ HEADLINE = [
     "phrase_search",
     "sketch_quantiles_by_source",
     "corpus_cube",
+    "sql_region_orders",
 ]
 
 

@@ -6197,3 +6197,31 @@ def corpus_cube_q(spark, sf_dir):
             "mean_chars",
         )
     )
+
+
+# ONE string, two engines: runs verbatim on Spark SQL (the query) and
+# DuckDB (the oracle) — the ad-hoc SQL surface's parity demonstration.
+_SQL_REGION_ORDERS = """
+SELECT r_name, n_name,
+       count(DISTINCT o_orderkey) AS n_orders,
+       count(*) AS n_items,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+@_register("sql_region_orders", _SQL_REGION_ORDERS)
+def sql_region_orders_q(spark, sf_dir):
+    """Ad-hoc SQL surface: the same ANSI string runs verbatim as the
+    Spark query AND the DuckDB oracle. Catalyst gets the full
+    declarative plan (dims broadcast, fact-side partial aggregation,
+    column pruning to 5 of 11 lineitem columns) from plain SQL text
+    over registered parquet views (genie_spark/sql.py)."""
+    from .sql import sql
+
+    return sql(spark, sf_dir, _SQL_REGION_ORDERS)

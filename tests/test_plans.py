@@ -585,3 +585,20 @@ def test_sketch_builds_have_partial_aggregation(spark):
         tree = _tree(df)
         assert tree.count("HashAggregate") >= 2, tree
         assert tree.count("Exchange") == 1, tree
+
+
+def test_sql_surface_prunes_and_broadcasts(spark):
+    """The ad-hoc SQL surface must get full Catalyst treatment from
+    plain text: lineitem scan pruned to the referenced columns and
+    every dimension join broadcast (the fact side never shuffles on a
+    dim key)."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["sql_region_orders"](spark, SF_DIR)
+    plan = _plan(df)
+    tree = _tree(df)
+    # column pruning: the 11-column lineitem scan reads only 2
+    seg = [s for s in plan.split("(") if "lineitem.parquet" in s]
+    assert seg and "l_extendedprice" not in seg[0]
+    assert tree.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in tree
