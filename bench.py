@@ -224,6 +224,7 @@ HEADLINE = [
     "sketch_quantiles_by_source",
     "corpus_cube",
     "sql_region_orders",
+    "dedup_jaccard_prefix",
 ]
 
 

@@ -6225,3 +6225,40 @@ def sql_region_orders_q(spark, sf_dir):
     from .sql import sql
 
     return sql(spark, sf_dir, _SQL_REGION_ORDERS)
+
+
+def _prefix_jaccard_sql() -> str:
+    # the oracle is the EXHAUSTIVE exact-Jaccard join — deliberately NOT a
+    # mirror of the prefix-filtered plan, so a wrong prefix bound (lost
+    # candidate pairs) fails the hash gate instead of reproducing itself.
+    return f"""
+WITH {_SHINGLES_SQL},
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS nc
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       ((nc * 1000000) // (sa.n + sb.n - nc))::BIGINT AS jaccard_ppm
+FROM common JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE nc * (1000000 + 500000) >= 500000 * (sa.n + sb.n)
+"""
+
+
+@_register("dedup_jaccard_prefix", None)
+def dedup_jaccard_prefix_q(spark, sf_dir):
+    """AllPairs/PPJoin prefix-filtered exact-Jaccard near-dup pairs
+    (threshold 0.5): per-doc rarest-shingle prefixes generate the
+    candidates (no global rank — only a doc-partitioned window), full
+    intersection verifies. Oracle is the EXHAUSTIVE join: the gate
+    proves the prefix filter is lossless
+    (datapipe/dedup.py prefix_jaccard_pairs)."""
+    from .datapipe.dedup import prefix_jaccard_pairs
+
+    return prefix_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold_ppm=500000
+    )
+
+
+ORACLES["dedup_jaccard_prefix"] = _prefix_jaccard_sql()
