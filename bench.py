@@ -225,6 +225,7 @@ HEADLINE = [
     "corpus_cube",
     "sql_region_orders",
     "dedup_jaccard_prefix",
+    "dedup_tfidf_cosine",
 ]
 
 
