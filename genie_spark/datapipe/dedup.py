@@ -807,6 +807,7 @@ def tfidf_cosine_pairs(
     max_df: int = 50,
     rarity_cap: int = 100,
     threshold_cos2_ppm: int = 250000,
+    shingle_k: int = 0,
 ) -> DataFrame:
     """Weighted (TF-IDF-style) sparse cosine similarity join — the
     frequency-aware complement to the set-semantics Jaccard tiers:
@@ -825,16 +826,31 @@ def tfidf_cosine_pairs(
     (terms in > max_df docs are dropped BEFORE the join, stopword
     semantics, hottest key bounded at max_df^2 pairs); weights, norms
     and dots are all partial-aggregatable groupBys over one corpus
-    explosion; no row-at-a-time Python anywhere."""
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.col(text_col)), " "),
-                lambda x: x != F.lit(""),
-            )
-        ).alias("t"),
-    )
+    explosion; no row-at-a-time Python anywhere.
+
+    ``shingle_k > 0`` switches the feature space from unigrams to word
+    k-shingles (distinct per doc, tf folds to 1 → pure rarity-weighted
+    cosine). Use it when the unigram vocabulary is small relative to
+    the corpus — every unigram's df then grows past any cut and the
+    unigram score degenerates, while shingles stay rare at any scale
+    (same reason the Jaccard tiers shingle)."""
+    if shingle_k > 0:
+        toks = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                shingles_col(F.col(text_col), shingle_k)
+            ).alias("t"),
+        )
+    else:
+        toks = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), " "),
+                    lambda x: x != F.lit(""),
+                )
+            ).alias("t"),
+        )
     postings = toks.groupBy("t", "doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
     )

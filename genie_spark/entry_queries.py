@@ -6264,22 +6264,20 @@ def dedup_jaccard_prefix_q(spark, sf_dir):
 ORACLES["dedup_jaccard_prefix"] = _prefix_jaccard_sql()
 
 
-_TFIDF_COS_SQL = """
-WITH tw AS (
-  SELECT doc_id,
-         unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS t
-  FROM documents),
-post AS (SELECT t, doc_id, count(*)::BIGINT AS tf FROM tw GROUP BY 1, 2),
+_TFIDF_COS_SQL = f"""
+WITH {_SHINGLES_SQL},
+post AS (SELECT shingle AS t, doc_id, count(*)::BIGINT AS tf
+         FROM sh GROUP BY 1, 2),
 nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
 dfr AS (SELECT t, count(*)::BIGINT AS df FROM post GROUP BY 1
         HAVING count(*) <= 50),
-w AS (SELECT post.t, post.doc_id,
+wt AS (SELECT post.t, post.doc_id,
              (post.tf * least(nd.n_docs // dfr.df, 100))::BIGINT AS w
       FROM post JOIN dfr ON dfr.t = post.t CROSS JOIN nd),
-ss AS (SELECT doc_id, sum(w * w)::BIGINT AS ss FROM w GROUP BY 1),
+ss AS (SELECT doc_id, sum(w * w)::BIGINT AS ss FROM wt GROUP BY 1),
 dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                 sum(a.w * b.w)::BIGINT AS dot
-         FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id
+         FROM wt a JOIN wt b ON a.t = b.t AND a.doc_id < b.doc_id
          GROUP BY 1, 2)
 SELECT id_a, id_b,
        ((((dot * 1000000) // sa.ss) * dot) // sb.ss)::BIGINT AS cos2_ppm
@@ -6290,11 +6288,12 @@ WHERE (((dot * 1000000) // sa.ss) * dot) // sb.ss >= 250000
 
 @_register("dedup_tfidf_cosine", _TFIDF_COS_SQL)
 def dedup_tfidf_cosine_q(spark, sf_dir):
-    """TF-IDF-weighted sparse cosine similarity join (cos^2 >= 0.25):
-    capped linear rarity weights (engine-exact stand-in for log-IDF),
-    df-cut blocking bounds the posting self-join's hottest key, squared
-    cosine via two staged integer floor-divides — no floats anywhere
-    (datapipe/dedup.py tfidf_cosine_pairs)."""
+    """TF-IDF-weighted sparse cosine similarity join (cos^2 >= 0.25)
+    over 3-shingle features: capped linear rarity weights (engine-exact
+    stand-in for log-IDF), df-cut blocking bounds the posting
+    self-join's hottest key, squared cosine via two staged integer
+    floor-divides — no floats anywhere (datapipe/dedup.py
+    tfidf_cosine_pairs)."""
     from .datapipe.dedup import tfidf_cosine_pairs
 
-    return tfidf_cosine_pairs(_t(spark, sf_dir, "documents"))
+    return tfidf_cosine_pairs(_t(spark, sf_dir, "documents"), shingle_k=3)
