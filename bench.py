@@ -226,6 +226,9 @@ HEADLINE = [
     "sql_region_orders",
     "dedup_jaccard_prefix",
     "dedup_tfidf_cosine",
+    "cohort_retention",
+    "funnel_conversion",
+    "json_props_stats",
 ]
 
 

@@ -1,0 +1,101 @@
+"""Event-log analytics: cohort retention and funnel conversion.
+
+The two standard product-analytics shapes over an append-only event
+log, built to stay one-shuffle at any log size:
+
+* :func:`cohort_retention` — users grouped by first-seen day, activity
+  counted per day offset. The cohort assignment is ONE user-keyed
+  partial-agg min; the offset table joins it back user-keyed (both
+  sides hash-partition on user_id, co-located under AQE) and the final
+  census is a partial-aggregatable count-distinct per (cohort, offset).
+* :func:`funnel_conversion` — step-1 → step-2 conversion inside a
+  window. Per-user step-1 anchor is a partial-agg min; the step-2 scan
+  joins the (users-sized, not events-sized) anchor table on user_id
+  with the window as a residual range predicate — never an event×event
+  self-join.
+
+Day arithmetic is integer (datediff), so the DuckDB twins are
+digit-identical; no float timestamps anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(cohort_day, day_offset, n_users): distinct users of each
+    first-seen-day cohort active at each day offset."""
+    first = events.groupBy(user_col).agg(
+        F.min(F.to_date(ts_col)).alias("cohort_day")
+    )
+    return (
+        events.select(user_col, F.to_date(ts_col).alias("d"))
+        .join(first, user_col)
+        .select(
+            "cohort_day",
+            F.datediff(F.col("d"), F.col("cohort_day"))
+            .cast("long")
+            .alias("day_offset"),
+            user_col,
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct(user_col).cast("long").alias("n_users"))
+    )
+
+
+def funnel_conversion(
+    events: DataFrame,
+    step1: str = "signup",
+    step2: str = "purchase",
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """One row: (n_users, n_step1, n_converted, conversion_ppm) — users
+    with a ``step2`` event within ``window_days`` after their FIRST
+    ``step1`` event."""
+    anchors = (
+        events.filter(F.col(type_col) == step1)
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t1"))
+    )
+    converted = (
+        events.filter(F.col(type_col) == step2)
+        .select(user_col, F.col(ts_col).alias("t2"))
+        .join(anchors, user_col)
+        .filter(
+            (F.col("t2") >= F.col("t1"))
+            & (F.col("t2") <= F.expr(f"t1 + INTERVAL {int(window_days)} DAY"))
+        )
+        .select(user_col)
+        .distinct()
+    )
+    return (
+        events.agg(
+            F.count_distinct(user_col).cast("long").alias("n_users")
+        )
+        .crossJoin(
+            anchors.agg(F.count(F.lit(1)).cast("long").alias("n_step1"))
+        )
+        .crossJoin(
+            converted.agg(
+                F.count(F.lit(1)).cast("long").alias("n_converted")
+            )
+        )
+        .select(
+            "n_users",
+            "n_step1",
+            "n_converted",
+            F.expr(
+                "CASE WHEN n_step1 = 0 THEN 0L"
+                " ELSE (n_converted * 1000000L) div n_step1 END"
+            ).alias("conversion_ppm"),
+        )
+    )

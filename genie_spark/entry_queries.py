@@ -6297,3 +6297,88 @@ def dedup_tfidf_cosine_q(spark, sf_dir):
     from .datapipe.dedup import tfidf_cosine_pairs
 
     return tfidf_cosine_pairs(_t(spark, sf_dir, "documents"), shingle_k=3)
+
+
+# -- Event-log analytics ------------------------------------------------------
+
+_COHORT_SQL = """
+WITH first AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY 1)
+SELECT f.cohort_day,
+       date_diff('day', f.cohort_day, CAST(e.ts AS DATE))::BIGINT
+         AS day_offset,
+       count(DISTINCT e.user_id)::BIGINT AS n_users
+FROM events e JOIN first f ON f.user_id = e.user_id
+GROUP BY 1, 2
+"""
+
+
+@_register("cohort_retention", _COHORT_SQL)
+def cohort_retention_q(spark, sf_dir):
+    """Cohort retention census: users grouped by first-seen day,
+    distinct-active counted per integer day offset. One user-keyed
+    partial-agg min + one user-keyed join + one partial-aggregatable
+    count-distinct — no event x event self-join, integer day math
+    (datapipe/events.py cohort_retention)."""
+    from .datapipe.events import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"))
+
+
+_FUNNEL_SQL = """
+WITH anchors AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY 1),
+conv AS (
+  SELECT DISTINCT e.user_id
+  FROM events e JOIN anchors a ON a.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+    AND e.ts >= a.t1 AND e.ts <= a.t1 + INTERVAL 7 DAY)
+SELECT (SELECT count(DISTINCT user_id) FROM events)::BIGINT AS n_users,
+       (SELECT count(*) FROM anchors)::BIGINT AS n_step1,
+       (SELECT count(*) FROM conv)::BIGINT AS n_converted,
+       (CASE WHEN (SELECT count(*) FROM anchors) = 0 THEN 0
+             ELSE ((SELECT count(*) FROM conv) * 1000000)
+                  // (SELECT count(*) FROM anchors) END)::BIGINT
+         AS conversion_ppm
+"""
+
+
+@_register("funnel_conversion", _FUNNEL_SQL)
+def funnel_conversion_q(spark, sf_dir):
+    """Funnel conversion signup -> purchase within 7 days: per-user
+    step-1 anchor is a partial-agg min; step-2 events join the
+    users-sized anchor table (never an event x event self-join) with
+    the window as a residual range predicate
+    (datapipe/events.py funnel_conversion)."""
+    from .datapipe.events import funnel_conversion
+
+    return funnel_conversion(_t(spark, sf_dir, "events"))
+
+
+_PROPS_SQL = """
+SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT
+         AS sum_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT
+         AS max_k
+FROM events GROUP BY 1
+"""
+
+
+@_register("json_props_stats", _PROPS_SQL)
+def json_props_stats_q(spark, sf_dir):
+    """Semi-structured column extraction: pull an integer field out of
+    the JSON props string (get_json_object — row-local, codegen'd, no
+    UDF) and aggregate per event type. The path expression stays in the
+    scan stage, so at 100 TB this is one pass with column pruning to
+    (event_type, props)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.max(k).cast("long").alias("max_k"),
+    )
