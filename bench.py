@@ -229,6 +229,7 @@ HEADLINE = [
     "cohort_retention",
     "funnel_conversion",
     "json_props_stats",
+    "retrieval_rrf",
 ]
 
 

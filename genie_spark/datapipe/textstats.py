@@ -816,3 +816,96 @@ def phrase_search(
         F.count_distinct("doc_id").cast("long").alias("n_docs"),
         F.count(F.lit(1)).cast("long").alias("n_occurrences"),
     )
+
+
+def coverage_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    top_k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    qid_col: str = "qid",
+    qtext_col: str = "qtext",
+) -> DataFrame:
+    """Term-coverage ranking: docs ranked per query by how many DISTINCT
+    query terms they contain (ties -> doc_id asc). The blunt recall-
+    oriented counterpart to BM25 for rank fusion. Same scale shape:
+    distinct (doc, term) pairs from one explosion, panel broadcast onto
+    them, per-query window over matches only."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), " "),
+                    lambda x: x != F.lit(""),
+                )
+            )
+        ).alias("t"),
+    )
+    qt = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col(qtext_col)), " "),
+                    lambda x: x != F.lit(""),
+                )
+            )
+        ).alias("t"),
+    )
+    hits = (
+        toks.join(F.broadcast(qt), "t")
+        .groupBy("qid", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    win = Window.partitionBy("qid").orderBy(F.desc("n_hit"), F.asc("doc_id"))
+    return hits.select(
+        "qid", "doc_id", "n_hit", F.row_number().over(win).alias("rank")
+    ).filter(F.col("rank") <= top_k)
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    top_k: int = 5,
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of two ranked
+    lists, integer-exact: contribution = ``1e6 div (k + rank)``, absent
+    from a list = 0. Inputs need (qid, doc_id, rank). Returns the fused
+    top ``top_k`` per query: (qid, doc_id, rrf_ppm, rank). Row-local
+    arithmetic over two already-tiny top-k tables + one qid-keyed
+    window — fusion cost is panel-sized, never corpus-sized."""
+    from pyspark.sql import Window
+
+    ka = int(k)
+    a = ranked_a.select(
+        "qid",
+        "doc_id",
+        F.expr(f"1000000L div ({ka}L + rank)").alias("c_a"),
+    )
+    b = ranked_b.select(
+        "qid",
+        "doc_id",
+        F.expr(f"1000000L div ({ka}L + rank)").alias("c_b"),
+    )
+    fused = (
+        a.join(b, ["qid", "doc_id"], "full_outer")
+        .select(
+            "qid",
+            "doc_id",
+            (
+                F.coalesce(F.col("c_a"), F.lit(0).cast("long"))
+                + F.coalesce(F.col("c_b"), F.lit(0).cast("long"))
+            ).alias("rrf_ppm"),
+        )
+    )
+    win = Window.partitionBy("qid").orderBy(
+        F.desc("rrf_ppm"), F.asc("doc_id")
+    )
+    return fused.select(
+        "qid", "doc_id", "rrf_ppm", F.row_number().over(win).alias("rank")
+    ).filter(F.col("rank") <= top_k)

@@ -5966,8 +5966,9 @@ ORACLES["sketch_distinct_by_source"] = _sketch_distinct_by_source_sql()
 
 # -- BM25 retrieval -----------------------------------------------------------
 
-_BM25_SQL = """
-WITH tw AS (
+# CTE chain shared by the BM25 oracle and the RRF-fusion oracle: defines
+# post/dl/st/qp/qt/dfr/sc/rk (rk = per-query BM25 ranking).
+_BM25_CHAIN = """tw AS (
   SELECT doc_id,
          unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS t
   FROM documents),
@@ -6001,7 +6002,10 @@ sc AS (SELECT qt.qid, post.doc_id,
 rk AS (SELECT qid, doc_id, score_ppm,
               row_number() OVER (PARTITION BY qid
                                  ORDER BY score_ppm DESC, doc_id ASC) AS rank
-       FROM sc)
+       FROM sc)"""
+
+_BM25_SQL = f"""
+WITH {_BM25_CHAIN}
 SELECT qid, doc_id, score_ppm, rank FROM rk WHERE rank <= 5
 """
 
@@ -6382,3 +6386,52 @@ def json_props_stats_q(spark, sf_dir):
         F.sum(k).cast("long").alias("sum_k"),
         F.max(k).cast("long").alias("max_k"),
     )
+
+
+_RRF_SQL = f"""
+WITH {_BM25_CHAIN},
+bm AS (SELECT qid, doc_id, rank FROM rk WHERE rank <= 10),
+tdx AS (SELECT DISTINCT doc_id, t FROM tw),
+cov AS (SELECT qt.qid, tdx.doc_id, count(*)::BIGINT AS n_hit
+        FROM tdx JOIN qt ON qt.t = tdx.t GROUP BY 1, 2),
+cvr AS (SELECT qid, doc_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY n_hit DESC, doc_id ASC) AS rank
+        FROM cov),
+cv AS (SELECT qid, doc_id, rank FROM cvr WHERE rank <= 10),
+fused AS (
+  SELECT coalesce(bm.qid, cv.qid) AS qid,
+         coalesce(bm.doc_id, cv.doc_id) AS doc_id,
+         (coalesce(1000000 // (60 + bm.rank), 0)
+          + coalesce(1000000 // (60 + cv.rank), 0))::BIGINT AS rrf_ppm
+  FROM bm FULL OUTER JOIN cv
+    ON bm.qid = cv.qid AND bm.doc_id = cv.doc_id),
+frk AS (SELECT qid, doc_id, rrf_ppm,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY rrf_ppm DESC, doc_id ASC) AS rank
+        FROM fused)
+SELECT qid, doc_id, rrf_ppm, rank FROM frk WHERE rank <= 5
+"""
+
+
+@_register("retrieval_rrf", _RRF_SQL)
+def retrieval_rrf_q(spark, sf_dir):
+    """Reciprocal-rank fusion of two retrieval signals over the shared
+    query panel: BM25 top-10 (precision-oriented) + distinct-term
+    coverage top-10 (recall-oriented), fused as 1e6 div (60+rank) with
+    absent-from-list = 0 — the standard integer-exact RRF. Fusion
+    itself is panel-sized row-local math + one qid window
+    (datapipe/textstats.py rrf_fuse, coverage_topk, bm25_topk)."""
+    from .datapipe.textstats import bm25_topk, coverage_topk, rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    wq = F.filter(
+        F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit("")
+    )
+    panel = docs.filter(F.col("doc_id") % 50 == 7).select(
+        F.col("doc_id").alias("qid"),
+        F.array_join(F.slice(wq, 1, 3), " ").alias("qtext"),
+    )
+    bm = bm25_topk(docs, panel, top_k=10).select("qid", "doc_id", "rank")
+    cv = coverage_topk(docs, panel, top_k=10).select("qid", "doc_id", "rank")
+    return rrf_fuse(bm, cv, top_k=5, k=60)
