@@ -602,3 +602,39 @@ def test_sql_surface_prunes_and_broadcasts(spark):
     assert seg and "l_extendedprice" not in seg[0]
     assert tree.count("BroadcastHashJoin") >= 3
     assert "SortMergeJoin" not in tree
+
+
+def test_bm25_dimensions_broadcast(spark):
+    """BM25's panel, df and stats tables must all broadcast — the
+    posting (fact) side never shuffles on query content; and df must be
+    computed behind a panel-term semi-join, never a full-vocabulary
+    broadcast."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["bm25_topk"](spark, SF_DIR)
+    tree = _tree(df)
+    assert tree.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in tree
+    assert "LeftSemi" in _plan(df)  # df restricted to panel terms
+
+
+def test_prefix_jaccard_no_global_rank(spark):
+    """AllPairs prefix selection must order shingles per doc (window
+    partitioned by doc_id), never via a global rank — a range-partition
+    exchange (global sort) anywhere means the vocabulary got sorted
+    globally."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["dedup_jaccard_prefix"](spark, SF_DIR)
+    assert "rangepartitioning" not in _plan(df).lower()
+
+
+def test_phrase_search_prunes_before_shuffle(spark):
+    """Positional postings must be cut to panel terms by a broadcast
+    semi-join before the adjacency equi-join shuffles anything."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["phrase_search"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in _tree(df)
