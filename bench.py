@@ -230,6 +230,7 @@ HEADLINE = [
     "funnel_conversion",
     "json_props_stats",
     "retrieval_rrf",
+    "event_transitions",
 ]
 
 

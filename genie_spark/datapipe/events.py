@@ -99,3 +99,44 @@ def funnel_conversion(
             ).alias("conversion_ppm"),
         )
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition table over per-user event
+    sequences: (from_type, to_type, n, p_ppm) where p_ppm is the
+    integer transition probability out of from_type. Ordering ties on
+    identical timestamps break on event_id so the sequence — and hence
+    every count — is partition-invariant.
+
+    Scale shape: ONE user-keyed window (lead) builds the adjacent
+    pairs — the shuffle is by user, the sequence sort is per-user local
+    sort inside the window, never a global sort; both aggregates are
+    partial-aggregatable counts; the per-from totals join is
+    from_type-sized (broadcast)."""
+    from pyspark.sql import Window
+
+    seq = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        events.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(seq).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(
+        F.sum("n").cast("long").alias("n_from")
+    )
+    return pairs.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("(n * 1000000L) div n_from").alias("p_ppm"),
+    )

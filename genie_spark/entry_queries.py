@@ -6435,3 +6435,29 @@ def retrieval_rrf_q(spark, sf_dir):
     bm = bm25_topk(docs, panel, top_k=10).select("qid", "doc_id", "rank")
     cv = coverage_topk(docs, panel, top_k=10).select("qid", "doc_id", "rank")
     return rrf_fuse(bm, cv, top_k=5, k=60)
+
+
+_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events),
+pairs AS (SELECT from_type, to_type, count(*)::BIGINT AS n
+          FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT from_type, sum(n)::BIGINT AS n_from FROM pairs GROUP BY 1)
+SELECT p.from_type, p.to_type, p.n,
+       ((p.n * 1000000) // t.n_from)::BIGINT AS p_ppm
+FROM pairs p JOIN tot t ON t.from_type = p.from_type
+"""
+
+
+@_register("event_transitions", _TRANSITIONS_SQL)
+def event_transitions_q(spark, sf_dir):
+    """First-order Markov transitions over per-user event sequences
+    with integer transition probabilities; event_id tiebreak makes the
+    sequence partition-invariant; one user-keyed window, no global
+    sort (datapipe/events.py event_transitions)."""
+    from .datapipe.events import event_transitions
+
+    return event_transitions(_t(spark, sf_dir, "events"))
