@@ -231,6 +231,7 @@ HEADLINE = [
     "json_props_stats",
     "retrieval_rrf",
     "event_transitions",
+    "table_profile",
 ]
 
 

@@ -6461,3 +6461,38 @@ def event_transitions_q(spark, sf_dir):
     from .datapipe.events import event_transitions
 
     return event_transitions(_t(spark, sf_dir, "events"))
+
+
+def _profile_sql() -> str:
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    aggs = ["count(*)::BIGINT AS n"]
+    for c in cols:
+        aggs += [
+            f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT"
+            f" AS {c}_nulls",
+            f"count(DISTINCT {c})::BIGINT AS {c}_nd",
+            f"CAST(min({c}) AS VARCHAR) AS {c}_min",
+            f"CAST(max({c}) AS VARCHAR) AS {c}_max",
+        ]
+    rows = " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, n AS n_rows, {c}_nulls AS n_null,"
+        f" {c}_nd AS n_distinct, {c}_min AS min_str, {c}_max AS max_str"
+        f" FROM agg"
+        for c in cols
+    )
+    return f"WITH agg AS (SELECT {', '.join(aggs)} FROM documents) {rows}"
+
+
+@_register("table_profile", None)
+def table_profile_q(spark, sf_dir):
+    """Deequ-style table profile of the documents table: per-column
+    row/null/distinct counts + stringified min/max, ALL columns in ONE
+    aggregation pass (single scan, single partial+final agg), pivoted
+    long row-locally with stack() — no per-column scans
+    (datapipe/profile.py table_profile)."""
+    from .datapipe.profile import table_profile
+
+    return table_profile(_t(spark, sf_dir, "documents"))
+
+
+ORACLES["table_profile"] = _profile_sql()
