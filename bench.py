@@ -232,6 +232,7 @@ HEADLINE = [
     "retrieval_rrf",
     "event_transitions",
     "table_profile",
+    "length_outliers",
 ]
 
 

@@ -909,3 +909,47 @@ def rrf_fuse(
     return fused.select(
         "qid", "doc_id", "rrf_ppm", F.row_number().over(win).alias("rank")
     ).filter(F.col("rank") <= top_k)
+
+
+def length_outliers(
+    docs: DataFrame,
+    value_col: str = "n_chars",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    k_sigma2: int = 4,
+) -> DataFrame:
+    """Per-group outlier flags on an integer metric: doc is an outlier
+    when ``(x - mean)^2 > k_sigma2 * var`` with mean and variance both
+    computed in INTEGER floor arithmetic (mean = sum div n, var =
+    (sum(x^2) div n) - mean^2) — deterministic across engines, no float
+    moments. Returns only the outliers: (group, id, value, mean, var).
+
+    Scale shape: group moments are ONE partial-agg groupBy (3 sums);
+    they broadcast back onto the fact scan (group-count-sized dim); the
+    flag is a row-local predicate — at 100 TB this is one shuffle of
+    group-sized aggregates, never of the fact table. The centered
+    deviation (x - mean) is magnitude-bounded by the metric's own
+    range, so the squared terms stay inside signed-64 regardless of
+    group row counts (the naive n-scaled form n*x - sum overflows at
+    ~1e9-row groups)."""
+    v = F.col(value_col).cast("long")
+    stats = docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(v).cast("long").alias("s1"),
+        F.sum(v * v).cast("long").alias("s2"),
+    ).select(
+        group_col,
+        F.expr("s1 div n").alias("mean"),
+        F.expr("(s2 div n) - (s1 div n) * (s1 div n)").alias("var"),
+    )
+    return (
+        docs.select(group_col, id_col, v.alias("value"))
+        .join(F.broadcast(stats), group_col)
+        .filter(
+            F.expr(
+                f"(value - mean) * (value - mean)"
+                f" > {int(k_sigma2)}L * greatest(var, 1L)"
+            )
+        )
+        .select(group_col, id_col, "value", "mean", "var")
+    )

@@ -6496,3 +6496,30 @@ def table_profile_q(spark, sf_dir):
 
 
 ORACLES["table_profile"] = _profile_sql()
+
+
+_OUTLIERS_SQL = """
+WITH st AS (
+  SELECT source,
+         (sum(n_chars) // count(*))::BIGINT AS mean,
+         ((sum(n_chars * n_chars) // count(*))
+          - (sum(n_chars) // count(*)) * (sum(n_chars) // count(*)))::BIGINT
+           AS var
+  FROM documents GROUP BY 1)
+SELECT d.source, d.doc_id, d.n_chars::BIGINT AS value, st.mean, st.var
+FROM documents d JOIN st ON st.source = d.source
+WHERE (d.n_chars - st.mean) * (d.n_chars - st.mean)
+      > 2 * greatest(st.var, 1)
+"""
+
+
+@_register("length_outliers", _OUTLIERS_SQL)
+def length_outliers_q(spark, sf_dir):
+    """Per-source length outliers by integer-moment z^2 test
+    ((x-mean)^2 > 2*var, floor-arithmetic moments — engine-exact, no
+    float): group moments are one partial-agg groupBy broadcast back
+    onto the scan; centered form keeps squares in signed-64 at any
+    group size (datapipe/textstats.py length_outliers)."""
+    from .datapipe.textstats import length_outliers
+
+    return length_outliers(_t(spark, sf_dir, "documents"), k_sigma2=2)
