@@ -233,6 +233,7 @@ HEADLINE = [
     "event_transitions",
     "table_profile",
     "length_outliers",
+    "attribution_last_touch",
 ]
 
 

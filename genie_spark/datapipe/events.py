@@ -140,3 +140,52 @@ def event_transitions(
         "n",
         F.expr("(n * 1000000L) div n_from").alias("p_ppm"),
     )
+
+
+def attribution_last_touch(
+    events: DataFrame,
+    conversion: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Last-touch attribution: for every conversion event, credit the
+    most recent PRECEDING non-conversion event of the same user; count
+    credits per touch type, with share in ppm. Returns
+    (touch_type, n_conversions, share_ppm).
+
+    Scale shape: ONE user-keyed ordered window builds the running
+    "last touch" via ``last_value(..., ignorenulls)`` over the
+    preceding frame — the classic fill-forward; ties on equal
+    timestamps break on event_id so credit assignment is
+    partition-invariant; final tallies are partial-aggregatable."""
+    from pyspark.sql import Window
+
+    seq = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    touch = F.last(
+        F.when(F.col(type_col) != conversion, F.col(type_col)),
+        ignorenulls=True,
+    ).over(seq)
+    credits = (
+        events.select(
+            F.col(type_col).alias("et"), touch.alias("touch_type")
+        )
+        .filter(
+            (F.col("et") == conversion) & F.col("touch_type").isNotNull()
+        )
+        .groupBy("touch_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_conversions"))
+    )
+    total = credits.agg(
+        F.sum("n_conversions").cast("long").alias("n_total")
+    )
+    return credits.crossJoin(F.broadcast(total)).select(
+        "touch_type",
+        "n_conversions",
+        F.expr("(n_conversions * 1000000L) div n_total").alias("share_ppm"),
+    )

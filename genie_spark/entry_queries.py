@@ -6523,3 +6523,34 @@ def length_outliers_q(spark, sf_dir):
     from .datapipe.textstats import length_outliers
 
     return length_outliers(_t(spark, sf_dir, "documents"), k_sigma2=2)
+
+
+_ATTRIB_SQL = """
+WITH tch AS (
+  SELECT event_type AS et,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS touch_type
+  FROM events),
+cr AS (SELECT touch_type, count(*)::BIGINT AS n_conversions
+       FROM tch WHERE et = 'purchase' AND touch_type IS NOT NULL
+       GROUP BY 1),
+tot AS (SELECT sum(n_conversions)::BIGINT AS n_total FROM cr)
+SELECT cr.touch_type, cr.n_conversions,
+       ((cr.n_conversions * 1000000) // tot.n_total)::BIGINT AS share_ppm
+FROM cr CROSS JOIN tot
+"""
+
+
+@_register("attribution_last_touch", _ATTRIB_SQL)
+def attribution_last_touch_q(spark, sf_dir):
+    """Last-touch conversion attribution: fill-forward of the most
+    recent non-conversion event per user (one ordered window with
+    ignore-nulls last_value, event_id tiebreak → partition-invariant),
+    credit tallies + integer shares
+    (datapipe/events.py attribution_last_touch)."""
+    from .datapipe.events import attribution_last_touch
+
+    return attribution_last_touch(_t(spark, sf_dir, "events"))
