@@ -234,6 +234,7 @@ HEADLINE = [
     "table_profile",
     "length_outliers",
     "attribution_last_touch",
+    "event_type_drift",
 ]
 
 

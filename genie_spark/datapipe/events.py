@@ -189,3 +189,51 @@ def attribution_last_touch(
         "n_conversions",
         F.expr("(n_conversions * 1000000L) div n_total").alias("share_ppm"),
     )
+
+
+def type_share_drift(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Distribution-drift monitor: each event type's daily share vs its
+    overall share, in ppm — the table a pipeline-health check reads to
+    catch a day whose event mix shifted. Returns (event_type, day,
+    n, daily_share_ppm, overall_share_ppm, drift_ppm).
+
+    Scale shape: ONE partial-agg groupBy over the log builds the
+    (type, day) census; every other operand (day totals, type totals,
+    grand total) is an aggregate OF that census — type x day sized, not
+    log-sized — so the fact table is scanned exactly once and all
+    enrichment joins are broadcast-tiny."""
+    base = (
+        events.select(
+            F.col(type_col).alias("event_type"),
+            F.to_date(ts_col).alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    day_t = base.groupBy("day").agg(F.sum("n").cast("long").alias("n_day"))
+    typ_t = base.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n_type")
+    )
+    tot = base.agg(F.sum("n").cast("long").alias("n_total"))
+    return (
+        base.join(F.broadcast(day_t), "day")
+        .join(F.broadcast(typ_t), "event_type")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "day",
+            "n",
+            F.expr("(n * 1000000L) div n_day").alias("daily_share_ppm"),
+            F.expr("(n_type * 1000000L) div n_total").alias(
+                "overall_share_ppm"
+            ),
+            F.expr(
+                "abs((n * 1000000L) div n_day"
+                " - (n_type * 1000000L) div n_total)"
+            ).alias("drift_ppm"),
+        )
+    )

@@ -6554,3 +6554,32 @@ def attribution_last_touch_q(spark, sf_dir):
     from .datapipe.events import attribution_last_touch
 
     return attribution_last_touch(_t(spark, sf_dir, "events"))
+
+
+_DRIFT_SQL = """
+WITH base AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2),
+dt AS (SELECT day, sum(n)::BIGINT AS n_day FROM base GROUP BY 1),
+tt AS (SELECT event_type, sum(n)::BIGINT AS n_type FROM base GROUP BY 1),
+tot AS (SELECT sum(n)::BIGINT AS n_total FROM base)
+SELECT b.event_type, b.day, b.n,
+       ((b.n * 1000000) // dt.n_day)::BIGINT AS daily_share_ppm,
+       ((tt.n_type * 1000000) // tot.n_total)::BIGINT AS overall_share_ppm,
+       abs((b.n * 1000000) // dt.n_day
+           - (tt.n_type * 1000000) // tot.n_total)::BIGINT AS drift_ppm
+FROM base b JOIN dt ON dt.day = b.day
+JOIN tt ON tt.event_type = b.event_type
+CROSS JOIN tot
+"""
+
+
+@_register("event_type_drift", _DRIFT_SQL)
+def event_type_drift_q(spark, sf_dir):
+    """Event-mix drift monitor: per-type daily share vs overall share
+    in integer ppm. One log scan feeds a (type x day) census; all
+    totals are aggregates of the census, broadcast back
+    (datapipe/events.py type_share_drift)."""
+    from .datapipe.events import type_share_drift
+
+    return type_share_drift(_t(spark, sf_dir, "events"))
