@@ -235,6 +235,7 @@ HEADLINE = [
     "length_outliers",
     "attribution_last_touch",
     "event_type_drift",
+    "sql_priority_census",
 ]
 
 

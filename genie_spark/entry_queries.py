@@ -6583,3 +6583,28 @@ def event_type_drift_q(spark, sf_dir):
     from .datapipe.events import type_share_drift
 
     return type_share_drift(_t(spark, sf_dir, "events"))
+
+
+# second shared-string SQL-surface query: a selective date predicate that
+# must reach the parquet scan as a pushed filter from plain SQL text.
+_SQL_PRIORITY_CENSUS = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS total_price_units,
+       count(DISTINCT o_custkey) AS n_customers
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+GROUP BY o_orderpriority
+"""
+
+
+@_register("sql_priority_census", _SQL_PRIORITY_CENSUS)
+def sql_priority_census_q(spark, sf_dir):
+    """SQL-surface query #2: a one-year order census whose date range
+    predicate Catalyst pushes into the parquet scan (PushedFilters,
+    plan-asserted) straight from ANSI text — the same string is the
+    DuckDB oracle (genie_spark/sql.py)."""
+    from .sql import sql
+
+    return sql(spark, sf_dir, _SQL_PRIORITY_CENSUS)

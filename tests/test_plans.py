@@ -638,3 +638,15 @@ def test_phrase_search_prunes_before_shuffle(spark):
     plan = _plan(df)
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in _tree(df)
+
+
+def test_sql_surface_pushes_date_filter(spark):
+    """The SQL surface's date range predicate must reach the parquet
+    reader as a pushed filter, not run as a post-scan Filter."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["sql_priority_census"](spark, SF_DIR)
+    plan = _plan(df)
+    seg = [s for s in plan.split("PushedFilters: [") if s is not plan]
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "o_orderdate" in pushed
