@@ -236,6 +236,7 @@ HEADLINE = [
     "attribution_last_touch",
     "event_type_drift",
     "sql_priority_census",
+    "kg_bgp_match",
 ]
 
 

@@ -1913,3 +1913,51 @@ def resource_allocation_index(
             F.sum(F.expr(f"{scale}L div dz")).cast("long").alias("ra_fp"),
         )
     )
+
+
+def bgp_match(
+    facts,
+    patterns,
+    s_col: str = "s",
+    r_col: str = "r",
+    o_col: str = "o",
+):
+    """SPARQL-style basic-graph-pattern matcher: compile a list of
+    triple patterns ``(s, p, o)`` — strings starting with ``?`` are
+    variables, anything else a constant — into a DataFrame join plan
+    and return the DISTINCT variable bindings (columns = variable
+    names, sorted).
+
+    The compiler is ~30 lines because Catalyst does the query-planning
+    half: each pattern becomes a filtered projection of the fact table
+    (constants → pushed-down scan predicates), shared variables become
+    equi-join keys, and join ORDER is left to the optimizer (AQE
+    re-plans with runtime sizes, broadcasting selective
+    constant-bound patterns). A repeated variable inside one pattern
+    compiles to a row-local equality filter. Patterns sharing no
+    variable with the accumulated plan produce an explicit (documented)
+    cartesian binding product, exactly like SPARQL semantics."""
+    from pyspark.sql import functions as F
+
+    plan = None
+    bound: set = set()
+    for ps, pp, po in patterns:
+        t = facts
+        rename = {}
+        for val, col in ((ps, s_col), (pp, r_col), (po, o_col)):
+            if val.startswith("?"):
+                v = val[1:]
+                if v in rename:  # repeated var within the pattern
+                    t = t.filter(F.col(rename[v]) == F.col(col))
+                else:
+                    rename[v] = col
+            else:
+                t = t.filter(F.col(col) == val)
+        t = t.select(*[F.col(c).alias(v) for v, c in rename.items()])
+        if plan is None:
+            plan = t
+        else:
+            shared = sorted(bound & set(rename))
+            plan = plan.join(t, shared) if shared else plan.crossJoin(t)
+        bound |= set(rename)
+    return plan.select(*sorted(bound)).distinct()

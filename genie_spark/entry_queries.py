@@ -6608,3 +6608,33 @@ def sql_priority_census_q(spark, sf_dir):
     from .sql import sql
 
     return sql(spark, sf_dir, _SQL_PRIORITY_CENSUS)
+
+
+@_register(
+    "kg_bgp_match",
+    f"""
+WITH {_CHAIN_FACTS_SQL}
+SELECT DISTINCT c.s AS cust, b.o AS n, p.o AS reg, b.s AS sup
+FROM cf b
+JOIN cf p ON p.r = 'part_of' AND p.s = b.o
+JOIN cf c ON c.r = 'cust_in' AND c.o = b.o
+WHERE b.r = 'based_in'
+""",
+)
+def kg_bgp_match_q(spark, sf_dir):
+    """SPARQL-style BGP query over the fact universe: the pattern
+    [(?sup based_in ?n), (?n part_of ?reg), (?cust cust_in ?n)] —
+    suppliers and customers co-located in a nation, with its region —
+    compiled to a join plan by ~30 lines of pattern compiler; Catalyst
+    picks the join order and broadcasts the selective constant-bound
+    sides (datapipe/graph.py bgp_match)."""
+    from .datapipe.graph import bgp_match
+
+    return bgp_match(
+        _chain_facts_df(spark, sf_dir),
+        [
+            ("?sup", "based_in", "?n"),
+            ("?n", "part_of", "?reg"),
+            ("?cust", "cust_in", "?n"),
+        ],
+    )

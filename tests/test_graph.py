@@ -404,3 +404,37 @@ def test_closure_delta_matches_full_recompute(spark):
         for r in closure_delta(base_df, new_df, all_df, max_hops=10).collect()
     }
     assert got == full - base and got  # non-empty delta
+
+
+def test_bgp_match_compiler_branches(spark):
+    """Repeated variable inside a pattern -> row-local equality;
+    constant subject -> pushed filter; disjoint patterns -> cartesian
+    binding product (SPARQL semantics)."""
+    from pyspark.sql import Row
+
+    from genie_spark.datapipe.graph import bgp_match
+
+    facts = spark.createDataFrame(
+        [
+            Row(s="a", r="self", o="a"),
+            Row(s="a", r="self", o="b"),
+            Row(s="a", r="likes", o="b"),
+            Row(s="b", r="likes", o="c"),
+        ]
+    )
+    # repeated variable: only (a self a) binds ?x twice
+    rows = bgp_match(facts, [("?x", "self", "?x")]).collect()
+    assert [r.x for r in rows] == ["a"]
+    # constant subject
+    rows = bgp_match(facts, [("a", "likes", "?y")]).collect()
+    assert [r.y for r in rows] == ["b"]
+    # chain join on shared var
+    rows = bgp_match(
+        facts, [("?x", "likes", "?y"), ("?y", "likes", "?z")]
+    ).collect()
+    assert [(r.x, r.y, r.z) for r in rows] == [("a", "b", "c")]
+    # disjoint patterns -> cartesian product of bindings
+    rows = bgp_match(
+        facts, [("a", "likes", "?y"), ("b", "likes", "?z")]
+    ).collect()
+    assert [(r.y, r.z) for r in rows] == [("b", "c")]
