@@ -237,6 +237,8 @@ HEADLINE = [
     "event_type_drift",
     "sql_priority_census",
     "kg_bgp_match",
+    "kg_bgp_optional",
+    "kg_bgp_negation",
 ]
 
 

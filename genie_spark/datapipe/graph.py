@@ -1921,6 +1921,8 @@ def bgp_match(
     s_col: str = "s",
     r_col: str = "r",
     o_col: str = "o",
+    optionals=None,
+    negations=None,
 ):
     """SPARQL-style basic-graph-pattern matcher: compile a list of
     triple patterns ``(s, p, o)`` — strings starting with ``?`` are
@@ -1936,8 +1938,29 @@ def bgp_match(
     constant-bound patterns). A repeated variable inside one pattern
     compiles to a row-local equality filter. Patterns sharing no
     variable with the accumulated plan produce an explicit (documented)
-    cartesian binding product, exactly like SPARQL semantics."""
+    cartesian binding product, exactly like SPARQL semantics.
+
+    ``optionals``: triple patterns LEFT-joined on their shared
+    variables (SPARQL OPTIONAL — unmatched rows keep null bindings).
+    ``negations``: triple patterns anti-joined on their shared
+    variables (SPARQL FILTER NOT EXISTS). Both compile to the join
+    flavors Spark already optimizes; applied after the required
+    patterns, negations before optionals."""
     from pyspark.sql import functions as F
+
+    def compile_one(ps, pp, po):
+        t = facts
+        rename = {}
+        for val, col in ((ps, s_col), (pp, r_col), (po, o_col)):
+            if val.startswith("?"):
+                v = val[1:]
+                if v in rename:
+                    t = t.filter(F.col(rename[v]) == F.col(col))
+                else:
+                    rename[v] = col
+            else:
+                t = t.filter(F.col(col) == val)
+        return t.select(*[F.col(c).alias(v) for v, c in rename.items()]), set(rename)
 
     plan = None
     bound: set = set()
@@ -1960,4 +1983,13 @@ def bgp_match(
             shared = sorted(bound & set(rename))
             plan = plan.join(t, shared) if shared else plan.crossJoin(t)
         bound |= set(rename)
+    for pat in negations or []:
+        t, vs = compile_one(*pat)
+        shared = sorted(bound & vs)
+        plan = plan.join(t.select(*shared).distinct(), shared, "left_anti")
+    for pat in optionals or []:
+        t, vs = compile_one(*pat)
+        shared = sorted(bound & vs)
+        plan = plan.join(t, shared, "left") if shared else plan.crossJoin(t)
+        bound |= vs
     return plan.select(*sorted(bound)).distinct()

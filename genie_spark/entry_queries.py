@@ -6638,3 +6638,52 @@ def kg_bgp_match_q(spark, sf_dir):
             ("?cust", "cust_in", "?n"),
         ],
     )
+
+
+@_register(
+    "kg_bgp_optional",
+    f"""
+WITH {_CHAIN_FACTS_SQL},
+req AS (SELECT DISTINCT s AS cust, o AS n FROM cf WHERE r = 'cust_in'),
+opt AS (SELECT DISTINCT s AS cust, o AS cr FROM cf WHERE r = 'cust_region')
+SELECT DISTINCT req.cust, opt.cr, req.n
+FROM req LEFT JOIN opt ON opt.cust = req.cust
+""",
+)
+def kg_bgp_optional_q(spark, sf_dir):
+    """SPARQL OPTIONAL through the BGP compiler: (?cust cust_in ?n)
+    OPTIONAL (?cust cust_region ?cr) — the left join keeps customers
+    with null region bindings (cust_region exists only for even keys,
+    so half the bindings are genuinely null)
+    (datapipe/graph.py bgp_match optionals=)."""
+    from .datapipe.graph import bgp_match
+
+    return bgp_match(
+        _chain_facts_df(spark, sf_dir),
+        [("?cust", "cust_in", "?n")],
+        optionals=[("?cust", "cust_region", "?cr")],
+    )
+
+
+@_register(
+    "kg_bgp_negation",
+    f"""
+WITH {_CHAIN_FACTS_SQL},
+req AS (SELECT DISTINCT s AS sup, o AS n FROM cf WHERE r = 'based_in')
+SELECT DISTINCT sup, n FROM req
+WHERE NOT EXISTS (
+  SELECT 1 FROM cf x WHERE x.r = 'located_in' AND x.s = req.sup)
+""",
+)
+def kg_bgp_negation_q(spark, sf_dir):
+    """SPARQL FILTER NOT EXISTS through the BGP compiler: suppliers
+    based in a nation with NO located_in fact (every third supplier by
+    construction) — compiles to a left-anti join on the shared variable
+    (datapipe/graph.py bgp_match negations=)."""
+    from .datapipe.graph import bgp_match
+
+    return bgp_match(
+        _chain_facts_df(spark, sf_dir),
+        [("?sup", "based_in", "?n")],
+        negations=[("?sup", "located_in", "?r2")],
+    )
