@@ -239,6 +239,7 @@ HEADLINE = [
     "kg_bgp_match",
     "kg_bgp_optional",
     "kg_bgp_negation",
+    "zorder_layout",
 ]
 
 

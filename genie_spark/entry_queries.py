@@ -6687,3 +6687,64 @@ def kg_bgp_negation_q(spark, sf_dir):
         [("?sup", "based_in", "?n")],
         negations=[("?sup", "located_in", "?r2")],
     )
+
+
+def _zorder_sql() -> str:
+    top = (1 << 16) - 1
+    inter = " + ".join(
+        f"((a16 >> {i}) & 1) * {1 << (2 * i)}"
+        f" + ((b16 >> {i}) & 1) * {1 << (2 * i + 1)}"
+        for i in range(16)
+    )
+    cell = (1 << 32) // 64
+    return f"""
+WITH src AS (
+  SELECT o_custkey AS ck,
+         date_diff('day', DATE '1995-01-01',
+                   CAST(o_orderdate AS DATE))::BIGINT AS d
+  FROM orders),
+bounds AS (SELECT min(ck)::BIGINT AS min_a, max(ck)::BIGINT AS max_a,
+                  min(d)::BIGINT AS min_b, max(d)::BIGINT AS max_b
+           FROM src),
+scaled AS (
+  SELECT ck, d,
+         ((ck - min_a) * {top}) // greatest(max_a - min_a, 1) AS a16,
+         ((d - min_b) * {top}) // greatest(max_b - min_b, 1) AS b16
+  FROM src CROSS JOIN bounds),
+z AS (SELECT ck, d, ({inter})::BIGINT AS zkey FROM scaled)
+SELECT (zkey // {cell})::BIGINT AS zbucket,
+       count(*)::BIGINT AS n,
+       min(ck)::BIGINT AS min_ck, max(ck)::BIGINT AS max_ck,
+       min(d)::BIGINT AS min_day, max(d)::BIGINT AS max_day
+FROM z GROUP BY 1
+"""
+
+
+@_register("zorder_layout", None)
+def zorder_layout_q(spark, sf_dir):
+    """Z-order (Morton) layout assignment over orders (custkey x
+    order-day): min-max integer scaling + unrolled bit interleave, all
+    row-local codegen'd column math; the per-zbucket census shows each
+    write bucket covering a tight rectangle in BOTH dimensions — the
+    multi-dimensional clustering that makes either-dimension range
+    predicates prune files at 100 TB
+    (datapipe/sampling.py zorder_key)."""
+    from .datapipe.sampling import zorder_key
+
+    src = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("ck"),
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")
+        ).cast("long").alias("d"),
+    )
+    z = zorder_key(src, "ck", "d", bits=16, buckets=64)
+    return z.groupBy("zbucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("ck").cast("long").alias("min_ck"),
+        F.max("ck").cast("long").alias("max_ck"),
+        F.min("d").cast("long").alias("min_day"),
+        F.max("d").cast("long").alias("max_day"),
+    )
+
+
+ORACLES["zorder_layout"] = _zorder_sql()
