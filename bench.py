@@ -240,6 +240,7 @@ HEADLINE = [
     "kg_bgp_optional",
     "kg_bgp_negation",
     "zorder_layout",
+    "bloom_join_prune",
 ]
 
 

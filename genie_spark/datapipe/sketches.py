@@ -468,3 +468,34 @@ hq_c AS (
 hq_e AS (
   SELECT k, {ests}
   FROM hq_c GROUP BY k)"""
+
+
+def bloom_pruned_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    bits: int = 1 << 14,
+    k: int = 5,
+) -> DataFrame:
+    """Runtime-filter join: broadcast a Bloom bitmap of the dimension's
+    keys and pre-filter the fact table BEFORE the equi-join — the
+    pattern that keeps a selective dim join from shuffling the whole
+    fact table at 100 TB. Bloom has no false negatives, so the final
+    joined result is IDENTICAL to the plain join (false positives only
+    cost wasted probe rows, which the exact join then drops); the
+    oracle runs the plain join to prove it.
+
+    Returns the bloom-surviving fact rows inner-joined to the dim —
+    both key columns stringified for the cross-engine hash family.
+    Bitmap is ``bits/62`` rows regardless of dim size; the fact side
+    is filtered row-locally against the broadcast bitmap (never
+    shuffled on key content before the cut)."""
+    fs = facts.withColumn("__k", F.col(fact_key).cast("string"))
+    ds = dim.withColumn("__k", F.col(dim_key).cast("string"))
+    bmp = bloom_bitmap(ds.select("__k"), "__k", bits=bits, k=k)
+    maybe = bloom_hits(
+        fs.select("__k").distinct(), "__k", bmp, bits=bits, k=k
+    )
+    survivors = fs.join(F.broadcast(maybe), "__k", "left_semi")
+    return survivors.join(ds, "__k").drop("__k")

@@ -6748,3 +6748,39 @@ def zorder_layout_q(spark, sf_dir):
 
 
 ORACLES["zorder_layout"] = _zorder_sql()
+
+
+@_register("bloom_join_prune", None)
+def bloom_join_prune_q(spark, sf_dir):
+    """Bloom runtime-filter join: dim = small parts (p_size <= 12),
+    fact = lineitem pre-filtered row-locally against the broadcast
+    ~260-row bloom bitmap before the exact join. The oracle is the
+    PLAIN join — the gate proves the bloom cut loses no true match
+    (no false negatives by construction)
+    (datapipe/sketches.py bloom_pruned_join)."""
+    from .datapipe.sketches import bloom_pruned_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    dim = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 12).select(
+        "p_partkey", "p_size"
+    )
+    j = bloom_pruned_join(li, dim, "l_partkey", "p_partkey", bits=1 << 14)
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_joined"),
+        F.sum(F.expr("cast(floor(l_quantity) as bigint)"))
+        .cast("long")
+        .alias("sum_qty"),
+        F.count_distinct("l_partkey").cast("long").alias("n_keys"),
+    )
+
+
+ORACLES["bloom_join_prune"] = """
+WITH dim AS (SELECT p_partkey FROM part WHERE p_size <= 12),
+joined AS (
+  SELECT l.l_partkey, CAST(floor(l.l_quantity) AS BIGINT) AS q
+  FROM lineitem l JOIN dim d ON d.p_partkey = l.l_partkey)
+SELECT count(*)::BIGINT AS n_joined,
+       sum(q)::BIGINT AS sum_qty,
+       count(DISTINCT l_partkey)::BIGINT AS n_keys
+FROM joined
+"""
