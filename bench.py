@@ -241,6 +241,8 @@ HEADLINE = [
     "kg_bgp_negation",
     "zorder_layout",
     "bloom_join_prune",
+    "cdc_apply",
+    "cdc_audit",
 ]
 
 

@@ -6784,3 +6784,85 @@ SELECT count(*)::BIGINT AS n_joined,
        count(DISTINCT l_partkey)::BIGINT AS n_keys
 FROM joined
 """
+
+
+_CDC_SRC_SQL = """
+snap AS (SELECT o_orderkey AS k, o_orderstatus AS pay
+         FROM orders WHERE o_orderkey % 4 <> 3),
+chg AS (
+  SELECT o_orderkey AS k, 'upsert' AS op,
+         'U' || o_orderpriority AS pay, o_orderdate AS ts,
+         o_orderkey AS cid
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey, 'delete', NULL,
+         o_orderdate + INTERVAL 1 DAY, o_orderkey + 1000000
+  FROM orders WHERE o_orderkey % 7 = 0),
+win AS (SELECT k, max(struct_pack(ts := ts, cid := cid,
+                                  op := op, pay := pay)) AS w
+        FROM chg GROUP BY k),
+wf AS (SELECT k, w.op AS op, w.pay AS cpay FROM win),
+mrg AS (SELECT coalesce(s.k, c.k) AS k, s.pay AS spay, c.op, c.cpay,
+               s.k IS NOT NULL AS snap_present
+        FROM snap s FULL OUTER JOIN wf c ON c.k = s.k),
+res AS (SELECT k, CASE WHEN op = 'upsert' THEN cpay ELSE spay END AS pay
+        FROM mrg WHERE (op IS NULL AND snap_present) OR op = 'upsert')
+"""
+
+
+def _cdc_changes(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    snap = o.filter(F.col("o_orderkey") % 4 != 3).select(
+        F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("pay")
+    )
+    up = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("upsert").alias("op"),
+        F.concat(F.lit("U"), F.col("o_orderpriority")).alias("pay"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("change_id"),
+    )
+    dl = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("delete").alias("op"),
+        F.lit(None).cast("string").alias("pay"),
+        F.expr("o_orderdate + INTERVAL 1 DAY").alias("ts"),
+        (F.col("o_orderkey") + 1000000).alias("change_id"),
+    )
+    return snap, up.unionByName(dl)
+
+
+@_register("cdc_apply", f"WITH {_CDC_SRC_SQL} SELECT k, pay FROM res")
+def cdc_apply_q(spark, sf_dir):
+    """MERGE INTO semantics: snapshot + change log (upserts + deletes,
+    deletes stamped later so they win overlaps) reconciled in one plan
+    — partial-agg struct-max fold to the winning change per key (no
+    per-key history sort), ONE full-outer join, row-local fate CASE
+    (datapipe/cdc.py apply_changes)."""
+    from .datapipe.cdc import apply_changes
+
+    snap, chg = _cdc_changes(spark, sf_dir)
+    return apply_changes(snap, chg, "k", "pay")
+
+
+@_register(
+    "cdc_audit",
+    f"""
+WITH {_CDC_SRC_SQL}
+SELECT (SELECT count(*) FROM snap)::BIGINT AS n_snapshot,
+       (SELECT count(*) FROM chg)::BIGINT AS n_changes,
+       (SELECT count(*) FROM res)::BIGINT AS n_result,
+       (SELECT count(*) FROM res
+        WHERE k NOT IN (SELECT k FROM snap))::BIGINT AS n_inserted,
+       (SELECT count(*) FROM snap
+        WHERE k NOT IN (SELECT k FROM res))::BIGINT AS n_deleted
+""",
+)
+def cdc_audit_q(spark, sf_dir):
+    """The MERGE INTO report row: snapshot/changes/result sizes plus
+    inserted and deleted key counts (anti-joins against the merged
+    result) (datapipe/cdc.py apply_changes_audit)."""
+    from .datapipe.cdc import apply_changes_audit
+
+    snap, chg = _cdc_changes(spark, sf_dir)
+    return apply_changes_audit(snap, chg, "k", "pay")
