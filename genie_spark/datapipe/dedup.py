@@ -79,17 +79,17 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def banded_keys(
     sigs: DataFrame,
     id_col: str = "doc_id",
     bands: int = 4,
     rows_per_band: int = 4,
 ) -> DataFrame:
-    """Banded LSH: docs sharing any full band collide. Output (id_a, id_b)
-    with id_a < id_b, distinct. Shuffle keys are (band, band_hash) — short
-    rows; hot buckets (boilerplate-heavy corpora) are handled by AQE skew
-    join at scale."""
-    banded = sigs.select(
+    """(id, band, bkey) LSH band keys from a signature table — the
+    materialized form IS the near-dup index a production pipeline keeps
+    between runs (see :func:`incremental_lsh_matches`). Row-local
+    explode at the scan, no shuffle."""
+    return sigs.select(
         F.col(id_col),
         F.explode(
             F.transform(
@@ -109,6 +109,19 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bkey")
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Banded LSH: docs sharing any full band collide. Output (id_a, id_b)
+    with id_a < id_b, distinct. Shuffle keys are (band, band_hash) — short
+    rows; hot buckets (boilerplate-heavy corpora) are handled by AQE skew
+    join at scale."""
+    banded = banded_keys(sigs, id_col, bands, rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -897,4 +910,77 @@ def tfidf_cosine_pairs(
             ).alias("cos2_ppm"),
         )
         .filter(F.col("cos2_ppm") >= int(threshold_cos2_ppm))
+    )
+
+def incremental_lsh_matches(
+    index_docs: DataFrame,
+    batch_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Nightly-batch near-dup check: match NEW documents against an
+    EXISTING corpus — the incremental production shape (a crawl
+    pipeline never re-pairs the whole corpus; it collides tonight's
+    batch against the standing band-key index and appends survivors).
+    Returns one row per batch doc: (doc_id, n_index_matches,
+    best_est_jaccard) — best_est_jaccard is NULL for clean docs, so
+    ``WHERE n_index_matches = 0`` is the append set.
+
+    Scale shape: the join is batch-bands x index-bands on
+    (band, bkey) — at 100 TB the index side is the MATERIALIZED
+    banded_keys table (bucketed on bkey, built once, appended per
+    night), so tonight's cost is |batch| band rows shuffled against a
+    bucket-pruned index read, never a corpus x corpus pairing; the
+    signature fetch for verification joins only the candidate ids.
+    Within-batch duplicates are a separate (tiny) lsh_candidate_pairs
+    over the batch alone, by policy."""
+    rows_per_band = num_hashes // bands
+    sig_old = minhash_signatures(index_docs, text_col, id_col, k, num_hashes)
+    sig_new = minhash_signatures(batch_docs, text_col, id_col, k, num_hashes)
+    bo = banded_keys(sig_old, id_col, bands, rows_per_band).select(
+        F.col(id_col).alias("old_id"), "band", "bkey"
+    )
+    bn = banded_keys(sig_new, id_col, bands, rows_per_band).select(
+        F.col(id_col).alias("new_id"), "band", "bkey"
+    )
+    cand = bn.join(bo, ["band", "bkey"]).select("new_id", "old_id").distinct()
+    est = (
+        cand.join(
+            sig_new.select(F.col(id_col).alias("new_id"), F.col("sig").alias("sig_n")),
+            "new_id",
+        )
+        .join(
+            sig_old.select(F.col(id_col).alias("old_id"), F.col("sig").alias("sig_o")),
+            "old_id",
+        )
+        .withColumn(
+            "ej",
+            F.size(
+                F.filter(
+                    F.zip_with(F.col("sig_n"), F.col("sig_o"), lambda x, y: x == y),
+                    lambda m: m,
+                )
+            )
+            / F.lit(float(num_hashes)),
+        )
+        .filter(F.col("ej") >= threshold)
+    )
+    matches = est.groupBy("new_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_index_matches"),
+        F.round(F.max("ej"), 6).alias("best_est_jaccard"),
+    )
+    return (
+        batch_docs.select(F.col(id_col).alias("new_id"))
+        .join(matches, "new_id", "left")
+        .select(
+            F.col("new_id").alias(id_col),
+            F.coalesce("n_index_matches", F.lit(0).cast("long")).alias(
+                "n_index_matches"
+            ),
+            "best_est_jaccard",
+        )
     )

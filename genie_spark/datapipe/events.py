@@ -237,3 +237,63 @@ def type_share_drift(
             ).alias("drift_ppm"),
         )
     )
+
+def volume_anomaly(
+    events: DataFrame,
+    window_days: int = 3,
+    k_sigma2: int = 4,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Event-volume anomaly monitor: flag (type, day) cells whose count
+    deviates from the trailing-``window_days`` moving baseline by more
+    than ``k_sigma2`` trailing variances — the alert table an ingest
+    health-check reads to catch a collapsed or runaway feed. Returns
+    (event_type, day, n, trail_mean, trail_var, dev2, is_anomaly) for
+    every day with a FULL trailing window (the first ``window_days``
+    observed days per type carry no verdict and are dropped).
+
+    All moments are floor-division integers of exact counts (the
+    length_outliers discipline) so the DuckDB twin is digit-identical;
+    the deviation test uses the centered form ``(n - mean)^2 >
+    k * max(var, 1)`` which stays in signed-64 for any real feed.
+
+    Scale shape: ONE partial-agg groupBy over the log builds the
+    (type, day) census; the trailing window runs over that census
+    partitioned BY TYPE — days-per-type sized partitions, never a
+    global sort, never the raw log through a window."""
+    from pyspark.sql import Window
+
+    base = (
+        events.select(
+            F.col(type_col).alias("event_type"),
+            F.to_date(ts_col).alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-window_days, -1)
+    )
+    trail = base.select(
+        "event_type",
+        "day",
+        "n",
+        F.sum("n").over(w).alias("_s"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("_s2"),
+        F.count(F.lit(1)).over(w).alias("_c"),
+    ).filter(F.col("_c") == window_days)
+    return trail.select(
+        "event_type",
+        "day",
+        "n",
+        F.expr("_s div _c").alias("trail_mean"),
+        F.expr("_s2 div _c - (_s div _c) * (_s div _c)").alias("trail_var"),
+        F.expr("(n - _s div _c) * (n - _s div _c)").alias("dev2"),
+        F.expr(
+            f"(n - _s div _c) * (n - _s div _c)"
+            f" > {int(k_sigma2)} * greatest(_s2 div _c - (_s div _c) * (_s div _c), 1L)"
+        ).alias("is_anomaly"),
+    )

@@ -549,3 +549,105 @@ def zorder_key(
         .withColumn("zbucket", F.expr(f"zkey div {cell}L").cast("long"))
         .drop("min_a", "max_a", "min_b", "max_b", "a16", "b16")
     )
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "pack",
+) -> DataFrame:
+    """GPT-style training-sequence packing census: concatenate every
+    document's whitespace tokens in the deterministic epoch order
+    (:func:`shuffle_order` hash ordering) and cut the stream every
+    ``seq_len`` tokens — the standard pretraining packer (documents DO
+    span sequence boundaries; the EOD token between docs is the
+    tokenizer's concern, not the packer's). Returns one row per
+    training sequence that has at least one document STARTING in it:
+    (seq_id, n_docs_started, n_tokens_started, n_crossing) where
+    n_crossing counts started docs that spill into a later sequence —
+    the packing-efficiency/attention-fragmentation census an LLM data
+    pipeline reads before writing shards.
+
+    Token counts are the ws_tokens formula shared with
+    textstats.token_counts (oracle-proven cross-engine); offsets are a
+    FULLY DISTRIBUTED prefix sum — range-repartition by the hash order
+    key, per-partition running sum, plus broadcast per-partition
+    offsets (the metrics._distributed_rank construction generalized
+    from rank to weighted cumsum) — so the plan carries no
+    SinglePartition exchange and the sequence ids are identical at any
+    parallelism. Output is total_tokens/seq_len sized."""
+    from pyspark.sql import Window
+
+    if seq_len <= 0:
+        raise ValueError("seq_len must be > 0")
+    L = int(seq_len)
+    keyed = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.trim(F.col(text_col)), "\\s+")).cast("long").alias("_n"),
+        h60_salted(F.col(id_col).cast("string"), F.lit(salt)).alias("_h"),
+    )
+    parts = keyed.repartitionByRange("_h", id_col).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    parts = parts.withColumn("_local", F.sum("_n").over(w))
+    sizes = parts.groupBy("_pid").agg(F.sum("_n").alias("_cnt"))
+    # prefix-sum over <= shuffle-partitions rows: broadcast non-equi
+    # self-join, no global-orderBy window (see metrics._distributed_rank)
+    offs = (
+        sizes.alias("a")
+        .join(F.broadcast(sizes.alias("b")), F.col("b._pid") < F.col("a._pid"), "left")
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(F.coalesce(F.sum("b._cnt"), F.lit(0)).alias("_off"))
+    )
+    ends = (
+        parts.join(F.broadcast(offs), "_pid")
+        .withColumn("_end", (F.col("_off") + F.col("_local")).cast("long"))
+        .filter(F.col("_n") > 0)
+    )
+    d = ends.select(
+        F.expr(f"(_end - _n) div {L}L").alias("seq_id"),
+        "_n",
+        F.expr(
+            f"CASE WHEN (_end - 1L) div {L}L > (_end - _n) div {L}L"
+            " THEN 1L ELSE 0L END"
+        ).alias("_x"),
+    )
+    return d.groupBy("seq_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_started"),
+        F.sum("_n").cast("long").alias("n_tokens_started"),
+        F.sum("_x").cast("long").alias("n_crossing"),
+    )
+
+
+def pack_sequences_sql(
+    seq_len: int, table: str = "documents", salt: str = "pack"
+) -> str:
+    """DuckDB twin of :func:`pack_sequences` (single-node window cumsum
+    stands in for the distributed prefix sum — same order key, same
+    integer arithmetic)."""
+    L = int(seq_len)
+    h = h60_salted_sql("doc_id::VARCHAR", repr(salt))
+    return f"""
+WITH n AS (
+  SELECT doc_id, {h} AS h,
+         len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n
+  FROM {table}),
+c AS (
+  SELECT doc_id, n,
+         sum(n) OVER (ORDER BY h, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+  FROM n),
+d AS (
+  SELECT (e - n) // {L} AS seq_id, n,
+         CASE WHEN (e - 1) // {L} > (e - n) // {L} THEN 1 ELSE 0 END AS x
+  FROM c WHERE n > 0)
+SELECT seq_id::BIGINT AS seq_id, count(*)::BIGINT AS n_docs_started,
+       sum(n)::BIGINT AS n_tokens_started, sum(x)::BIGINT AS n_crossing
+FROM d GROUP BY 1
+"""

@@ -1176,9 +1176,10 @@ def _minhash_params_sql() -> str:
     return f"(VALUES {vals}) AS v(j, a, b, c)"
 
 
-def _minhash_chain_sql(table: str = "documents") -> str:
-    """WITH-body (no leading WITH) computing the MinHash near-dup chain
-    over ``{table}(doc_id, text)`` — ends in CTE ``est(id_a, id_b, ej)``."""
+def _minhash_banded_sql(table: str = "documents") -> str:
+    """WITH-body (no leading WITH) computing MinHash signatures + LSH
+    band keys over ``{table}(doc_id, text)`` — ends in CTEs
+    ``sig(doc_id, sig)`` and ``banded(doc_id, band, bkey)``."""
     return f"""{_shingles_sql(table)},
 hbase AS (SELECT doc_id, {_h60_sql("shingle")} AS h FROM sh),
 params AS (SELECT * FROM {_minhash_params_sql()}),
@@ -1194,7 +1195,13 @@ banded AS (
          md5(array_to_string(sig[b.band * {_MINHASH_N // _MINHASH_BANDS} + 1 :
                                  (b.band + 1) * {_MINHASH_N // _MINHASH_BANDS}], ',')) AS bkey
   FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {_MINHASH_BANDS - 1})) AS band) b
-),
+)"""
+
+
+def _minhash_chain_sql(table: str = "documents") -> str:
+    """WITH-body (no leading WITH) computing the MinHash near-dup chain
+    over ``{table}(doc_id, text)`` — ends in CTE ``est(id_a, id_b, ej)``."""
+    return f"""{_minhash_banded_sql(table)},
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
@@ -6866,3 +6873,131 @@ def cdc_audit_q(spark, sf_dir):
 
     snap, chg = _cdc_changes(spark, sf_dir)
     return apply_changes_audit(snap, chg, "k", "pay")
+
+
+# --- training-sequence packing census -------------------------------------
+
+_PACK_LEN = 256
+
+
+def _pack_oracle() -> str:
+    from .datapipe.sampling import pack_sequences_sql
+
+    return pack_sequences_sql(_PACK_LEN, "documents", "pack")
+
+
+@_register("pack_sequences", None)
+def pack_sequences_q(spark, sf_dir):
+    """GPT-style pretraining packer census: the corpus token stream in
+    the deterministic epoch order, cut every 256 tokens; per training
+    sequence the docs starting there, their token mass, and how many
+    spill across the boundary (packing efficiency / attention
+    fragmentation). Prefix sum is fully distributed — range-partition
+    + per-partition running sum + broadcast offsets, no
+    SinglePartition exchange (datapipe/sampling.py pack_sequences)."""
+    from .datapipe.sampling import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), _PACK_LEN)
+
+
+ORACLES["pack_sequences"] = _pack_oracle()
+
+
+# --- event-volume anomaly monitor ------------------------------------------
+
+_ANOM_W = 3
+_ANOM_K = 4
+
+_ANOM_SQL = f"""
+WITH base AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2),
+tr AS (
+  SELECT event_type, day, n,
+         sum(n) OVER w AS s, sum(n * n) OVER w AS s2, count(*) OVER w AS c
+  FROM base
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN {_ANOM_W} PRECEDING AND 1 PRECEDING))
+SELECT event_type, day, n,
+       (s // c)::BIGINT AS trail_mean,
+       (s2 // c - (s // c) * (s // c))::BIGINT AS trail_var,
+       ((n - s // c) * (n - s // c))::BIGINT AS dev2,
+       (n - s // c) * (n - s // c)
+         > {_ANOM_K} * greatest(s2 // c - (s // c) * (s // c), 1) AS is_anomaly
+FROM tr WHERE c = {_ANOM_W}
+"""
+
+
+@_register("event_volume_anomaly", _ANOM_SQL)
+def event_volume_anomaly_q(spark, sf_dir):
+    """Ingest health-check: per (type, day) event counts tested against
+    the trailing-3-day integer moving moments ((n-mean)^2 > 4*var,
+    floor-arithmetic — engine-exact); the window runs over the tiny
+    (type x day) census partitioned by type, never the raw log
+    (datapipe/events.py volume_anomaly)."""
+    from .datapipe.events import volume_anomaly
+
+    return volume_anomaly(
+        _t(spark, sf_dir, "events"), window_days=_ANOM_W, k_sigma2=_ANOM_K
+    )
+
+
+# --- incremental (nightly-batch) near-dup check -----------------------------
+
+
+def _incr_oracle() -> str:
+    from .datapipe.hashes import h60_salted_sql
+
+    memb = f"({h60_salted_sql('doc_id::VARCHAR', chr(39) + 'incr' + chr(39))} % 1000) < 800"
+    return f"""
+WITH {_minhash_banded_sql("documents")},
+memb AS (SELECT doc_id, {memb} AS is_old FROM documents),
+cand AS (
+  SELECT DISTINCT bn.doc_id AS new_id, bo.doc_id AS old_id
+  FROM banded bn JOIN memb mn ON mn.doc_id = bn.doc_id AND NOT mn.is_old
+  JOIN banded bo ON bo.band = bn.band AND bo.bkey = bn.bkey
+  JOIN memb mo ON mo.doc_id = bo.doc_id AND mo.is_old),
+est AS (
+  SELECT c.new_id,
+         len(list_filter(list_zip(sn.sig, so.sig),
+                         p -> p[1] = p[2]))::DOUBLE / {_MINHASH_N} AS ej
+  FROM cand c JOIN sig sn ON c.new_id = sn.doc_id
+              JOIN sig so ON c.old_id = so.doc_id),
+m AS (SELECT new_id, count(*)::BIGINT AS n_index_matches,
+             round(max(ej), 6) AS best_est_jaccard
+      FROM est WHERE ej >= {_MINHASH_T} GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(m.n_index_matches, 0)::BIGINT AS n_index_matches,
+       m.best_est_jaccard
+FROM documents d JOIN memb ON memb.doc_id = d.doc_id AND NOT memb.is_old
+LEFT JOIN m ON m.new_id = d.doc_id
+"""
+
+
+@_register("dedup_incremental", None)
+def dedup_incremental_q(spark, sf_dir):
+    """Nightly-batch near-dup check: the corpus split 80/20 by id hash
+    into standing index vs tonight's batch; batch band keys collide
+    against the index's banded_keys table (the materialized form a
+    production pipeline keeps between runs), candidates verified by
+    signature-estimated Jaccard. One row per batch doc with its index
+    match count — ``n_index_matches = 0`` is the append set
+    (datapipe/dedup.py incremental_lsh_matches)."""
+    from .datapipe.dedup import incremental_lsh_matches
+    from .datapipe.hashes import h60_salted
+
+    docs = _t(spark, sf_dir, "documents")
+    is_old = (
+        F.pmod(h60_salted(F.col("doc_id").cast("string"), F.lit("incr")), F.lit(1000))
+        < 800
+    )
+    return incremental_lsh_matches(
+        docs.filter(is_old),
+        docs.filter(~is_old),
+        num_hashes=_MINHASH_N,
+        bands=_MINHASH_BANDS,
+        threshold=_MINHASH_T,
+    )
+
+
+ORACLES["dedup_incremental"] = _incr_oracle()

@@ -650,3 +650,33 @@ def test_sql_surface_pushes_date_filter(spark):
     seg = [s for s in plan.split("PushedFilters: [") if s is not plan]
     pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
     assert "o_orderdate" in pushed
+
+
+def test_pack_sequences_distributed_prefix_sum(spark):
+    """The packer's cumulative token offsets must come from the
+    range-partition + broadcast-offsets construction: no global-window
+    cumsum (empty PartitionSpec) anywhere, and at most the one 1-row
+    SinglePartition aggregate."""
+    from genie_spark.datapipe.sampling import pack_sequences
+
+    df = pack_sequences(_t(spark, "documents"), 256)
+    plan = _plan(df)
+    assert plan.count("SinglePartition") <= 1, plan
+    for seg in plan.split("\n\n"):
+        if seg.startswith("(") and ") Window" in seg.split("\n")[0]:
+            assert "PartitionSpec: []" not in seg, seg
+
+
+def test_volume_anomaly_window_over_census_only(spark):
+    """The trailing-moments window must run over the (type, day) census
+    partitioned BY TYPE — a partial-agg groupBy below it, a non-empty
+    window partition spec, and no SinglePartition exchange."""
+    from genie_spark.datapipe.events import volume_anomaly
+
+    df = volume_anomaly(_t(spark, "events"))
+    plan = _plan(df)
+    assert "SinglePartition" not in plan, plan
+    assert "partial_count" in plan or "Partial" in plan, plan
+    for seg in plan.split("\n\n"):
+        if seg.startswith("(") and ") Window" in seg.split("\n")[0]:
+            assert "PartitionSpec: []" not in seg, seg
