@@ -20,6 +20,74 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def k_anonymity(df: DataFrame, qi_cols: list, k: int = 5) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier column set: how many
+    equivalence classes (distinct QI combinations) have fewer than ``k``
+    members, and how many rows sit in them (re-identification risk).
+    Returns ONE row: (n_rows, n_groups, n_small_groups, n_rows_at_risk,
+    min_group_size, risk_ppm).
+
+    Scale shape: one partial-aggregated groupBy to the QI census
+    (bounded by the QI domain product, not the row count), then one
+    tiny aggregate — the fact table is scanned once and shuffles only
+    its QI census."""
+    if k <= 0:
+        raise ValueError("k must be > 0")
+    g = df.groupBy(*qi_cols).agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    out = g.agg(
+        F.sum("_n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("_n") < k, 1).otherwise(0))
+        .cast("long")
+        .alias("n_small_groups"),
+        F.sum(F.when(F.col("_n") < k, F.col("_n")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_at_risk"),
+        F.min("_n").cast("long").alias("min_group_size"),
+    )
+    return out.withColumn(
+        "risk_ppm", F.expr("n_rows_at_risk * 1000000L div n_rows")
+    )
+
+
+def fk_orphans(
+    child: DataFrame,
+    fk_col: str,
+    parent: DataFrame,
+    pk_col: str,
+    relation: str,
+) -> DataFrame:
+    """Referential-integrity audit for one FK edge: ONE row
+    (relation, n_child, n_orphans, orphan_ppm) where an orphan is a
+    child row whose FK value has no parent row (NULL FKs count as
+    orphans — they too cannot join).
+
+    Scale shape: parent keys DISTINCT then broadcast (dimension-sized);
+    the child table is scanned once with a broadcast left join + one
+    conditional count — no child-side shuffle. For fact-sized parents
+    drop the explicit broadcast and let AQE pick the join."""
+    keys = (
+        parent.select(F.col(pk_col).alias("_k"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    j = child.select(F.col(fk_col).alias("_k")).join(
+        F.broadcast(keys), "_k", "left"
+    )
+    out = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_child"),
+        F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_orphans"),
+    )
+    return out.select(
+        F.lit(relation).alias("relation"),
+        "n_child",
+        "n_orphans",
+        F.expr("n_orphans * 1000000L div n_child").alias("orphan_ppm"),
+    )
+
+
 def table_profile(df: DataFrame, cols: list = None) -> DataFrame:
     """(col_name, n_rows, n_null, n_distinct, min_str, max_str) — one row
     per profiled column, computed in one aggregation pass."""

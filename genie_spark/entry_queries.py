@@ -7001,3 +7001,84 @@ def dedup_incremental_q(spark, sf_dir):
 
 
 ORACLES["dedup_incremental"] = _incr_oracle()
+
+
+# --- data-governance audits --------------------------------------------------
+
+_KANON_K = 5
+
+_KANON_SQL = f"""
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS n
+  FROM customer GROUP BY 1, 2),
+a AS (
+  SELECT sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_groups,
+         sum(CASE WHEN n < {_KANON_K} THEN 1 ELSE 0 END)::BIGINT AS n_small_groups,
+         sum(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END)::BIGINT AS n_rows_at_risk,
+         min(n)::BIGINT AS min_group_size
+  FROM g)
+SELECT *, (n_rows_at_risk * 1000000 // n_rows)::BIGINT AS risk_ppm FROM a
+"""
+
+
+@_register("k_anonymity", _KANON_SQL)
+def k_anonymity_q(spark, sf_dir):
+    """k-anonymity governance audit: equivalence classes of the
+    (c_nationkey, c_mktsegment) quasi-identifier pair with fewer than
+    k=5 members, and the rows at re-identification risk inside them.
+    One partial-agg groupBy to the QI census (bounded by the QI domain,
+    never the row count) + one tiny aggregate
+    (datapipe/profile.py k_anonymity)."""
+    from .datapipe.profile import k_anonymity
+
+    return k_anonymity(
+        _t(spark, sf_dir, "customer"), ["c_nationkey", "c_mktsegment"], k=_KANON_K
+    )
+
+
+_FK_SQL = """
+WITH
+ok AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+pk AS (SELECT DISTINCT p_partkey AS k FROM part),
+ck AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_acctbal >= 0),
+a AS (
+  SELECT 'lineitem.l_orderkey->orders' AS relation,
+         count(*)::BIGINT AS n_child,
+         sum(CASE WHEN ok.k IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_orphans
+  FROM lineitem LEFT JOIN ok ON l_orderkey = ok.k
+  UNION ALL
+  SELECT 'lineitem.l_partkey->part',
+         count(*)::BIGINT,
+         sum(CASE WHEN pk.k IS NULL THEN 1 ELSE 0 END)::BIGINT
+  FROM lineitem LEFT JOIN pk ON l_partkey = pk.k
+  UNION ALL
+  SELECT 'orders.o_custkey->customer_in_good_standing',
+         count(*)::BIGINT,
+         sum(CASE WHEN ck.k IS NULL THEN 1 ELSE 0 END)::BIGINT
+  FROM orders LEFT JOIN ck ON o_custkey = ck.k)
+SELECT *, (n_orphans * 1000000 // n_child)::BIGINT AS orphan_ppm FROM a
+"""
+
+
+@_register("fk_integrity", _FK_SQL)
+def fk_integrity_q(spark, sf_dir):
+    """Referential-integrity audit across the star schema: orphan-row
+    counts/ppm for lineitem->orders, lineitem->part, and
+    orders->customer where the customer dimension is cut to accounts in
+    good standing (c_acctbal >= 0) — the corrupted-dimension simulation
+    that makes the audit exercise nonzero orphans. Each edge is ONE
+    child scan with a broadcast DISTINCT-parent-keys left join + one
+    conditional count (datapipe/profile.py fk_orphans)."""
+    from .datapipe.profile import fk_orphans
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    a = fk_orphans(li, "l_orderkey", orders, "o_orderkey",
+                   "lineitem.l_orderkey->orders")
+    b = fk_orphans(li, "l_partkey", _t(spark, sf_dir, "part"), "p_partkey",
+                   "lineitem.l_partkey->part")
+    c = fk_orphans(
+        orders, "o_custkey",
+        _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") >= 0),
+        "c_custkey", "orders.o_custkey->customer_in_good_standing")
+    return a.unionByName(b).unionByName(c)
