@@ -243,6 +243,12 @@ HEADLINE = [
     "bloom_join_prune",
     "cdc_apply",
     "cdc_audit",
+    "pack_sequences",
+    "event_volume_anomaly",
+    "dedup_incremental",
+    "k_anonymity",
+    "fk_integrity",
+    "auc_eval",
 ]
 
 
