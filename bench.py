@@ -249,6 +249,7 @@ HEADLINE = [
     "k_anonymity",
     "fk_integrity",
     "auc_eval",
+    "retrieval_quality",
 ]
 
 

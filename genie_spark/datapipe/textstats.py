@@ -953,3 +953,131 @@ def length_outliers(
         )
         .select(group_col, id_col, "value", "mean", "var")
     )
+
+
+# DCG rank discounts as integer ppm constants: disc(r) = round(1e6 /
+# log2(r + 1)). Computed ONCE here in Python and embedded as literals in
+# BOTH the Spark plan and the DuckDB oracle, so the two engines share the
+# exact same integers by construction (no cross-engine log() divergence).
+NDCG_DISC_PPM = [round(1_000_000 / __import__("math").log2(r + 1))
+                 for r in range(1, 11)]
+# ideal-DCG prefix sums: IDCG for a query with j relevant docs (capped
+# at the top-10 evaluation depth) is NDCG_IDCG_PPM[min(j, 10)]
+NDCG_IDCG_PPM = [0]
+for _d in NDCG_DISC_PPM:
+    NDCG_IDCG_PPM.append(NDCG_IDCG_PPM[-1] + _d)
+del _d
+
+
+def conjunctive_matches(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    qid_col: str = "qid",
+    qtext_col: str = "qtext",
+) -> DataFrame:
+    """Boolean conjunctive (AND) retrieval: (qid, doc_id) pairs where the
+    document contains EVERY distinct query term — the classic exact-match
+    ground truth used as qrels for ranking evaluation when no human
+    judgments exist. Same scale shape as bm25_topk: distinct (doc, term)
+    pairs come from ONE corpus explosion, the panel's terms broadcast
+    onto them (the corpus never shuffles on query content), and the
+    all-terms test is a panel-keyed count-distinct compared against the
+    broadcast per-query term count."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), " "),
+                    lambda x: x != F.lit(""),
+                )
+            )
+        ).alias("t"),
+    )
+    qt = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col(qtext_col)), " "),
+                    lambda x: x != F.lit(""),
+                )
+            )
+        ).alias("t"),
+    )
+    nq = qt.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms")
+    )
+    return (
+        toks.join(F.broadcast(qt), "t")
+        .groupBy("qid", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+        .join(F.broadcast(nq), "qid")
+        .filter(F.col("n_hit") == F.col("n_terms"))
+        .select("qid", "doc_id")
+    )
+
+
+def retrieval_quality(
+    ranking: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    cut: int = 5,
+) -> DataFrame:
+    """Ranking-quality evaluation of a retrieval run against binary
+    qrels, integer-exact in ppm: per query reciprocal rank of the first
+    relevant hit (MRR numerator), precision@``cut``, recall@``k``, and
+    nDCG@``k`` with the shared NDCG_DISC_PPM integer discount table
+    (identical literals in the DuckDB twin, so no float log enters
+    either engine). Inputs: ``ranking`` (qid, doc_id, rank with rank
+    1-based) and ``qrels`` (qid, doc_id). Returns one row per query:
+    (qid, n_rel, rr_ppm, p_at_cut_ppm, recall_ppm, ndcg_ppm).
+
+    Scale shape: everything here is panel-sized — the ranking is
+    panel × k rows and qrels is bounded by the conjunctive-match
+    candidates; the single groupBy shuffles only those. The corpus-sized
+    work happened upstream in the ranker/qrels generation."""
+    if k > len(NDCG_DISC_PPM):
+        raise ValueError(f"k <= {len(NDCG_DISC_PPM)} (discount table)")
+    disc = ", ".join(f"{d}L" for d in NDCG_DISC_PPM[:k])
+    idcg = ", ".join(f"{s}L" for s in NDCG_IDCG_PPM[1 : k + 1])
+    nrel = qrels.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rel")
+    )
+    j = ranking.filter(F.col("rank") <= k).join(
+        qrels.select("qid", "doc_id", F.lit(1).cast("long").alias("rel")),
+        ["qid", "doc_id"],
+        "left",
+    ).select(
+        "qid",
+        F.col("rank").cast("long").alias("rank"),
+        F.coalesce(F.col("rel"), F.lit(0).cast("long")).alias("rel"),
+    )
+    per = j.groupBy("qid").agg(
+        F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("fr"),
+        F.sum(
+            F.when(F.col("rank") <= cut, F.col("rel")).otherwise(F.lit(0))
+        ).cast("long").alias(f"hits{cut}"),
+        F.sum("rel").cast("long").alias("hitsk"),
+        F.sum(
+            F.col("rel")
+            * F.expr(f"element_at(array({disc}), cast(rank as int))")
+        ).cast("long").alias("dcg"),
+    )
+    return per.join(nrel, "qid").select(
+        "qid",
+        "n_rel",
+        F.coalesce(
+            F.expr("1000000L div fr"), F.lit(0).cast("long")
+        ).alias("rr_ppm"),
+        F.expr(f"(hits{cut} * 1000000L) div {int(cut)}L").alias(
+            f"p_at_{cut}_ppm"
+        ),
+        F.expr("(hitsk * 1000000L) div n_rel").alias("recall_ppm"),
+        F.expr(
+            f"(dcg * 1000000L) div element_at(array({idcg}),"
+            f" cast(least(n_rel, {int(k)}L) as int))"
+        ).alias("ndcg_ppm"),
+    )

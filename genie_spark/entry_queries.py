@@ -6444,6 +6444,72 @@ def retrieval_rrf_q(spark, sf_dir):
     return rrf_fuse(bm, cv, top_k=5, k=60)
 
 
+def _retrieval_quality_sql() -> str:
+    # the discount/IDCG literals come from the SAME Python constants the
+    # Spark plan embeds — cross-engine identity by construction
+    from .datapipe.textstats import NDCG_DISC_PPM, NDCG_IDCG_PPM
+
+    disc = ", ".join(str(d) for d in NDCG_DISC_PPM)
+    idcg = ", ".join(str(s) for s in NDCG_IDCG_PPM[1:11])
+    return f"""
+WITH {_BM25_CHAIN},
+tdx AS (SELECT DISTINCT doc_id, t FROM tw),
+nq AS (SELECT qid, count(*)::BIGINT AS n_terms FROM qt GROUP BY 1),
+hit AS (SELECT qt.qid, tdx.doc_id, count(*)::BIGINT AS n_hit
+        FROM tdx JOIN qt ON qt.t = tdx.t GROUP BY 1, 2),
+qr AS (SELECT hit.qid, hit.doc_id FROM hit JOIN nq ON nq.qid = hit.qid
+       WHERE n_hit = n_terms),
+nrel AS (SELECT qid, count(*)::BIGINT AS n_rel FROM qr GROUP BY 1),
+j AS (SELECT rk.qid, rk.rank,
+             CASE WHEN qr.doc_id IS NULL THEN 0 ELSE 1 END AS rel
+      FROM rk LEFT JOIN qr ON qr.qid = rk.qid AND qr.doc_id = rk.doc_id
+      WHERE rk.rank <= 10),
+per AS (SELECT qid,
+               min(CASE WHEN rel = 1 THEN rank END) AS fr,
+               sum(CASE WHEN rank <= 5 THEN rel ELSE 0 END)::BIGINT AS hits5,
+               sum(rel * ([{disc}])[rank])::BIGINT AS dcg,
+               sum(rel)::BIGINT AS hitsk
+        FROM j GROUP BY 1)
+SELECT per.qid, nrel.n_rel,
+       coalesce(1000000 // fr, 0)::BIGINT AS rr_ppm,
+       ((hits5 * 1000000) // 5)::BIGINT AS p_at_5_ppm,
+       ((hitsk * 1000000) // n_rel)::BIGINT AS recall_ppm,
+       ((dcg * 1000000) // ([{idcg}])[least(n_rel, 10)])::BIGINT AS ndcg_ppm
+FROM per JOIN nrel ON nrel.qid = per.qid
+"""
+
+
+@_register("retrieval_quality", _retrieval_quality_sql())
+def retrieval_quality_q(spark, sf_dir):
+    """Ranking-quality evaluation of the BM25 run against conjunctive
+    exact-match qrels (docs containing ALL query terms — the
+    self-contained ground truth): per-query reciprocal rank, P@5,
+    recall@10, and nDCG@10, all integer ppm. The nDCG discount table is
+    round(1e6/log2(r+1)) computed ONCE in Python and embedded as the
+    same literals in both engines, so no float log is evaluated in
+    either (datapipe/textstats.py retrieval_quality,
+    conjunctive_matches; cf. reference metric surface
+    /root/reference/genie/utils/evaluation.py which stops at set
+    P/R/F1 — rank-aware eval is the retrieval-grade extension)."""
+    from .datapipe.textstats import (
+        bm25_topk,
+        conjunctive_matches,
+        retrieval_quality,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    wq = F.filter(
+        F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit("")
+    )
+    panel = docs.filter(F.col("doc_id") % 50 == 7).select(
+        F.col("doc_id").alias("qid"),
+        F.array_join(F.slice(wq, 1, 3), " ").alias("qtext"),
+    )
+    bm = bm25_topk(docs, panel, top_k=10).select("qid", "doc_id", "rank")
+    qrels = conjunctive_matches(docs, panel)
+    return retrieval_quality(bm, qrels, k=10, cut=5)
+
+
 _TRANSITIONS_SQL = """
 WITH seq AS (
   SELECT event_type AS from_type,
