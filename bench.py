@@ -250,6 +250,7 @@ HEADLINE = [
     "fk_integrity",
     "auc_eval",
     "retrieval_quality",
+    "ivm_refresh",
 ]
 
 

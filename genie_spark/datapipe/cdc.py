@@ -92,3 +92,102 @@ def apply_changes_audit(
             del_.agg(F.count(F.lit(1)).cast("long").alias("n_deleted"))
         )
     )
+
+
+def incremental_view_refresh(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key: str,
+    grp: str,
+    val: str,
+    op_col: str = "op",
+    ts_col: str = "ts",
+    id_col: str = "change_id",
+) -> DataFrame:
+    """Incremental maintenance of the materialized aggregate view
+    ``SELECT grp, count(*), sum(val) GROUP BY grp`` under a CDC change
+    log — the lakehouse IVM primitive. Returns the refreshed view
+    ``(grp, n_rows, sum_val)``.
+
+    The refresh NEVER re-aggregates the base table: the change log
+    folds to one winning change per key (same partial-aggregatable
+    struct-max as apply_changes), old group/value for the touched keys
+    come from ONE keyed equi-join against the snapshot (changed-keys-
+    sized probe at 100 TB, the snapshot side prunable by key), each
+    winning change emits row-local retract/add delta rows (array +
+    explode, no second pass over the join), the deltas partial-agg to
+    per-group (dn, dv), and the stored view is patched with ONE
+    group-keyed full-outer join — groups whose count reaches zero drop.
+    Here the "stored" view is derived from the snapshot because the
+    fixture has no persisted view; in production that input is the
+    already-materialized table, so the whole refresh costs
+    O(|changes| + |view|), not O(|base|). The DuckDB oracle is the
+    FULL recompute over the merged table, so the hash gate proves
+    incremental == full."""
+    win = changes.groupBy(key).agg(
+        F.max(
+            F.struct(
+                F.col(ts_col).alias("ts"),
+                F.col(id_col).alias("cid"),
+                F.col(op_col).alias("op"),
+                F.col(grp).alias("grp"),
+                F.col(val).alias("val"),
+            )
+        ).alias("w")
+    ).select(
+        key,
+        F.col("w.op").alias("__op"),
+        F.col("w.grp").alias("__grp"),
+        F.col("w.val").alias("__val"),
+    )
+    old = snapshot.select(
+        key,
+        F.col(grp).alias("__ogrp"),
+        F.col(val).alias("__oval"),
+        F.lit(1).alias("__snap"),
+    )
+    touched = win.join(old, key, "left")
+    deltas = (
+        touched.select(
+            F.explode(
+                F.array(
+                    F.when(
+                        F.col("__snap").isNotNull(),
+                        F.struct(
+                            F.col("__ogrp").alias("g"),
+                            F.lit(-1).cast("long").alias("dn"),
+                            (-F.col("__oval")).cast("long").alias("dv"),
+                        ),
+                    ),
+                    F.when(
+                        F.col("__op") == "upsert",
+                        F.struct(
+                            F.col("__grp").alias("g"),
+                            F.lit(1).cast("long").alias("dn"),
+                            F.col("__val").cast("long").alias("dv"),
+                        ),
+                    ),
+                )
+            ).alias("d")
+        )
+        .filter(F.col("d").isNotNull())
+        .groupBy(F.col("d.g").alias(grp))
+        .agg(
+            F.sum("d.dn").cast("long").alias("__dn"),
+            F.sum("d.dv").cast("long").alias("__dv"),
+        )
+    )
+    view = snapshot.groupBy(grp).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(F.col(val)).cast("long").alias("__s"),
+    )
+    z = F.lit(0).cast("long")
+    return (
+        view.join(deltas, grp, "full_outer")
+        .select(
+            grp,
+            (F.coalesce("__n", z) + F.coalesce("__dn", z)).alias("n_rows"),
+            (F.coalesce("__s", z) + F.coalesce("__dv", z)).alias("sum_val"),
+        )
+        .filter(F.col("n_rows") > 0)
+    )

@@ -6941,6 +6941,78 @@ def cdc_audit_q(spark, sf_dir):
     return apply_changes_audit(snap, chg, "k", "pay")
 
 
+_IVM_SQL = """
+WITH
+snap AS (SELECT o_orderkey AS k, o_orderpriority AS grp,
+                CAST(floor(o_totalprice) AS BIGINT) AS val
+         FROM orders WHERE o_orderkey % 4 <> 3),
+chg AS (
+  SELECT o_orderkey AS k, 'upsert' AS op, 'P-' || o_orderstatus AS grp,
+         CAST(floor(o_totalprice / 2) AS BIGINT) AS val,
+         o_orderdate AS ts, o_orderkey AS cid
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey, 'delete', NULL, NULL,
+         o_orderdate + INTERVAL 1 DAY, o_orderkey + 1000000
+  FROM orders WHERE o_orderkey % 7 = 0),
+win AS (SELECT k, max(struct_pack(ts := ts, cid := cid, op := op,
+                                  grp := grp, val := val)) AS w
+        FROM chg GROUP BY k),
+wf AS (SELECT k, w.op AS op, w.grp AS cgrp, w.val AS cval FROM win),
+mrg AS (SELECT s.grp AS sgrp, s.val AS sval, c.op, c.cgrp, c.cval,
+               s.k IS NOT NULL AS snap_present
+        FROM snap s FULL OUTER JOIN wf c ON c.k = s.k),
+res AS (SELECT CASE WHEN op = 'upsert' THEN cgrp ELSE sgrp END AS grp,
+               CASE WHEN op = 'upsert' THEN cval ELSE sval END AS val
+        FROM mrg WHERE (op IS NULL AND snap_present) OR op = 'upsert')
+SELECT grp, count(*)::BIGINT AS n_rows, sum(val)::BIGINT AS sum_val
+FROM res GROUP BY 1
+"""
+
+
+def _ivm_inputs(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    snap = o.filter(F.col("o_orderkey") % 4 != 3).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("grp"),
+        F.expr("CAST(floor(o_totalprice) AS BIGINT)").alias("val"),
+    )
+    up = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("upsert").alias("op"),
+        F.concat(F.lit("P-"), F.col("o_orderstatus")).alias("grp"),
+        F.expr("CAST(floor(o_totalprice / 2) AS BIGINT)").alias("val"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("change_id"),
+    )
+    dl = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("delete").alias("op"),
+        F.lit(None).cast("string").alias("grp"),
+        F.lit(None).cast("long").alias("val"),
+        F.expr("o_orderdate + INTERVAL 1 DAY").alias("ts"),
+        (F.col("o_orderkey") + 1000000).alias("change_id"),
+    )
+    return snap, up.unionByName(dl)
+
+
+@_register("ivm_refresh", _IVM_SQL)
+def ivm_refresh_q(spark, sf_dir):
+    """Incremental materialized-view maintenance: the per-group
+    (count, sum) view refreshed from a CDC change log WITHOUT
+    re-aggregating the base table — winning change per key via the
+    partial-agg struct-max fold, old values via ONE changed-keys-sized
+    equi-join, row-local retract/add delta rows, per-group delta
+    partial-agg, one group-keyed patch join (zero-count groups drop).
+    The DuckDB oracle is the FULL recompute over the merged table, so
+    the hash match proves incremental == full
+    (datapipe/cdc.py incremental_view_refresh)."""
+    from .datapipe.cdc import incremental_view_refresh
+
+    snap, chg = _ivm_inputs(spark, sf_dir)
+    return incremental_view_refresh(snap, chg, "k", "grp", "val")
+
+
 # --- training-sequence packing census -------------------------------------
 
 _PACK_LEN = 256
