@@ -251,6 +251,7 @@ HEADLINE = [
     "auc_eval",
     "retrieval_quality",
     "ivm_refresh",
+    "kneser_ney_bigram",
 ]
 
 

@@ -6941,6 +6941,42 @@ def cdc_audit_q(spark, sf_dir):
     return apply_changes_audit(snap, chg, "k", "pay")
 
 
+_KN_SQL = """
+WITH wf AS (
+  SELECT list_filter(string_split(lower(text), ' '), t -> t <> '') AS w
+  FROM documents),
+bgx AS (SELECT unnest(list_transform(range(1, len(w)),
+                                     i -> {'w1': w[i], 'w2': w[i + 1]})) AS b
+        FROM wf),
+c12 AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*)::BIGINT AS n12
+        FROM bgx GROUP BY 1, 2),
+lft AS (SELECT w1, sum(n12)::BIGINT AS c1, count(*)::BIGINT AS n1p
+        FROM c12 GROUP BY 1),
+rgt AS (SELECT w2, count(*)::BIGINT AS n1pc FROM c12 GROUP BY 1),
+tot AS (SELECT count(*)::BIGINT AS nall FROM c12)
+SELECT c12.w1, c12.w2, c12.n12,
+       (((2 * n12 - 1) * 1000000) // (2 * c1)
+        + ((n1p * n1pc * 1000000) // (2 * c1)) // nall)::BIGINT AS pkn_ppm
+FROM c12 JOIN lft ON lft.w1 = c12.w1
+JOIN rgt ON rgt.w2 = c12.w2
+CROSS JOIN tot
+WHERE n12 >= 3
+"""
+
+
+@_register("kneser_ney_bigram", _KN_SQL)
+def kneser_ney_bigram_q(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram LM estimation with d = 1/2,
+    integer ppm: discounted bigram term + continuation-count backoff
+    (the novel-context statistic), both floors computed by the
+    identical split formula in Spark and DuckDB. One corpus scan to
+    bigram occurrences; all count tables are partial-agg groupBys over
+    the bigram-TYPE table (datapipe/vocab.py kneser_ney_bigrams)."""
+    from .datapipe.vocab import kneser_ney_bigrams
+
+    return kneser_ney_bigrams(_t(spark, sf_dir, "documents"), min_count=3)
+
+
 _IVM_SQL = """
 WITH
 snap AS (SELECT o_orderkey AS k, o_orderpriority AS grp,
