@@ -252,6 +252,7 @@ HEADLINE = [
     "retrieval_quality",
     "ivm_refresh",
     "kneser_ney_bigram",
+    "leakage_safe_split",
 ]
 
 

@@ -1434,6 +1434,79 @@ def dedup_cluster_sizes(spark, sf_dir):
     )
 
 
+def _leak_split_cuts():
+    from .datapipe.sampling import split_thresholds
+
+    return dict(split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1}))
+
+
+@_register("leakage_safe_split", None)
+def leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/val/test assignment: split membership is a
+    pure function of the document's NEAR-DUP COMPONENT label, not its
+    own id, so no pair of near-duplicates ever straddles train and
+    eval (the contamination mode document-level hashing cannot prevent
+    — Lee et al. 2022 §5). Composition of two already-oracled tiers:
+    MinHash-LSH edges → distributed connected components → hash-residue
+    split over the component representative (sampling.assign_split
+    keyed on `component`). Per-doc output (doc_id, component, split);
+    the no-straddle property holds by construction since split is a
+    function of component. Scale: adds ZERO work beyond the components
+    closure — the assignment is one row-local hash."""
+    from .datapipe.dedup import minhash_jaccard_pairs
+    from .datapipe.graph import components_with_singletons
+    from .datapipe.sampling import assign_split
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_jaccard_pairs(
+        docs, num_hashes=_MINHASH_N, bands=_MINHASH_BANDS,
+        threshold=_MINHASH_T,
+    )
+    comp = components_with_singletons(docs.select("doc_id"), pairs, "doc_id")
+    out = assign_split(
+        comp, {"train": 0.8, "val": 0.1, "test": 0.1},
+        id_col="component", salt="lsplit",
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("component"),
+        "split",
+    )
+
+
+def _leakage_safe_split_sql() -> str:
+    from .datapipe.sampling import residue_sql
+
+    cuts = _leak_split_cuts()
+    r = residue_sql("component", "lsplit")
+    return (
+        f"WITH RECURSIVE {_minhash_chain_sql('documents')},\n"
+        f"""edges AS (
+  SELECT id_a AS u, id_b AS w FROM est WHERE ej >= {_MINHASH_T}
+  UNION ALL
+  SELECT id_b, id_a FROM est WHERE ej >= {_MINHASH_T}
+),
+reach(v, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.w, reach.r FROM reach JOIN edges e ON e.u = reach.v
+),
+comp AS (SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v),
+lbl AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
+SELECT doc_id::BIGINT AS doc_id, component::BIGINT AS component,
+       CASE WHEN ({r}) < {cuts['test']} THEN 'test'
+            WHEN ({r}) < {cuts['train']} THEN 'train'
+            ELSE 'val' END AS split
+FROM lbl
+"""
+    )
+
+
+ORACLES["leakage_safe_split"] = _leakage_safe_split_sql()
+
+
 ORACLES["dedup_cluster_sizes"] = (
     f"WITH RECURSIVE {_minhash_chain_sql('documents')},\n"
     f"""edges AS (
