@@ -253,6 +253,8 @@ HEADLINE = [
     "ivm_refresh",
     "kneser_ney_bigram",
     "leakage_safe_split",
+    "classifier_report",
+    "cohen_kappa",
 ]
 
 

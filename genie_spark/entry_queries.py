@@ -2416,35 +2416,136 @@ def _stop_sql(lang: str) -> str:
     return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
 
 
-@_register(
-    "lang_id",
-    f"""
-WITH s AS (
-  SELECT doc_id,
+# lang-ID CTE chain shared by the lang_id oracle and the classifier-
+# evaluation oracles (confusion matrix / per-class report / kappa):
+# `lg` carries (doc_id, lang = true label, score_*, lang_guess).
+_LANG_CHAIN = f"""s AS (
+  SELECT doc_id, lang,
          string_split_regex(lower(text), '\\s+') AS ws
   FROM documents
 ),
 scored AS (
-  SELECT doc_id,
+  SELECT doc_id, lang,
          round(len(list_filter(ws, x -> list_contains({_stop_sql('de')}, x)))::DOUBLE / greatest(len(ws), 1), 6) AS score_de,
          round(len(list_filter(ws, x -> list_contains({_stop_sql('en')}, x)))::DOUBLE / greatest(len(ws), 1), 6) AS score_en,
          round(len(list_filter(ws, x -> list_contains({_stop_sql('es')}, x)))::DOUBLE / greatest(len(ws), 1), 6) AS score_es,
          round(len(list_filter(ws, x -> list_contains({_stop_sql('fr')}, x)))::DOUBLE / greatest(len(ws), 1), 6) AS score_fr
   FROM s
-)
-SELECT doc_id, score_de, score_en, score_es, score_fr,
+),
+lg AS (
+  SELECT doc_id, lang, score_de, score_en, score_es, score_fr,
        CASE WHEN greatest(score_de, score_en, score_es, score_fr) <= 0 THEN 'unknown'
             WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
             WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
             WHEN score_es >= score_fr THEN 'es'
             ELSE 'fr' END AS lang_guess
-FROM scored
+  FROM scored
+)"""
+
+
+@_register(
+    "lang_id",
+    f"""
+WITH {_LANG_CHAIN}
+SELECT doc_id, score_de, score_en, score_es, score_fr, lang_guess FROM lg
 """,
 )
 def lang_id_q(spark, sf_dir):
     from .datapipe.textstats import lang_id
 
     return lang_id(_t(spark, sf_dir, "documents"))
+
+
+def _lang_eval_df(spark, sf_dir):
+    """(doc_id, lang = gold, lang_guess = weak labeler) — the
+    predicted-vs-gold frame the classifier-eval queries score."""
+    from .datapipe.textstats import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return lang_id(docs).select("doc_id", "lang_guess").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+
+
+@_register(
+    "confusion_matrix",
+    f"""
+WITH {_LANG_CHAIN}
+SELECT lang AS true_cls, lang_guess AS pred_cls, count(*)::BIGINT AS n
+FROM lg GROUP BY 1, 2
+""",
+)
+def confusion_matrix_q(spark, sf_dir):
+    """Multiclass confusion census of the stopword lang-ID labeler vs
+    the gold `lang` column — one class-domain-bounded groupBy
+    (metrics.py confusion_matrix)."""
+    from .metrics import confusion_matrix
+
+    return confusion_matrix(_lang_eval_df(spark, sf_dir), "lang", "lang_guess")
+
+
+@_register(
+    "classifier_report",
+    f"""
+WITH {_LANG_CHAIN},
+cm AS (SELECT lang AS t, lang_guess AS p, count(*)::BIGINT AS n
+       FROM lg GROUP BY 1, 2),
+tt AS (SELECT t AS cls, sum(n)::BIGINT AS n_true FROM cm GROUP BY 1),
+pp AS (SELECT p AS cls, sum(n)::BIGINT AS n_pred FROM cm GROUP BY 1),
+tp AS (SELECT t AS cls, n AS tp FROM cm WHERE t = p)
+SELECT tt.cls, n_true,
+       coalesce(n_pred, 0)::BIGINT AS n_pred,
+       coalesce(tp, 0)::BIGINT AS tp,
+       (CASE WHEN coalesce(n_pred, 0) = 0 THEN 0
+             ELSE (coalesce(tp, 0) * 1000000) // n_pred END)::BIGINT
+         AS precision_ppm,
+       ((coalesce(tp, 0) * 1000000) // n_true)::BIGINT AS recall_ppm,
+       ((2 * coalesce(tp, 0) * 1000000)
+        // (n_true + coalesce(n_pred, 0)))::BIGINT AS f1_ppm
+FROM tt LEFT JOIN pp ON pp.cls = tt.cls LEFT JOIN tp ON tp.cls = tt.cls
+""",
+)
+def classifier_report_q(spark, sf_dir):
+    """Per-class precision/recall/F1 (integer ppm) of the lang-ID
+    labeler against gold labels, keyed on the true-class domain; F1
+    folds exactly to 2·tp/(n_true+n_pred) so no float harmonic mean
+    enters either engine (metrics.py classification_report)."""
+    from .metrics import classification_report
+
+    return classification_report(
+        _lang_eval_df(spark, sf_dir), "lang", "lang_guess"
+    )
+
+
+@_register(
+    "cohen_kappa",
+    f"""
+WITH {_LANG_CHAIN},
+cm AS (SELECT lang AS t, lang_guess AS p, count(*)::BIGINT AS n
+       FROM lg GROUP BY 1, 2),
+tt AS (SELECT t AS cls, sum(n)::BIGINT AS n_true FROM cm GROUP BY 1),
+pp AS (SELECT p AS cls, sum(n)::BIGINT AS n_pred FROM cm GROUP BY 1),
+sx AS (SELECT sum(coalesce(n_true, 0) * coalesce(n_pred, 0))::BIGINT AS s
+       FROM tt FULL OUTER JOIN pp ON pp.cls = tt.cls),
+tot AS (SELECT sum(n)::BIGINT AS n,
+               sum(CASE WHEN t = p THEN n ELSE 0 END)::BIGINT AS agree
+        FROM cm)
+SELECT n, agree,
+       ((agree * 1000000) // n)::BIGINT AS po_ppm,
+       (s // greatest((n * n) // 1000000, 1))::BIGINT AS pe_ppm,
+       ((agree * n - s) // greatest((n * n - s) // 1000000, 1))::BIGINT
+         AS kappa_ppm
+FROM tot CROSS JOIN sx
+""",
+)
+def cohen_kappa_q(spark, sf_dir):
+    """Cohen's kappa of the lang-ID labeler vs gold — chance-corrected
+    agreement as one row, integer-exact via the cleared rational form
+    with the ppm scale applied to the denominator so intermediates stay
+    inside signed-64 at ~3e9 rows (metrics.py cohen_kappa)."""
+    from .metrics import cohen_kappa
+
+    return cohen_kappa(_lang_eval_df(spark, sf_dir), "lang", "lang_guess")
 
 
 @_register(

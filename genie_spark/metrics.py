@@ -550,3 +550,105 @@ def auc_by_group(
             " div (2L * n_pos * n_neg)"
         ).cast("long").alias("auc_ppm"),
     )
+
+
+# --- multiclass classifier evaluation ---------------------------------------
+
+def confusion_matrix(
+    df: DataFrame, true_col: str, pred_col: str
+) -> DataFrame:
+    """Multiclass confusion census ``(true, pred, n)`` — ONE partial-agg
+    groupBy bounded by the class-domain square, never the row count."""
+    return df.groupBy(
+        F.col(true_col).alias("true_cls"), F.col(pred_col).alias("pred_cls")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+def classification_report(
+    df: DataFrame, true_col: str, pred_col: str
+) -> DataFrame:
+    """Per-class precision/recall/F1 in integer ppm, keyed on the TRUE
+    class domain: (cls, n_true, n_pred, tp, precision_ppm, recall_ppm,
+    f1_ppm). F1 folds exactly to ``2·tp / (n_true + n_pred)`` so it
+    stays a single integer division — no float harmonic mean. All
+    inputs come from the confusion census, so every join here is
+    class-domain-sized (broadcast) regardless of corpus size."""
+    cm = confusion_matrix(df, true_col, pred_col)
+    tt = cm.groupBy(F.col("true_cls").alias("cls")).agg(
+        F.sum("n").cast("long").alias("n_true")
+    )
+    pp = cm.groupBy(F.col("pred_cls").alias("cls")).agg(
+        F.sum("n").cast("long").alias("n_pred")
+    )
+    tp = cm.filter(F.col("true_cls") == F.col("pred_cls")).select(
+        F.col("true_cls").alias("cls"), F.col("n").alias("tp")
+    )
+    z = F.lit(0).cast("long")
+    return (
+        tt.join(F.broadcast(pp), "cls", "left")
+        .join(F.broadcast(tp), "cls", "left")
+        .select(
+            "cls",
+            "n_true",
+            F.coalesce("n_pred", z).alias("n_pred"),
+            F.coalesce("tp", z).alias("tp"),
+        )
+        .select(
+            "cls",
+            "n_true",
+            "n_pred",
+            "tp",
+            F.expr(
+                "CASE WHEN n_pred = 0 THEN 0L"
+                " ELSE (tp * 1000000L) div n_pred END"
+            ).alias("precision_ppm"),
+            F.expr("(tp * 1000000L) div n_true").alias("recall_ppm"),
+            F.expr(
+                "(2L * tp * 1000000L) div (n_true + n_pred)"
+            ).alias("f1_ppm"),
+        )
+    )
+
+
+def cohen_kappa(df: DataFrame, true_col: str, pred_col: str) -> DataFrame:
+    """Cohen's kappa (inter-annotator / classifier-vs-gold chance-
+    corrected agreement) as ONE row: (n, agree, po_ppm, pe_ppm,
+    kappa_ppm). Integer-exact via the cleared form
+    ``kappa = (agree·N − Σ t_k·p_k) / (N² − Σ t_k·p_k)``; the ppm
+    scaling divides the DENOMINATOR by 1e6 first (identical formula in
+    the DuckDB twin) so no intermediate exceeds N² — signed-64-safe to
+    N ≈ 3e9 rows. Everything derives from the class-domain-sized
+    confusion census."""
+    cm = confusion_matrix(df, true_col, pred_col)
+    tt = cm.groupBy(F.col("true_cls").alias("cls")).agg(
+        F.sum("n").cast("long").alias("n_true")
+    )
+    pp = cm.groupBy(F.col("pred_cls").alias("cls")).agg(
+        F.sum("n").cast("long").alias("n_pred")
+    )
+    s = (
+        tt.join(pp, "cls", "full_outer")
+        .select(
+            (
+                F.coalesce("n_true", F.lit(0).cast("long"))
+                * F.coalesce("n_pred", F.lit(0).cast("long"))
+            ).alias("txp")
+        )
+        .agg(F.sum("txp").cast("long").alias("s"))
+    )
+    tot = cm.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("true_cls") == F.col("pred_cls"), F.col("n"))
+            .otherwise(F.lit(0))
+        ).cast("long").alias("agree"),
+    )
+    return tot.crossJoin(F.broadcast(s)).select(
+        "n",
+        "agree",
+        F.expr("(agree * 1000000L) div n").alias("po_ppm"),
+        F.expr("s div greatest((n * n) div 1000000L, 1L)").alias("pe_ppm"),
+        F.expr(
+            "(agree * n - s) div greatest((n * n - s) div 1000000L, 1L)"
+        ).alias("kappa_ppm"),
+    )
