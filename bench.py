@@ -255,6 +255,7 @@ HEADLINE = [
     "leakage_safe_split",
     "classifier_report",
     "cohen_kappa",
+    "assoc_rules",
 ]
 
 
