@@ -256,6 +256,9 @@ HEADLINE = [
     "classifier_report",
     "cohen_kappa",
     "assoc_rules",
+    "kg_clustering_coeff",
+    "sql_pricing_summary",
+    "mad_outliers",
 ]
 
 

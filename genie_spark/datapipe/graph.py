@@ -1993,3 +1993,71 @@ def bgp_match(
         plan = plan.join(t, shared, "left") if shared else plan.crossJoin(t)
         bound |= vs
     return plan.select(*sorted(bound)).distinct()
+
+
+def local_clustering(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-vertex local clustering coefficient of the UNDIRECTED graph:
+    ``cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1))`` in integer ppm, for
+    every vertex with degree >= 2 — (v, deg, n_tri, cc_ppm).
+
+    Same degree-ordered orientation as :func:`triangle_count` (each
+    triangle closes exactly once, wedge join bounded O(sqrt(m)) per
+    vertex on skewed graphs); each closed triangle then credits its
+    THREE corners via a row-local array explode — no second triangle
+    pass — and the per-vertex tally joins the degree table on the
+    vertex key."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .union(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        und.join(da, "a").join(db, "b")
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+        )
+    )
+    o1 = oriented.select("u", F.col("w").alias("x"))
+    o2 = oriented.select("u", F.col("w").alias("y"))
+    wedges = o1.join(o2, "u").filter(F.col("x") < F.col("y"))
+    closed = wedges.join(
+        und, (F.col("x") == F.col("a")) & (F.col("y") == F.col("b"))
+    ).select("u", "x", "y")
+    tc = (
+        closed.select(
+            F.explode(F.array(F.col("u"), F.col("x"), F.col("y"))).alias("v")
+        )
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    )
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(tc, "v", "left")
+        .select(
+            "v",
+            "deg",
+            F.coalesce("n_tri", F.lit(0).cast("long")).alias("n_tri"),
+            F.expr(
+                "(2L * coalesce(n_tri, 0L) * 1000000L)"
+                " div (deg * (deg - 1L))"
+            ).alias("cc_ppm"),
+        )
+    )

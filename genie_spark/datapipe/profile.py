@@ -114,3 +114,69 @@ def table_profile(df: DataFrame, cols: list = None) -> DataFrame:
         ),
         F.col("__n").alias("n_rows"),
     ).select("col_name", "n_rows", "n_null", "n_distinct", "min_str", "max_str")
+
+
+def _disc_median(df: DataFrame, grp: str, vcol: str, out: str) -> DataFrame:
+    """Exact per-group discrete median (percentile_disc(0.5): smallest
+    value whose cumulative count reaches half, even n → lower middle —
+    the deterministic integer rule shared with the SQL twin). The
+    ordering window runs over the (group, value) CENSUS, bounded by the
+    per-group value domain, never the raw row count — the same
+    skew-safety discipline as metrics.auc_by_group."""
+    from pyspark.sql import Window
+
+    cen = df.groupBy(grp, vcol).agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    tot = cen.groupBy(grp).agg(F.sum("__c").cast("long").alias("__n"))
+    w = Window.partitionBy(grp).orderBy(vcol)
+    cum = cen.withColumn("__cum", F.sum("__c").over(w))
+    return (
+        cum.join(tot, grp)
+        .filter(2 * F.col("__cum") >= F.col("__n"))
+        .groupBy(grp)
+        .agg(F.min(vcol).cast("long").alias(out))
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Robust per-group outlier detection via the median absolute
+    deviation: flag rows with ``|x − median| > k·max(MAD, 1)`` —
+    breakdown-point-0.5 robust where the z-score test is wrecked by the
+    very outliers it hunts. Returns (group, id, value, med, mad) for
+    flagged rows, all integer-exact.
+
+    Scale shape: two census medians (value census, then absolute-
+    deviation census — windows bounded by the value DOMAIN per group);
+    the group-sized med/mad tables broadcast back onto the fact scan;
+    the flag itself is a row-local integer predicate."""
+    v = F.col(value_col).cast("long")
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("id"),
+        v.alias("value"),
+    )
+    med = _disc_median(base, "grp", "value", "med")
+    dev = base.join(F.broadcast(med), "grp").withColumn(
+        "ad", F.abs(F.col("value") - F.col("med")).cast("long")
+    )
+    mad = _disc_median(dev.select("grp", "ad"), "grp", "ad", "mad")
+    return (
+        dev.join(F.broadcast(mad), "grp")
+        .filter(
+            F.col("ad") > int(k) * F.greatest(F.col("mad"), F.lit(1).cast("long"))
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("id").alias(id_col),
+            "value",
+            "med",
+            "mad",
+        )
+    )

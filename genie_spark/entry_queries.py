@@ -1989,6 +1989,52 @@ def kg_triangles(spark, sf_dir):
 
 
 @_register(
+    "kg_clustering_coeff",
+    """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pe AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+       FROM li a JOIN li b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+tri AS (SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+        FROM pe e1
+        JOIN pe e2 ON e2.pa = e1.pa AND e2.pb > e1.pb
+        JOIN pe e3 ON e3.pa = e1.pb AND e3.pb = e2.pb),
+tv AS (SELECT unnest([x, y, z]) AS v FROM tri),
+tc AS (SELECT v, count(*)::BIGINT AS n_tri FROM tv GROUP BY 1),
+dg AS (SELECT v, count(*)::BIGINT AS deg FROM
+       (SELECT pa AS v FROM pe UNION ALL SELECT pb FROM pe) GROUP BY 1)
+SELECT dg.v::BIGINT AS v, deg,
+       coalesce(n_tri, 0)::BIGINT AS n_tri,
+       ((2 * coalesce(n_tri, 0) * 1000000) // (deg * (deg - 1)))::BIGINT
+         AS cc_ppm
+FROM dg LEFT JOIN tc ON tc.v = dg.v
+WHERE deg >= 2
+""",
+)
+def kg_clustering_coeff(spark, sf_dir):
+    """Per-vertex local clustering coefficient of the part co-order
+    graph, integer ppm: degree-ordered-oriented wedge join (each
+    triangle closes once), one explode credits all three corners, one
+    join against the degree table. The oracle enumerates the same
+    triangles via the id-ordered 3-way join
+    (datapipe/graph.py local_clustering)."""
+    from .datapipe.graph import local_clustering
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+    return local_clustering(pairs, src="pa", dst="pb")
+
+
+@_register(
     "kg_common_neighbors",
     """
 WITH li AS (SELECT DISTINCT l_partkey AS u, l_orderkey AS v FROM lineitem),
@@ -6400,6 +6446,38 @@ GROUP BY r_name, n_name
 """
 
 
+_SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_base_cents,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                           * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT)
+         AS sum_charge_cents,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@_register("sql_pricing_summary", _SQL_PRICING)
+def sql_pricing_summary_q(spark, sf_dir):
+    """TPC-H Q1 pricing summary on the ad-hoc SQL surface, made
+    engine-exact by flooring each money expression to integer CENTS
+    per row before summing (double sums are order-divergent; per-row
+    IEEE products are identical in both engines, and
+    CAST(floor(x) AS BIGINT) sidesteps the Spark-truncates/DuckDB-
+    rounds cast trap). One scan, map-side partial aggregation, the
+    shipdate filter pushed to the parquet scan — the same ANSI string
+    runs verbatim in both engines (genie_spark/sql.py)."""
+    from .sql import sql
+
+    return sql(spark, sf_dir, _SQL_PRICING)
+
+
 @_register("sql_region_orders", _SQL_REGION_ORDERS)
 def sql_region_orders_q(spark, sf_dir):
     """Ad-hoc SQL surface: the same ANSI string runs verbatim as the
@@ -7474,6 +7552,49 @@ def fk_integrity_q(spark, sf_dir):
 
 
 # --- ROC-AUC evaluation ------------------------------------------------------
+
+_MAD_SQL = """
+WITH cen AS (SELECT source, n_chars AS v, count(*)::BIGINT AS c
+             FROM documents GROUP BY 1, 2),
+tot AS (SELECT source, sum(c)::BIGINT AS n FROM cen GROUP BY 1),
+cum AS (SELECT source, v, c,
+               sum(c) OVER (PARTITION BY source ORDER BY v) AS cum
+        FROM cen),
+med AS (SELECT cum.source, min(v)::BIGINT AS med
+        FROM cum JOIN tot ON tot.source = cum.source
+        WHERE 2 * cum >= n GROUP BY 1),
+dev AS (SELECT d.source, d.doc_id, d.n_chars AS v,
+               abs(d.n_chars - med)::BIGINT AS ad, med
+        FROM documents d JOIN med ON med.source = d.source),
+dc AS (SELECT source, ad, count(*)::BIGINT AS c FROM dev GROUP BY 1, 2),
+dt AS (SELECT source, sum(c)::BIGINT AS n FROM dc GROUP BY 1),
+dcum AS (SELECT source, ad,
+                sum(c) OVER (PARTITION BY source ORDER BY ad) AS cum
+         FROM dc),
+mad AS (SELECT dcum.source, min(ad)::BIGINT AS mad
+        FROM dcum JOIN dt ON dt.source = dcum.source
+        WHERE 2 * cum >= n GROUP BY 1)
+SELECT dev.source, doc_id, v::BIGINT AS value, dev.med, mad.mad
+FROM dev JOIN mad ON mad.source = dev.source
+WHERE ad > 3 * greatest(mad, 1)
+"""
+
+
+@_register("mad_outliers", _MAD_SQL)
+def mad_outliers_q(spark, sf_dir):
+    """Robust per-source length outliers via median absolute deviation
+    (|x − median| > 3·max(MAD,1)) — the breakdown-point-0.5 complement
+    to the integer-moment z² test (length_outliers): a handful of
+    extreme docs cannot drag the cutoff the way they inflate a
+    variance. Both medians are exact census disc-percentiles (windows
+    over the per-group value DOMAIN, never raw rows); med/mad broadcast
+    back onto the scan (datapipe/profile.py mad_outliers)."""
+    from .datapipe.profile import mad_outliers
+
+    return mad_outliers(
+        _t(spark, sf_dir, "documents"), "source", "n_chars", "doc_id", k=3
+    )
+
 
 _AUC_SQL = """
 WITH s AS (
