@@ -259,6 +259,9 @@ HEADLINE = [
     "kg_clustering_coeff",
     "sql_pricing_summary",
     "mad_outliers",
+    "event_seq_patterns",
+    "scd2_build",
+    "novelty_rate",
 ]
 
 

@@ -191,3 +191,38 @@ def incremental_view_refresh(
         )
         .filter(F.col("n_rows") > 0)
     )
+
+
+def scd2_build(
+    changes: DataFrame,
+    key: str,
+    payload: str,
+    op_col: str = "op",
+    ts_col: str = "ts",
+    id_col: str = "change_id",
+) -> DataFrame:
+    """Type-2 slowly-changing dimension from a change log: one row per
+    VERSION — (key, payload, valid_from, valid_to, is_current). Every
+    upsert opens a version at its timestamp; the next change on the
+    same key (upsert or delete) closes it; deletes emit no row of
+    their own. ``(ts, change_id)`` is the total per-key order, so the
+    build is deterministic under exact-ts ties.
+
+    Scale shape: ONE key-partitioned lead() window over the change log
+    — the sort is bounded by each key's change-history length (version
+    counts, never fact-table rows), the standard SCD2 cost everywhere;
+    the op filter afterwards is row-local. No join, no second pass."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(ts_col, id_col)
+    return (
+        changes.withColumn("__next_ts", F.lead(ts_col).over(w))
+        .filter(F.col(op_col) == "upsert")
+        .select(
+            key,
+            F.col(payload).alias(payload),
+            F.col(ts_col).alias("valid_from"),
+            F.col("__next_ts").alias("valid_to"),
+            F.col("__next_ts").isNull().cast("long").alias("is_current"),
+        )
+    )

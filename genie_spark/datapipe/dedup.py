@@ -984,3 +984,50 @@ def incremental_lsh_matches(
             "best_est_jaccard",
         )
     )
+
+
+def ngram_novelty(
+    ref_docs: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """N-gram novelty audit of a candidate corpus slice against a
+    reference slice — the freshness number a data-acquisition pipeline
+    reports before paying to ingest a new crawl: per new document, how
+    many of its distinct 3-shingles were never seen in the reference
+    (doc_id, n_grams, n_novel, novelty_ppm).
+
+    Scale shape: reference grams DISTINCT once (partial-agg); the
+    membership test is ONE gram-keyed equi-join (both sides hash-
+    partition on the shingle — no broadcast assumption, the reference
+    is corpus-sized); per-doc tallies partial-aggregate. Short docs
+    contribute their whole text as one shingle (shingles_col), so every
+    doc gets a defined novelty."""
+    refg = (
+        ref_docs.select(
+            F.explode(shingles_col(F.col(text_col))).alias("g")
+        )
+        .distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    newg = new_docs.select(
+        F.col(id_col),
+        F.explode(shingles_col(F.col(text_col))).alias("g"),
+    )
+    per = (
+        newg.join(refg, "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("seen").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+    )
+    return per.select(
+        id_col,
+        "n_grams",
+        "n_novel",
+        F.expr("(n_novel * 1000000L) div n_grams").alias("novelty_ppm"),
+    )

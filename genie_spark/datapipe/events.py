@@ -297,3 +297,57 @@ def volume_anomaly(
             f" > {int(k_sigma2)} * greatest(_s2 div _c - (_s div _c) * (_s div _c), 1L)"
         ).alias("is_anomaly"),
     )
+
+
+def sequential_patterns(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Length-3 sequential-pattern support (PrefixSpan's 3-item tier,
+    existence semantics): for every type triple (a, b, c), how many
+    users' event streams contain an a, then a later b, then a later c
+    — (a, b, c, n_users, support_ppm). Order is the total (ts, id) key.
+
+    The cubic "all event triples" join never happens: existence of a
+    subsequence is equivalent to existence of the GREEDY-EARLIEST chain
+    (earliest a; earliest b after it; any c after that), so the plan is
+    three user-keyed stages whose intermediates are bounded by
+    users × |type domain|^k, k <= 2 — never by per-user event counts.
+    All three stages partial-aggregate min(struct(ts, id)); the final
+    support count is one groupBy over the users × types³-bounded
+    distinct set, and the user total broadcasts onto it."""
+    ev = events.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("t"),
+        F.struct(F.col(ts_col).alias("ts"), F.col(id_col).alias("i")).alias(
+            "k"
+        ),
+    )
+    fa = ev.groupBy("u", F.col("t").alias("a")).agg(F.min("k").alias("ka"))
+    fb = (
+        ev.join(fa, "u")
+        .filter(F.col("k") > F.col("ka"))
+        .groupBy("u", "a", F.col("t").alias("b"))
+        .agg(F.min("k").alias("kb"))
+    )
+    fc = (
+        ev.join(fb, "u")
+        .filter(F.col("k") > F.col("kb"))
+        .select("u", "a", "b", F.col("t").alias("c"))
+        .distinct()
+    )
+    nu = events.agg(
+        F.count_distinct(F.col(user_col)).cast("long").alias("n_total")
+    )
+    return (
+        fc.groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "a", "b", "c", "n_users",
+            F.expr("(n_users * 1000000L) div n_total").alias("support_ppm"),
+        )
+    )

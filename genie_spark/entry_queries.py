@@ -6762,6 +6762,39 @@ def retrieval_quality_q(spark, sf_dir):
     return retrieval_quality(bm, qrels, k=10, cut=5)
 
 
+_SEQPAT_SQL = """
+WITH ev AS (SELECT user_id AS u, event_type AS t, ts, event_id AS i
+            FROM events),
+fa AS (SELECT u, t AS a, min(struct_pack(ts := ts, i := i)) AS ka
+       FROM ev GROUP BY 1, 2),
+fb AS (SELECT ev.u, fa.a, ev.t AS b,
+              min(struct_pack(ts := ev.ts, i := ev.i)) AS kb
+       FROM ev JOIN fa ON fa.u = ev.u
+       WHERE struct_pack(ts := ev.ts, i := ev.i) > ka
+       GROUP BY 1, 2, 3),
+fc AS (SELECT DISTINCT ev.u, fb.a, fb.b, ev.t AS c
+       FROM ev JOIN fb ON fb.u = ev.u
+       WHERE struct_pack(ts := ev.ts, i := ev.i) > kb),
+nu AS (SELECT count(DISTINCT user_id)::BIGINT AS n_total FROM events)
+SELECT a, b, c, count(*)::BIGINT AS n_users,
+       ((count(*) * 1000000) // n_total)::BIGINT AS support_ppm
+FROM fc CROSS JOIN nu
+GROUP BY a, b, c, n_total
+"""
+
+
+@_register("event_seq_patterns", _SEQPAT_SQL)
+def event_seq_patterns_q(spark, sf_dir):
+    """Length-3 sequential-pattern user support over the event log —
+    PrefixSpan's 3-item tier with existence semantics, computed via
+    greedy-earliest chains (three user-keyed min(struct) stages bounded
+    by users × type-domain², never the cubic event-triple join)
+    (datapipe/events.py sequential_patterns)."""
+    from .datapipe.events import sequential_patterns
+
+    return sequential_patterns(_t(spark, sf_dir, "events"))
+
+
 _TRANSITIONS_SQL = """
 WITH seq AS (
   SELECT event_type AS from_type,
@@ -7340,6 +7373,102 @@ def ivm_refresh_q(spark, sf_dir):
 
     snap, chg = _ivm_inputs(spark, sf_dir)
     return incremental_view_refresh(snap, chg, "k", "grp", "val")
+
+
+_NOVELTY_SQL = f"""
+WITH {{shingles}},
+ref AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 2 = 0),
+newg AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 2 = 1),
+per AS (SELECT doc_id, count(*)::BIGINT AS n_grams,
+               sum(CASE WHEN ref.shingle IS NULL THEN 1 ELSE 0 END)::BIGINT
+                 AS n_novel
+        FROM newg LEFT JOIN ref ON ref.shingle = newg.shingle
+        GROUP BY 1)
+SELECT doc_id, n_grams, n_novel,
+       ((n_novel * 1000000) // n_grams)::BIGINT AS novelty_ppm
+FROM per
+""".format(shingles=_SHINGLES_SQL)
+
+
+@_register("novelty_rate", _NOVELTY_SQL)
+def novelty_rate_q(spark, sf_dir):
+    """Per-document n-gram novelty of the odd-id corpus half against
+    the even-id reference half — the ingest-freshness audit: distinct
+    reference shingles once, ONE gram-keyed equi-join membership test
+    (no broadcast assumption — the reference side is corpus-sized),
+    per-doc partial-agg tallies (datapipe/dedup.py ngram_novelty)."""
+    from .datapipe.dedup import ngram_novelty
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_novelty(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
+_SCD2_CHG_SQL = """
+chg2 AS (
+  SELECT o_orderkey AS k, 'upsert' AS op, 'V1-' || o_orderpriority AS pay,
+         o_orderdate AS ts, o_orderkey AS cid
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey, 'upsert', 'V2-' || o_orderstatus,
+         o_orderdate + INTERVAL 30 DAY, o_orderkey + 1000000
+  FROM orders WHERE o_orderkey % 6 = 0
+  UNION ALL
+  SELECT o_orderkey, 'delete', NULL,
+         o_orderdate + INTERVAL 60 DAY, o_orderkey + 2000000
+  FROM orders WHERE o_orderkey % 7 = 0)
+"""
+
+_SCD2_SQL = f"""
+WITH {_SCD2_CHG_SQL},
+led AS (SELECT k, op, pay, ts,
+               lead(ts) OVER (PARTITION BY k ORDER BY ts, cid) AS next_ts
+        FROM chg2)
+SELECT k, pay, ts AS valid_from, next_ts AS valid_to,
+       (next_ts IS NULL)::BIGINT AS is_current
+FROM led WHERE op = 'upsert'
+"""
+
+
+def _scd2_changes(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("upsert").alias("op"),
+        F.concat(F.lit("V1-"), F.col("o_orderpriority")).alias("pay"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("change_id"),
+    )
+    v2 = o.filter(F.col("o_orderkey") % 6 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("upsert").alias("op"),
+        F.concat(F.lit("V2-"), F.col("o_orderstatus")).alias("pay"),
+        F.expr("o_orderdate + INTERVAL 30 DAY").alias("ts"),
+        (F.col("o_orderkey") + 1000000).alias("change_id"),
+    )
+    dl = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("delete").alias("op"),
+        F.lit(None).cast("string").alias("pay"),
+        F.expr("o_orderdate + INTERVAL 60 DAY").alias("ts"),
+        (F.col("o_orderkey") + 2000000).alias("change_id"),
+    )
+    return v1.unionByName(v2).unionByName(dl)
+
+
+@_register("scd2_build", _SCD2_SQL)
+def scd2_build_q(spark, sf_dir):
+    """Type-2 slowly-changing dimension build: version rows with
+    [valid_from, valid_to) intervals from a multi-generation change
+    log (two upsert generations + deletes that close intervals) — one
+    key-partitioned lead() window bounded by per-key history length,
+    deterministic under ties via the (ts, change_id) total order
+    (datapipe/cdc.py scd2_build)."""
+    from .datapipe.cdc import scd2_build
+
+    return scd2_build(_scd2_changes(spark, sf_dir), "k", "pay")
 
 
 # --- training-sequence packing census -------------------------------------
