@@ -262,6 +262,8 @@ HEADLINE = [
     "event_seq_patterns",
     "scd2_build",
     "novelty_rate",
+    "scd2_lookup",
+    "vocab_growth",
 ]
 
 

@@ -226,3 +226,29 @@ def scd2_build(
             F.col("__next_ts").isNull().cast("long").alias("is_current"),
         )
     )
+
+
+def scd2_lookup(
+    dim: DataFrame,
+    probes: DataFrame,
+    key: str,
+    probe_ts: str = "probe_ts",
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time lookup against an SCD2 dimension: each probe
+    (key, probe_ts) picks the version whose [valid_from, valid_to)
+    interval contains the timestamp (open current version = null
+    valid_to). Returns probes joined with the matching version's
+    columns; probes falling in no interval (before the first version
+    or inside a deleted gap) drop — inner-join temporal semantics.
+
+    Scale shape: ONE key-partitioned equi-join (both sides hash on the
+    business key) + a row-local interval predicate; fan-out per probe
+    is bounded by versions-per-key, and SCD2 intervals are disjoint by
+    construction so each probe matches at most one version — no
+    dedup pass needed after the join."""
+    cond = (F.col(probe_ts) >= F.col(from_col)) & (
+        F.col(to_col).isNull() | (F.col(probe_ts) < F.col(to_col))
+    )
+    return probes.join(dim, key).filter(cond)

@@ -1031,3 +1031,46 @@ def ngram_novelty(
         "n_novel",
         F.expr("(n_novel * 1000000L) div n_grams").alias("novelty_ppm"),
     )
+
+
+def vocab_growth(
+    docs: DataFrame,
+    n_buckets: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law saturation) curve: how many NEW
+    distinct 3-shingles each successive corpus decile contributes, in
+    deterministic doc_id order — the saturation signal that tells an
+    acquisition pipeline when more of the same crawl stops adding
+    content: (decile, n_new_grams, cum_grams).
+
+    Scale shape: first occurrence per shingle is ONE partial-agg
+    min(doc_id) groupBy over the exploded grams; the decile label is a
+    row-local integer expression against the broadcast max-id; the
+    final cumulative window runs over n_buckets rows (a constant), so
+    its SinglePartition exchange is bucket-sized, never data-sized."""
+    from pyspark.sql import Window
+
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(shingles_col(F.col(text_col))).alias("g"),
+    )
+    fs = sh.groupBy("g").agg(F.min(id_col).cast("long").alias("first_doc"))
+    mx = docs.agg((F.max(id_col) + 1).cast("long").alias("m"))
+    dg = (
+        fs.crossJoin(F.broadcast(mx))
+        .select(
+            F.expr(f"(first_doc * {int(n_buckets)}L) div m").alias("decile")
+        )
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new_grams"))
+    )
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return dg.select(
+        "decile",
+        "n_new_grams",
+        F.sum("n_new_grams").over(w).cast("long").alias("cum_grams"),
+    )

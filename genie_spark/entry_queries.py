@@ -7406,6 +7406,30 @@ def novelty_rate_q(spark, sf_dir):
     )
 
 
+_VOCAB_GROWTH_SQL = f"""
+WITH {{shingles}},
+fs AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1),
+mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+dg AS (SELECT (first_doc * 10) // m AS decile, count(*)::BIGINT AS n_new
+       FROM fs CROSS JOIN mx GROUP BY 1)
+SELECT decile::BIGINT AS decile, n_new AS n_new_grams,
+       (sum(n_new) OVER (ORDER BY decile))::BIGINT AS cum_grams
+FROM dg
+""".format(shingles=_SHINGLES_SQL)
+
+
+@_register("vocab_growth", _VOCAB_GROWTH_SQL)
+def vocab_growth_q(spark, sf_dir):
+    """Heaps'-law vocabulary-saturation curve: new distinct 3-shingles
+    contributed by each corpus decile (deterministic doc_id order) plus
+    the cumulative count — one partial-agg first-occurrence groupBy, a
+    row-local decile label against the broadcast max id, and a
+    bucket-sized cumulative window (datapipe/dedup.py vocab_growth)."""
+    from .datapipe.dedup import vocab_growth
+
+    return vocab_growth(_t(spark, sf_dir, "documents"))
+
+
 _SCD2_CHG_SQL = """
 chg2 AS (
   SELECT o_orderkey AS k, 'upsert' AS op, 'V1-' || o_orderpriority AS pay,
@@ -7469,6 +7493,46 @@ def scd2_build_q(spark, sf_dir):
     from .datapipe.cdc import scd2_build
 
     return scd2_build(_scd2_changes(spark, sf_dir), "k", "pay")
+
+
+@_register(
+    "scd2_lookup",
+    f"""
+WITH {_SCD2_CHG_SQL},
+led AS (SELECT k, op, pay, ts,
+               lead(ts) OVER (PARTITION BY k ORDER BY ts, cid) AS next_ts
+        FROM chg2),
+dim AS (SELECT k, pay, ts AS valid_from, next_ts AS valid_to
+        FROM led WHERE op = 'upsert'),
+pr AS (SELECT o_orderkey AS k, o_orderdate + INTERVAL 45 DAY AS probe_ts
+       FROM orders WHERE o_orderkey % 3 = 0)
+SELECT pr.k, probe_ts, pay, valid_from, valid_to
+FROM pr JOIN dim ON dim.k = pr.k
+WHERE probe_ts >= valid_from
+  AND (valid_to IS NULL OR probe_ts < valid_to)
+""",
+)
+def scd2_lookup_q(spark, sf_dir):
+    """Point-in-time lookup against the SCD2 dimension: each probe
+    (key, ts at +45 days) lands in exactly one version's
+    [valid_from, valid_to) interval — probes whose key's generation-2
+    upsert already superseded v1 resolve to v2; probes after a delete
+    (gap) drop. One key-partitioned equi-join + row-local interval
+    predicate; SCD2 disjointness means no post-join dedup
+    (datapipe/cdc.py scd2_lookup, scd2_build)."""
+    from .datapipe.cdc import scd2_build, scd2_lookup
+
+    dim = scd2_build(_scd2_changes(spark, sf_dir), "k", "pay").drop(
+        "is_current"
+    )
+    o = _t(spark, sf_dir, "orders")
+    probes = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.expr("o_orderdate + INTERVAL 45 DAY").alias("probe_ts"),
+    )
+    return scd2_lookup(dim, probes, "k").select(
+        "k", "probe_ts", "pay", "valid_from", "valid_to"
+    )
 
 
 # --- training-sequence packing census -------------------------------------
