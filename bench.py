@@ -264,6 +264,8 @@ HEADLINE = [
     "novelty_rate",
     "scd2_lookup",
     "vocab_growth",
+    "class_term_lift",
+    "rank_normalize",
 ]
 
 

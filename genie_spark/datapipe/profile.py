@@ -180,3 +180,49 @@ def mad_outliers(
             "mad",
         )
     )
+
+
+def rank_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-group percent-rank normalization (the quantile-feature
+    transform): each row's value maps to the fraction of its group
+    strictly below it, integer ppm — (group, id, value, pct_ppm) with
+    ``pct_ppm = strictly_below · 1e6 div max(n − 1, 1)`` (ties share a
+    rank; min 0, max 1e6).
+
+    Scale shape: the ranking window runs over the (group, value)
+    CENSUS — bounded by the per-group value domain, never row counts —
+    and the census joins back onto the fact scan on (group, value) with
+    the group totals broadcast; the raw rows are never sorted."""
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("long")
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("id"),
+        v.alias("value"),
+    )
+    cen = base.groupBy("grp", "value").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    w = Window.partitionBy("grp").orderBy("value")
+    cen = cen.withColumn(
+        "__below", F.sum("__c").over(w) - F.col("__c")
+    )
+    tot = cen.groupBy("grp").agg(F.sum("__c").cast("long").alias("__n"))
+    return (
+        base.join(cen.select("grp", "value", "__below"), ["grp", "value"])
+        .join(F.broadcast(tot), "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("id").alias(id_col),
+            "value",
+            F.expr(
+                "(__below * 1000000L) div greatest(__n - 1L, 1L)"
+            ).alias("pct_ppm"),
+        )
+    )

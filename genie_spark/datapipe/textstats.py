@@ -1081,3 +1081,63 @@ def retrieval_quality(
             f" cast(least(n_rel, {int(k)}L) as int))"
         ).alias("ndcg_ppm"),
     )
+
+
+def class_term_lift(
+    docs: DataFrame,
+    class_col: str,
+    min_df: int = 5,
+    top_k: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Discriminative vocabulary per class: for each (class, term), the
+    lift of the term's in-class rate over its corpus rate, integer ppm
+    — ``lift = (tf_c / n_c) / (tf / n)`` computed as the shared
+    two-step floor ``((tf_c * 1e6) div tf) * n div n_c`` so every
+    intermediate stays inside signed-64 at any corpus size. Returns the
+    ``top_k`` terms per class by (lift desc, term asc) among terms with
+    corpus df >= ``min_df``: (cls, t, tf_c, tf, lift_ppm, rank).
+
+    Scale shape: ONE corpus explosion feeds both the (class, term) and
+    the term census (partial-agg groupBys); token totals are two tiny
+    aggregates broadcast back; the ranking window partitions by class
+    over the min-df-cut (class × vocab)-bounded census — never raw
+    token rows."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(class_col).alias("cls"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), " "),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("t"),
+    )
+    ct = toks.groupBy("cls", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("tf_c")
+    )
+    tt = ct.groupBy("t").agg(F.sum("tf_c").cast("long").alias("tf")).filter(
+        F.col("tf") >= int(min_df)
+    )
+    nc = ct.groupBy("cls").agg(F.sum("tf_c").cast("long").alias("n_c"))
+    na = tt.agg(F.sum("tf").cast("long").alias("n_all"))
+    win = Window.partitionBy("cls").orderBy(
+        F.desc("lift_ppm"), F.asc("t")
+    )
+    return (
+        ct.join(tt, "t")
+        .join(F.broadcast(nc), "cls")
+        .crossJoin(F.broadcast(na))
+        .select(
+            "cls",
+            "t",
+            "tf_c",
+            "tf",
+            F.expr(
+                "((tf_c * 1000000L) div tf) * n_all div n_c"
+            ).alias("lift_ppm"),
+        )
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= int(top_k))
+    )

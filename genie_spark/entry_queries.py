@@ -7375,6 +7375,42 @@ def ivm_refresh_q(spark, sf_dir):
     return incremental_view_refresh(snap, chg, "k", "grp", "val")
 
 
+_TERM_LIFT_SQL = """
+WITH tw AS (
+  SELECT lang AS cls,
+         unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS t
+  FROM documents),
+ct AS (SELECT cls, t, count(*)::BIGINT AS tf_c FROM tw GROUP BY 1, 2),
+tt AS (SELECT t, sum(tf_c)::BIGINT AS tf FROM ct GROUP BY 1
+       HAVING sum(tf_c) >= 5),
+nc AS (SELECT cls, sum(tf_c)::BIGINT AS n_c FROM ct GROUP BY 1),
+na AS (SELECT sum(tf)::BIGINT AS n_all FROM tt),
+lf AS (SELECT ct.cls, ct.t, tf_c, tf,
+              (((tf_c * 1000000) // tf) * n_all // n_c)::BIGINT AS lift_ppm
+       FROM ct JOIN tt ON tt.t = ct.t
+       JOIN nc ON nc.cls = ct.cls
+       CROSS JOIN na),
+rk AS (SELECT *, row_number() OVER (PARTITION BY cls
+                                    ORDER BY lift_ppm DESC, t ASC) AS rank
+       FROM lf)
+SELECT cls, t, tf_c, tf, lift_ppm, rank FROM rk WHERE rank <= 10
+"""
+
+
+@_register("class_term_lift", _TERM_LIFT_SQL)
+def class_term_lift_q(spark, sf_dir):
+    """Discriminative vocabulary per language class: top-10 terms per
+    class by in-class-rate / corpus-rate lift (integer ppm, two-step
+    floor), min corpus df 5. One corpus explosion feeds both censuses;
+    the ranking window runs over the (class × vocab)-bounded term
+    census (datapipe/textstats.py class_term_lift)."""
+    from .datapipe.textstats import class_term_lift
+
+    return class_term_lift(
+        _t(spark, sf_dir, "documents"), "lang", min_df=5, top_k=10
+    )
+
+
 _NOVELTY_SQL = f"""
 WITH {{shingles}},
 ref AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 2 = 0),
@@ -7786,6 +7822,35 @@ def mad_outliers_q(spark, sf_dir):
 
     return mad_outliers(
         _t(spark, sf_dir, "documents"), "source", "n_chars", "doc_id", k=3
+    )
+
+
+_RANKNORM_SQL = """
+WITH cen AS (SELECT source, n_chars AS v, count(*)::BIGINT AS c
+             FROM documents GROUP BY 1, 2),
+cum AS (SELECT source, v, c,
+               sum(c) OVER (PARTITION BY source ORDER BY v) - c AS below
+        FROM cen),
+tot AS (SELECT source, sum(c)::BIGINT AS n FROM cen GROUP BY 1)
+SELECT d.source, d.doc_id, d.n_chars::BIGINT AS value,
+       ((below * 1000000) // greatest(n - 1, 1))::BIGINT AS pct_ppm
+FROM documents d
+JOIN cum ON cum.source = d.source AND cum.v = d.n_chars
+JOIN tot ON tot.source = d.source
+"""
+
+
+@_register("rank_normalize", _RANKNORM_SQL)
+def rank_normalize_q(spark, sf_dir):
+    """Per-source percent-rank normalization of document lengths — the
+    quantile-feature transform, integer ppm with shared ties. The
+    ranking window runs over the per-source VALUE CENSUS (domain-
+    bounded, skew-safe) and joins back onto the scan; raw rows are
+    never sorted (datapipe/profile.py rank_normalize)."""
+    from .datapipe.profile import rank_normalize
+
+    return rank_normalize(
+        _t(spark, sf_dir, "documents"), "source", "n_chars", "doc_id"
     )
 
 
