@@ -266,6 +266,8 @@ HEADLINE = [
     "vocab_growth",
     "class_term_lift",
     "rank_normalize",
+    "source_mix_weights",
+    "dedup_threshold_sweep",
 ]
 
 

@@ -651,3 +651,41 @@ SELECT seq_id::BIGINT AS seq_id, count(*)::BIGINT AS n_docs_started,
        sum(n)::BIGINT AS n_tokens_started, sum(x)::BIGINT AS n_crossing
 FROM d GROUP BY 1
 """
+
+
+def source_mix_weights(
+    docs: DataFrame,
+    group_col: str = "source",
+) -> DataFrame:
+    """Temperature-based mixture reweighting across sources (the
+    multilingual/multi-domain sampling trick — weights ∝ n^α flattens
+    the head so small sources are not drowned): α = 1/2, kept
+    integer-exact because ``floor(sqrt(n))`` of a signed-64 count is
+    the correctly-rounded IEEE value in both engines — no float enters
+    the SHARE arithmetic. Returns one row per source: (source, n_docs,
+    w = floor(sqrt(n_docs)), weight_ppm = w·1e6 div Σw, upsample_ppm =
+    the per-doc sampling multiplier weight_ppm·N div (n_docs·1e6)
+    scaled ppm — i.e. how much each source's documents are over/under-
+    sampled relative to uniform).
+
+    Scale shape: one partial-agg count per source (source-domain-
+    bounded), one broadcast total — the whole operator is
+    dimension-sized."""
+    cnt = docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    ).withColumn(
+        "w", F.expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)")
+    )
+    tot = cnt.agg(
+        F.sum("w").cast("long").alias("sw"),
+        F.sum("n_docs").cast("long").alias("nt"),
+    )
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "n_docs",
+        "w",
+        F.expr("(w * 1000000L) div sw").alias("weight_ppm"),
+        F.expr("((w * 1000000L) div sw) * nt div n_docs").alias(
+            "upsample_ppm"
+        ),
+    )

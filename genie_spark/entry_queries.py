@@ -1434,6 +1434,78 @@ def dedup_cluster_sizes(spark, sf_dir):
     )
 
 
+_MIX_SQL = """
+WITH cnt AS (SELECT source, count(*)::BIGINT AS n_docs
+             FROM documents GROUP BY 1),
+cw AS (SELECT source, n_docs, CAST(floor(sqrt(n_docs)) AS BIGINT) AS w
+       FROM cnt),
+tot AS (SELECT sum(w)::BIGINT AS sw, sum(n_docs)::BIGINT AS nt FROM cw)
+SELECT source, n_docs, w,
+       ((w * 1000000) // sw)::BIGINT AS weight_ppm,
+       (((w * 1000000) // sw) * nt // n_docs)::BIGINT AS upsample_ppm
+FROM cw CROSS JOIN tot
+"""
+
+
+@_register("source_mix_weights", _MIX_SQL)
+def source_mix_weights_q(spark, sf_dir):
+    """Temperature-based source mixture reweighting (weights ∝ n^0.5 —
+    the head-flattening sampling trick for multi-domain corpora),
+    integer-exact because floor(sqrt(bigint)) is the correctly-rounded
+    IEEE value in both engines; per-source share and relative
+    over/under-sampling multiplier in ppm. Entirely dimension-sized:
+    one per-source count + one broadcast total
+    (datapipe/sampling.py source_mix_weights)."""
+    from .datapipe.sampling import source_mix_weights
+
+    return source_mix_weights(_t(spark, sf_dir, "documents"), "source")
+
+
+_SWEEP_PPM = [250000, 500000, 625000, 750000, 875000, 1000000]
+
+
+def _dedup_sweep_sql() -> str:
+    lits = ", ".join(str(t) for t in _SWEEP_PPM)
+    return (
+        f"WITH {_minhash_chain_sql('documents')},\n"
+        f"""th AS (SELECT unnest([{lits}]) AS t_ppm)
+SELECT t_ppm::BIGINT AS t_ppm, count(*)::BIGINT AS n_pairs
+FROM th JOIN est ON ej >= t_ppm / 1000000.0
+GROUP BY 1
+"""
+    )
+
+
+@_register("dedup_threshold_sweep", None)
+def dedup_threshold_sweep_q(spark, sf_dir):
+    """Threshold-sensitivity sweep for the MinHash near-dup tier: pair
+    counts at six Jaccard cut points from ONE candidate generation —
+    the tuning audit run before committing a dedup threshold at scale
+    (signatures, banding, and the estimate join are paid once; the
+    sweep itself is a tiny explode + filter over the already-LSH-
+    bounded candidate pairs). Thresholds are multiples of 1/16 = the
+    signature granularity, so every comparison is float-exact in both
+    engines (datapipe/dedup.py minhash_jaccard_pairs at threshold 0)."""
+    from .datapipe.dedup import minhash_jaccard_pairs
+
+    est = minhash_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=_MINHASH_N, bands=_MINHASH_BANDS, threshold=0.0,
+    )
+    th = F.explode(
+        F.expr("array(" + ", ".join(f"{t}L" for t in _SWEEP_PPM) + ")")
+    ).alias("t_ppm")
+    return (
+        est.select("est_jaccard", th)
+        .filter(F.col("est_jaccard") >= F.col("t_ppm") / F.lit(1000000.0))
+        .groupBy("t_ppm")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+ORACLES["dedup_threshold_sweep"] = _dedup_sweep_sql()
+
+
 def _leak_split_cuts():
     from .datapipe.sampling import split_thresholds
 
