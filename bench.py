@@ -268,6 +268,8 @@ HEADLINE = [
     "rank_normalize",
     "source_mix_weights",
     "dedup_threshold_sweep",
+    "winsorized_stats",
+    "target_encode",
 ]
 
 

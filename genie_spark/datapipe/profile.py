@@ -226,3 +226,108 @@ def rank_normalize(
             ).alias("pct_ppm"),
         )
     )
+
+
+def _disc_percentile(
+    df: DataFrame, grp: str, vcol: str, p_pct: int, out: str
+) -> DataFrame:
+    """Exact per-group discrete percentile (percentile_disc(p):
+    smallest value whose cumulative count reaches p% — the integer rule
+    ``100·cum >= p·n`` shared with the SQL twin). Census-windowed like
+    :func:`_disc_median` (which is the p=50 special case)."""
+    from pyspark.sql import Window
+
+    cen = df.groupBy(grp, vcol).agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    tot = cen.groupBy(grp).agg(F.sum("__c").cast("long").alias("__n"))
+    w = Window.partitionBy(grp).orderBy(vcol)
+    cum = cen.withColumn("__cum", F.sum("__c").over(w))
+    return (
+        cum.join(tot, grp)
+        .filter(100 * F.col("__cum") >= int(p_pct) * F.col("__n"))
+        .groupBy(grp)
+        .agg(F.min(vcol).cast("long").alias(out))
+    )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo_pct: int = 10,
+    hi_pct: int = 90,
+) -> DataFrame:
+    """Per-group winsorized summary: exact census p_lo/p_hi cut values
+    and the mean after clipping every value into [p_lo, p_hi] — the
+    robust location estimate that tolerates heavy crawl-data tails
+    without discarding rows. Returns (group, n, p_lo, p_hi, wins_mean),
+    integer-exact (mean = integer div).
+
+    Scale shape: two census disc-percentiles (domain-bounded windows),
+    broadcast cut values back onto the scan, one row-local clip + one
+    partial-agg sum — the raw rows never sort."""
+    v = F.col(value_col).cast("long")
+    base = df.select(F.col(group_col).alias("grp"), v.alias("value"))
+    lo = _disc_percentile(base, "grp", "value", lo_pct, "p_lo")
+    hi = _disc_percentile(base, "grp", "value", hi_pct, "p_hi")
+    cuts = lo.join(hi, "grp")
+    return (
+        base.join(F.broadcast(cuts), "grp")
+        .select(
+            "grp",
+            "p_lo",
+            "p_hi",
+            F.least(F.greatest(F.col("value"), F.col("p_lo")),
+                    F.col("p_hi")).alias("cv"),
+        )
+        .groupBy("grp", "p_lo", "p_hi")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cv").cast("long").alias("__s"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n",
+            "p_lo",
+            "p_hi",
+            F.expr("__s div n").alias("wins_mean"),
+        )
+    )
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col,
+    smoothing: int = 10,
+) -> DataFrame:
+    """Smoothed target encoding of a categorical column (the classic
+    high-cardinality-feature trick): per category,
+    ``enc = (Σy + m·prior) / (n + m)`` with the global rate as prior —
+    integer-exact in ppm via ``(Σy·1e6 + m·prior_ppm) div (n + m)``.
+    Returns (category, n, sum_y, prior_ppm, enc_ppm).
+
+    Scale shape: one partial-agg groupBy to the category census plus
+    one broadcast global rate — never a second pass over the rows; the
+    smoothing keeps rare categories from memorizing their few labels
+    (the leakage-control knob)."""
+    y = target_col if not isinstance(target_col, str) else F.col(target_col)
+    base = df.select(F.col(cat_col).alias("cat"), y.cast("long").alias("y"))
+    cen = base.groupBy("cat").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sum_y"),
+    )
+    g = base.agg(
+        F.expr("(sum(y) * 1000000L) div count(1)").alias("prior_ppm")
+    )
+    m = int(smoothing)
+    return cen.crossJoin(F.broadcast(g)).select(
+        F.col("cat").alias(cat_col),
+        "n",
+        "sum_y",
+        "prior_ppm",
+        F.expr(
+            f"(sum_y * 1000000L + {m}L * prior_ppm) div (n + {m}L)"
+        ).alias("enc_ppm"),
+    )

@@ -7926,6 +7926,76 @@ def rank_normalize_q(spark, sf_dir):
     )
 
 
+_WINSOR_SQL = """
+WITH cen AS (SELECT source, n_chars AS v, count(*)::BIGINT AS c
+             FROM documents GROUP BY 1, 2),
+tot AS (SELECT source, sum(c)::BIGINT AS n FROM cen GROUP BY 1),
+cum AS (SELECT source, v, c,
+               sum(c) OVER (PARTITION BY source ORDER BY v) AS cum
+        FROM cen),
+lo AS (SELECT cum.source, min(v)::BIGINT AS p_lo
+       FROM cum JOIN tot ON tot.source = cum.source
+       WHERE 100 * cum >= 10 * n GROUP BY 1),
+hi AS (SELECT cum.source, min(v)::BIGINT AS p_hi
+       FROM cum JOIN tot ON tot.source = cum.source
+       WHERE 100 * cum >= 90 * n GROUP BY 1),
+cl AS (SELECT d.source, lo.p_lo, hi.p_hi,
+              least(greatest(d.n_chars, p_lo), p_hi) AS cv
+       FROM documents d
+       JOIN lo ON lo.source = d.source
+       JOIN hi ON hi.source = d.source)
+SELECT source, count(*)::BIGINT AS n, p_lo, p_hi,
+       (sum(cv) // count(*))::BIGINT AS wins_mean
+FROM cl GROUP BY source, p_lo, p_hi
+"""
+
+
+@_register("winsorized_stats", _WINSOR_SQL)
+def winsorized_stats_q(spark, sf_dir):
+    """Per-source winsorized length summary: exact census p10/p90 cut
+    values + the clipped mean — the heavy-tail-tolerant location
+    estimate; two domain-bounded census percentiles, broadcast cuts,
+    one row-local clip + partial-agg sum
+    (datapipe/profile.py winsorized_stats, _disc_percentile)."""
+    from .datapipe.profile import winsorized_stats
+
+    return winsorized_stats(
+        _t(spark, sf_dir, "documents"), "source", "n_chars",
+        lo_pct=10, hi_pct=90,
+    )
+
+
+_TENC_SQL = """
+WITH base AS (SELECT o_orderpriority AS cat,
+                     CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+              FROM orders),
+cen AS (SELECT cat, count(*)::BIGINT AS n, sum(y)::BIGINT AS sum_y
+        FROM base GROUP BY 1),
+g AS (SELECT ((sum(y) * 1000000) // count(*))::BIGINT AS prior_ppm
+      FROM base)
+SELECT cat AS o_orderpriority, n, sum_y, prior_ppm,
+       ((sum_y * 1000000 + 10 * prior_ppm) // (n + 10))::BIGINT AS enc_ppm
+FROM cen CROSS JOIN g
+"""
+
+
+@_register("target_encode", _TENC_SQL)
+def target_encode_q(spark, sf_dir):
+    """Smoothed target encoding of order priority against the
+    fulfilled-order label: per-category (Σy·1e6 + m·prior_ppm)/(n+m)
+    with m = 10 and the broadcast global rate as prior — one category
+    census + one global aggregate, integer ppm
+    (datapipe/profile.py target_encode)."""
+    from .datapipe.profile import target_encode
+
+    o = _t(spark, sf_dir, "orders")
+    return target_encode(
+        o, "o_orderpriority",
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0),
+        smoothing=10,
+    )
+
+
 _AUC_SQL = """
 WITH s AS (
   SELECT l_returnflag AS grp,
