@@ -270,6 +270,8 @@ HEADLINE = [
     "dedup_threshold_sweep",
     "winsorized_stats",
     "target_encode",
+    "hard_negatives",
+    "gate_ablation",
 ]
 
 

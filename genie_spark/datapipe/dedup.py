@@ -1074,3 +1074,63 @@ def vocab_growth(
         "n_new_grams",
         F.sum("n_new_grams").over(w).cast("long").alias("cum_grams"),
     )
+
+
+def hard_negative_pairs(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    n_planes: int = 4,
+    threshold: float = 0.3,
+    seed: int = 42,
+    dim: int = None,
+) -> DataFrame:
+    """Hard-negative mining for embedding/contrastive training: pairs
+    that LOOK alike (cosine >= threshold, found via the same
+    deterministic hyperplane-LSH blocking as the near-dup tier) but
+    carry DIFFERENT labels — exactly the pairs a metric-learning loss
+    needs most. Returns (id_a, id_b, label_a, label_b, cosine).
+
+    Scale shape: identical to embedding_neardup_lsh_pairs (bucketed
+    all-pairs bounded by 2^n_planes blocking), plus one row-local label
+    inequality — the label ride-along costs nothing."""
+    from .similarity import _vec_dim, hyperplane_bucket_col, hyperplanes
+
+    planes = hyperplanes(n_planes, _vec_dim(emb, vec_col, dim), seed)
+    v = F.col(vec_col)
+    norm = F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)
+    )
+    base = emb.select(
+        F.col(id_col),
+        F.col(label_col).alias("_lbl"),
+        hyperplane_bucket_col(v, planes).alias("_blk"),
+        v.alias("_v"),
+        norm.alias("_n"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("a._v"), F.col("b._v"), lambda x, y: x.cast("double") * y
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("a._n") * F.col("b._n"))
+    return (
+        a.join(
+            b,
+            (F.col("a._blk") == F.col("b._blk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(cos >= F.lit(float(threshold)))
+        .filter(F.col("a._lbl") != F.col("b._lbl"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a._lbl").alias("label_a"),
+            F.col("b._lbl").alias("label_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+    )

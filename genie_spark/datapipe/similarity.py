@@ -1471,3 +1471,26 @@ SELECT q.qid, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
        (coalesce(h.n_hits, 0) * 1000000 // {k})::BIGINT AS recall_ppm
 FROM re_q q LEFT JOIN re_hit h ON q.qid = h.qid
 """
+
+
+def hard_negatives_lsh_sql(
+    n_planes: int, dim: int, threshold: float, seed: int = 42
+) -> str:
+    """DuckDB twin of dedup.hard_negative_pairs: the
+    embedding_neardup_lsh chain plus the label-inequality predicate."""
+    planes = hyperplanes(n_planes, dim, seed)
+    return f"""
+WITH base AS (
+  SELECT vec_id, label,
+         ({_bucket_expr_sql(planes)})::BIGINT AS bucket,
+         list_transform(embedding, x -> x::DOUBLE) AS v,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS n
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       a.label AS label_a, b.label AS label_b,
+       round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) / (a.n * b.n), 6) AS cosine
+FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) / (a.n * b.n) >= {threshold}
+  AND a.label <> b.label
+"""

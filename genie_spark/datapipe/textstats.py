@@ -1141,3 +1141,53 @@ def class_term_lift(
         .withColumn("rank", F.row_number().over(win))
         .filter(F.col("rank") <= int(top_k))
     )
+
+
+GATE_CHECKS = [
+    "too_short", "too_long", "high_punct",
+    "low_stopword", "top_word", "dup_3gram",
+]
+
+
+def gate_ablation(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-filter ablation of the quality gate — the diagnostics a
+    curation run reports to justify each check: for every gate
+    criterion, how many docs trip it at all (n_failed) and how many
+    trip ONLY it (n_failed_only = docs this single check removes — its
+    marginal contribution), both in ppm of the corpus.
+
+    Scale shape: the gate features are computed once (row-local, one
+    scan); the 6-check fan-out is a constant-size explode; the tally is
+    one partial-agg groupBy over 6 groups with the corpus total
+    broadcast. Membership tests split fail_reasons on ';' — exact, no
+    substring aliasing between check names."""
+    qg = quality_gate(docs, text_col=text_col, id_col=id_col).select(
+        "fail_reasons"
+    )
+    tot = qg.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    lits = ", ".join(f"'{c}'" for c in GATE_CHECKS)
+    j = qg.select(
+        "fail_reasons", F.explode(F.expr(f"array({lits})")).alias("chk")
+    )
+    per = j.groupBy("chk").agg(
+        F.sum(
+            F.when(
+                F.array_contains(F.split("fail_reasons", ";"), F.col("chk")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_failed"),
+        F.sum(
+            F.when(F.col("fail_reasons") == F.col("chk"), 1).otherwise(0)
+        ).cast("long").alias("n_failed_only"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "chk",
+        "n_failed",
+        "n_failed_only",
+        F.expr("(n_failed * 1000000L) div n_total").alias("failed_ppm"),
+        F.expr("(n_failed_only * 1000000L) div n_total").alias(
+            "marginal_ppm"
+        ),
+    )

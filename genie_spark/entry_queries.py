@@ -1348,6 +1348,29 @@ def embedding_neardup_lsh(spark, sf_dir):
     )
 
 
+@_register("hard_negatives", None)
+def hard_negatives_q(spark, sf_dir):
+    """Hard-negative mining for contrastive/embedding training:
+    same-LSH-bucket pairs with cosine >= 0.3 but DIFFERENT labels —
+    the pairs a metric-learning loss needs most. Same corpus-safe
+    blocking as the embedding near-dup tier; the label predicate is a
+    free ride-along (datapipe/dedup.py hard_negative_pairs)."""
+    from .datapipe.dedup import hard_negative_pairs
+
+    return hard_negative_pairs(
+        _t(spark, sf_dir, "embeddings"), n_planes=4, threshold=0.3,
+        dim=len(ANN_QUERY),
+    )
+
+
+def _install_hard_negatives_oracle():
+    from .datapipe.similarity import hard_negatives_lsh_sql
+
+    ORACLES["hard_negatives"] = hard_negatives_lsh_sql(
+        n_planes=4, dim=len(ANN_QUERY), threshold=0.3
+    )
+
+
 @_register("dedup_semantic", None)
 def dedup_semantic(spark, sf_dir):
     """SemDeDup (arXiv:2303.09540) as a Spark plan: hash-seeded
@@ -2524,6 +2547,7 @@ def _install_ann_oracles():
 
 
 _install_ann_oracles()
+_install_hard_negatives_oracle()
 
 
 # -- text analysis ----------------------------------------------------------------
@@ -3613,6 +3637,41 @@ SELECT doc_id::BIGINT AS doc_id, n_words::BIGINT AS n_words, quality_score,
        top_word_frac, dup_3gram_frac, fail_reasons, passed
 FROM gatej
 """
+
+
+def _gate_ablation_sql() -> str:
+    from .datapipe.textstats import GATE_CHECKS
+
+    lits = ", ".join(f"'{c}'" for c in GATE_CHECKS)
+    return f"""
+WITH {_gate_chain_sql('documents')},
+ck AS (SELECT unnest([{lits}]) AS chk),
+tot AS (SELECT count(*)::BIGINT AS n_total FROM gatej)
+SELECT chk,
+       sum(CASE WHEN list_contains(string_split(fail_reasons, ';'), chk)
+                THEN 1 ELSE 0 END)::BIGINT AS n_failed,
+       sum(CASE WHEN fail_reasons = chk THEN 1 ELSE 0 END)::BIGINT
+         AS n_failed_only,
+       ((sum(CASE WHEN list_contains(string_split(fail_reasons, ';'), chk)
+                  THEN 1 ELSE 0 END) * 1000000) // n_total)::BIGINT
+         AS failed_ppm,
+       ((sum(CASE WHEN fail_reasons = chk THEN 1 ELSE 0 END) * 1000000)
+        // n_total)::BIGINT AS marginal_ppm
+FROM gatej CROSS JOIN ck CROSS JOIN tot
+GROUP BY chk, n_total
+"""
+
+
+@_register("gate_ablation", _gate_ablation_sql())
+def gate_ablation_q(spark, sf_dir):
+    """Per-filter ablation of the quality gate: docs each criterion
+    trips at all vs trips ALONE (its marginal removal), ppm of corpus —
+    the evidence for keeping or dropping each check. Features computed
+    once row-local; constant 6-way explode; one 6-group aggregate
+    (datapipe/textstats.py gate_ablation)."""
+    from .datapipe.textstats import gate_ablation
+
+    return gate_ablation(_t(spark, sf_dir, "documents"))
 
 
 @_register("quality_gate", _GATE_ORACLE)
