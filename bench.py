@@ -272,6 +272,9 @@ HEADLINE = [
     "target_encode",
     "hard_negatives",
     "gate_ablation",
+    "ks_drift",
+    "label_balance",
+    "fd_violations",
 ]
 
 

@@ -331,3 +331,136 @@ def target_encode(
             f"(sum_y * 1000000L + {m}L * prior_ppm) div (n + {m}L)"
         ).alias("enc_ppm"),
     )
+
+
+def ks_drift(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic between two slices
+    of a metric, integer-exact: D = max over the merged value census of
+    |cdf_a − cdf_b|, reported as (n_a, n_b, d_ppm, at_value) where
+    ``at_value`` is the smallest value attaining the max (deterministic
+    argmax). The cleared form compares ``|cum_a·n_b − cum_b·n_a|``, so
+    no float cdf enters either engine; the ppm scale divides the
+    denominator first (signed-64-safe at ~3e9×3e9 rows).
+
+    Scale shape: per-side counts collapse to ONE merged (value, c_a,
+    c_b) census (partial-agg); the cumulative window runs over the
+    census, bounded by the value DOMAIN; the final argmax is a 1-row
+    aggregate. The raw rows never sort."""
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("long")
+    ca = a.select(v.alias("value")).groupBy("value").agg(
+        F.count(F.lit(1)).cast("long").alias("c_a")
+    )
+    cb = b.select(v.alias("value")).groupBy("value").agg(
+        F.count(F.lit(1)).cast("long").alias("c_b")
+    )
+    z = F.lit(0).cast("long")
+    cen = ca.join(cb, "value", "full_outer").select(
+        "value",
+        F.coalesce("c_a", z).alias("c_a"),
+        F.coalesce("c_b", z).alias("c_b"),
+    )
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cen.select(
+        "value",
+        F.sum("c_a").over(w).alias("cum_a"),
+        F.sum("c_b").over(w).alias("cum_b"),
+    )
+    tot = cen.agg(
+        F.sum("c_a").cast("long").alias("n_a"),
+        F.sum("c_b").cast("long").alias("n_b"),
+    )
+    d = cum.crossJoin(F.broadcast(tot)).select(
+        "value", "n_a", "n_b",
+        F.abs(
+            F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+        ).alias("diff"),
+    )
+    mx = d.agg(F.max("diff").alias("max_diff"))
+    return (
+        d.join(F.broadcast(mx), F.col("diff") == F.col("max_diff"))
+        .groupBy("n_a", "n_b", "max_diff")
+        .agg(F.min("value").alias("at_value"))
+        .select(
+            "n_a",
+            "n_b",
+            F.expr(
+                "max_diff div greatest((n_a * n_b) div 1000000L, 1L)"
+            ).alias("d_ppm"),
+            "at_value",
+        )
+    )
+
+
+def label_balance(
+    df: DataFrame,
+    group_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Per-group label-balance audit via the Simpson diversity index
+    (1 − Σ share², the collision probability complement — the
+    entropy-free diversity number, integer-exact): (group, n, n_labels,
+    top_share_ppm, simpson_ppm). ``Σ share²`` is computed as
+    ``Σ c_i² · 1e6 div n²`` with the denominator shift shared with the
+    twin. One (group, label) census + one group aggregate — both
+    domain-bounded partial aggregations."""
+    cen = df.groupBy(
+        F.col(group_col).alias("grp"), F.col(label_col).alias("lbl")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return (
+        cen.groupBy("grp")
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("n_labels"),
+            F.max("c").cast("long").alias("top_c"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n",
+            "n_labels",
+            F.expr("(top_c * 1000000L) div n").alias("top_share_ppm"),
+            F.expr(
+                "1000000L - ss div greatest((n * n) div 1000000L, 1L)"
+            ).alias("simpson_ppm"),
+        )
+    )
+
+
+def fd_violations(
+    df: DataFrame,
+    determinant: str,
+    dependent: str,
+    fd_name: str,
+) -> DataFrame:
+    """Functional-dependency discovery audit (the data-profiling
+    primitive behind key detection and normalization advice): does
+    ``determinant → dependent`` hold? One row:
+    (fd, n_groups, n_violating, violation_ppm) where a violating group
+    is a determinant value mapped to more than one distinct dependent
+    value. ONE partial-agg groupBy bounded by the determinant domain +
+    a 1-row aggregate — never a self-join."""
+    g = df.groupBy(F.col(determinant).alias("d")).agg(
+        F.count_distinct(F.col(dependent)).cast("long").alias("nd")
+    )
+    return g.agg(
+        F.lit(fd_name).alias("fd"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_violating"),
+    ).select(
+        "fd",
+        "n_groups",
+        "n_violating",
+        F.expr("(n_violating * 1000000L) div n_groups").alias(
+            "violation_ppm"
+        ),
+    )

@@ -7956,6 +7956,116 @@ def mad_outliers_q(spark, sf_dir):
     )
 
 
+_FD_SQL = """
+WITH a AS (
+  SELECT 'part.p_partkey->p_brand' AS fd,
+         count(*)::BIGINT AS n_groups,
+         sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violating
+  FROM (SELECT p_partkey, count(DISTINCT p_brand) AS nd
+        FROM part GROUP BY 1)
+  UNION ALL
+  SELECT 'part.p_brand->p_type', count(*)::BIGINT,
+         sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT
+  FROM (SELECT p_brand, count(DISTINCT p_type) AS nd FROM part GROUP BY 1)
+  UNION ALL
+  SELECT 'orders.o_custkey->o_orderpriority', count(*)::BIGINT,
+         sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT
+  FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS nd
+        FROM orders GROUP BY 1))
+SELECT fd, n_groups, n_violating,
+       ((n_violating * 1000000) // n_groups)::BIGINT AS violation_ppm
+FROM a
+"""
+
+
+@_register("fd_violations", _FD_SQL)
+def fd_violations_q(spark, sf_dir):
+    """Functional-dependency discovery audit across three candidate
+    FDs — a holding key FD (partkey→brand), a broken attribute FD
+    (brand→type), and a non-FD control (custkey→orderpriority):
+    violating-determinant counts and ppm, each ONE determinant-domain-
+    bounded groupBy + a 1-row aggregate, never a self-join
+    (datapipe/profile.py fd_violations)."""
+    from .datapipe.profile import fd_violations
+
+    part = _t(spark, sf_dir, "part")
+    orders = _t(spark, sf_dir, "orders")
+    a = fd_violations(part, "p_partkey", "p_brand",
+                      "part.p_partkey->p_brand")
+    b = fd_violations(part, "p_brand", "p_type", "part.p_brand->p_type")
+    c = fd_violations(orders, "o_custkey", "o_orderpriority",
+                      "orders.o_custkey->o_orderpriority")
+    return a.unionByName(b).unionByName(c)
+
+
+_KS_SQL = """
+WITH ca AS (SELECT n_chars AS value, count(*)::BIGINT AS c_a
+            FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+cb AS (SELECT n_chars AS value, count(*)::BIGINT AS c_b
+       FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+cen AS (SELECT coalesce(ca.value, cb.value) AS value,
+               coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+        FROM ca FULL OUTER JOIN cb ON cb.value = ca.value),
+cum AS (SELECT value,
+               sum(c_a) OVER (ORDER BY value) AS cum_a,
+               sum(c_b) OVER (ORDER BY value) AS cum_b
+        FROM cen),
+tot AS (SELECT sum(c_a)::BIGINT AS n_a, sum(c_b)::BIGINT AS n_b FROM cen),
+d AS (SELECT value, n_a, n_b,
+             abs(cum_a * n_b - cum_b * n_a) AS diff
+      FROM cum CROSS JOIN tot),
+mx AS (SELECT max(diff) AS max_diff FROM d)
+SELECT n_a, n_b,
+       (max_diff // greatest((n_a * n_b) // 1000000, 1))::BIGINT AS d_ppm,
+       min(value)::BIGINT AS at_value
+FROM d JOIN mx ON d.diff = mx.max_diff
+GROUP BY n_a, n_b, max_diff
+"""
+
+
+@_register("ks_drift", _KS_SQL)
+def ks_drift_q(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift between the even- and
+    odd-id corpus halves on document length — integer-exact via the
+    cleared |cum_a·n_b − cum_b·n_a| form over the merged value census
+    (domain-bounded window, raw rows never sort), with the
+    deterministic smallest argmax value
+    (datapipe/profile.py ks_drift)."""
+    from .datapipe.profile import ks_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    return ks_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "n_chars",
+    )
+
+
+_LBAL_SQL = """
+WITH cen AS (SELECT source AS grp, lang AS lbl, count(*)::BIGINT AS c
+             FROM documents GROUP BY 1, 2),
+agg AS (SELECT grp, sum(c)::BIGINT AS n, count(*)::BIGINT AS n_labels,
+               max(c)::BIGINT AS top_c, sum(c * c)::BIGINT AS ss
+        FROM cen GROUP BY 1)
+SELECT grp AS source, n, n_labels,
+       ((top_c * 1000000) // n)::BIGINT AS top_share_ppm,
+       (1000000 - ss // greatest((n * n) // 1000000, 1))::BIGINT
+         AS simpson_ppm
+FROM agg
+"""
+
+
+@_register("label_balance", _LBAL_SQL)
+def label_balance_q(spark, sf_dir):
+    """Per-source language-balance audit: label count, top-label share,
+    and Simpson diversity (1 − Σ share², the entropy-free diversity
+    index) in integer ppm — two domain-bounded partial aggregations
+    (datapipe/profile.py label_balance)."""
+    from .datapipe.profile import label_balance
+
+    return label_balance(_t(spark, sf_dir, "documents"), "source", "lang")
+
+
 _RANKNORM_SQL = """
 WITH cen AS (SELECT source, n_chars AS v, count(*)::BIGINT AS c
              FROM documents GROUP BY 1, 2),
