@@ -680,3 +680,85 @@ def test_volume_anomaly_window_over_census_only(spark):
     for seg in plan.split("\n\n"):
         if seg.startswith("(") and ") Window" in seg.split("\n")[0]:
             assert "PartitionSpec: []" not in seg, seg
+
+
+def test_assoc_rules_no_cartesian(spark):
+    """Pair generation must be the basket-keyed equi-join: no
+    CartesianProduct / BroadcastNestedLoop anywhere except the 1-row
+    totals crossJoin (which Spark plans as a broadcast NLJ over one
+    row — allow exactly the totals join by checking the fact-side pair
+    join is a real equi-join)."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["assoc_rules"](spark, SF_DIR)
+    tree = _tree(df)
+    assert "CartesianProduct" not in tree, tree
+    # the o = o pair join must be a hash/sort-merge equi-join
+    assert ("SortMergeJoin" in tree) or ("ShuffledHashJoin" in tree) or (
+        "BroadcastHashJoin" in tree
+    ), tree
+
+
+def test_retrieval_quality_panel_sized_joins(spark):
+    """The metrics stage must never re-shuffle the corpus: qrels/ranking
+    joins are panel-keyed; the per-query tally is one aggregate; no
+    cartesian in the tree."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["retrieval_quality"](spark, SF_DIR)
+    tree = _tree(df)
+    assert "CartesianProduct" not in tree, tree
+    assert "BroadcastHashJoin" in tree, tree  # panel terms broadcast
+
+
+def test_mad_and_ranknorm_windows_census_partitioned(spark):
+    """The MAD and percent-rank census windows must partition by the
+    group column — an empty PartitionSpec would mean a global sort of
+    the census (and SinglePartition a global sort of rows)."""
+    from genie_spark.datapipe.profile import mad_outliers, rank_normalize
+
+    for df in (
+        mad_outliers(_t(spark, "documents"), "source", "n_chars", "doc_id"),
+        rank_normalize(_t(spark, "documents"), "source", "n_chars", "doc_id"),
+    ):
+        plan = _plan(df)
+        assert "SinglePartition" not in plan, plan
+        for seg in plan.split("\n\n"):
+            if seg.startswith("(") and ") Window" in seg.split("\n")[0]:
+                assert "PartitionSpec: []" not in seg, seg
+
+
+def test_seq_patterns_no_event_triple_join(spark):
+    """The greedy-earliest construction must keep every stage a
+    user-keyed equi-join + partial aggregate — no cartesian, and the
+    min(struct) folds must partial-aggregate (map-side combine)."""
+    from genie_spark.datapipe.events import sequential_patterns
+
+    df = sequential_patterns(_t(spark, "events"))
+    tree = _tree(df)
+    assert "CartesianProduct" not in tree, tree
+    assert "partial_min" in _plan(df) or "Partial" in _plan(df), _plan(df)
+
+
+def test_ivm_refresh_no_second_base_aggregation(spark):
+    """IVM must fold the change log with ONE partial-agg struct-max and
+    patch the view with ONE group-keyed join — no cartesian, exactly
+    one full-outer patch join in the tree."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["ivm_refresh"](spark, SF_DIR)
+    tree = _tree(df)
+    assert "CartesianProduct" not in tree, tree
+    assert tree.count("FullOuter") == 1, tree
+
+
+def test_kg_clustering_coeff_oriented_wedges(spark):
+    """Per-vertex triangles must ride the degree-ordered wedge join:
+    no cartesian; the triangle credit is an explode (Generate), not a
+    second triangle enumeration."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["kg_clustering_coeff"](spark, SF_DIR)
+    tree = _tree(df)
+    assert "CartesianProduct" not in tree, tree
+    assert "Generate" in tree, tree
