@@ -275,6 +275,8 @@ HEADLINE = [
     "ks_drift",
     "label_balance",
     "fd_violations",
+    "user_cadence",
+    "view_drift",
 ]
 
 

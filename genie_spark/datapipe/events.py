@@ -351,3 +351,42 @@ def sequential_patterns(
             F.expr("(n_users * 1000000L) div n_total").alias("support_ppm"),
         )
     )
+
+
+def user_cadence(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-user activity-cadence summary: event count, active span, and
+    min/avg/max inter-event gap in integer seconds — the engagement
+    profile behind churn models and crawl-politeness audits alike.
+    (user, n_events, span_s, min_gap_s, avg_gap_s, max_gap_s); avg is
+    the exact integer ``span div (n−1)``; users with one event report
+    zero gaps.
+
+    Scale shape: ONE user-partitioned lead() window ordered by the
+    total (ts, id) key — sort bounded by per-user event counts — then a
+    per-user partial aggregate; no join, no global sort."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    # TIMESTAMP_NTZ refuses a direct bigint cast under ANSI; epoch
+    # seconds via unix_timestamp are fine because ONLY differences are
+    # emitted, so the epoch basis cancels (matches DuckDB epoch() diffs)
+    t = F.unix_timestamp(F.col(ts_col)).cast("long")
+    gaps = events.select(
+        F.col(user_col).alias("u"),
+        t.alias("t"),
+        F.lead(t).over(w).alias("nxt"),
+    ).withColumn("gap", F.col("nxt") - F.col("t"))
+    return gaps.groupBy("u").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.max("t") - F.min("t")).cast("long").alias("span_s"),
+        F.coalesce(F.min("gap"), F.lit(0)).cast("long").alias("min_gap_s"),
+        F.expr(
+            "(max(t) - min(t)) div greatest(count(1) - 1L, 1L)"
+        ).cast("long").alias("avg_gap_s"),
+        F.coalesce(F.max("gap"), F.lit(0)).cast("long").alias("max_gap_s"),
+    ).withColumnRenamed("u", user_col)

@@ -6926,6 +6926,32 @@ def event_seq_patterns_q(spark, sf_dir):
     return sequential_patterns(_t(spark, sf_dir, "events"))
 
 
+_CADENCE_SQL = """
+WITH g AS (
+  SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         lead(CAST(floor(epoch(ts)) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events)
+SELECT u AS user_id, count(*)::BIGINT AS n_events,
+       (max(t) - min(t))::BIGINT AS span_s,
+       coalesce(min(nxt - t), 0)::BIGINT AS min_gap_s,
+       ((max(t) - min(t)) // greatest(count(*) - 1, 1))::BIGINT AS avg_gap_s,
+       coalesce(max(nxt - t), 0)::BIGINT AS max_gap_s
+FROM g GROUP BY u
+"""
+
+
+@_register("user_cadence", _CADENCE_SQL)
+def user_cadence_q(spark, sf_dir):
+    """Per-user inter-event cadence: count, active span, min/avg/max
+    gap in integer seconds — one user-partitioned lead() window (sort
+    bounded per user) + one partial aggregate
+    (datapipe/events.py user_cadence)."""
+    from .datapipe.events import user_cadence
+
+    return user_cadence(_t(spark, sf_dir, "events"))
+
+
 _TRANSITIONS_SQL = """
 WITH seq AS (
   SELECT event_type AS from_type,
@@ -7434,8 +7460,7 @@ def kneser_ney_bigram_q(spark, sf_dir):
     return kneser_ney_bigrams(_t(spark, sf_dir, "documents"), min_count=3)
 
 
-_IVM_SQL = """
-WITH
+_IVM_CHAIN = """
 snap AS (SELECT o_orderkey AS k, o_orderpriority AS grp,
                 CAST(floor(o_totalprice) AS BIGINT) AS val
          FROM orders WHERE o_orderkey % 4 <> 3),
@@ -7458,6 +7483,10 @@ mrg AS (SELECT s.grp AS sgrp, s.val AS sval, c.op, c.cgrp, c.cval,
 res AS (SELECT CASE WHEN op = 'upsert' THEN cgrp ELSE sgrp END AS grp,
                CASE WHEN op = 'upsert' THEN cval ELSE sval END AS val
         FROM mrg WHERE (op IS NULL AND snap_present) OR op = 'upsert')
+"""
+
+_IVM_SQL = f"""
+WITH {_IVM_CHAIN}
 SELECT grp, count(*)::BIGINT AS n_rows, sum(val)::BIGINT AS sum_val
 FROM res GROUP BY 1
 """
@@ -7699,6 +7728,69 @@ def scd2_lookup_q(spark, sf_dir):
     )
     return scd2_lookup(dim, probes, "k").select(
         "k", "probe_ts", "pay", "valid_from", "valid_to"
+    )
+
+
+@_register(
+    "view_drift",
+    f"""
+WITH {_IVM_CHAIN},
+new_v AS (SELECT grp, count(*)::BIGINT AS n_rows, sum(val)::BIGINT AS sum_val
+          FROM res GROUP BY 1),
+old_v AS (SELECT grp, count(*)::BIGINT AS n_rows, sum(val)::BIGINT AS sum_val
+          FROM snap GROUP BY 1)
+SELECT coalesce(o.grp, n.grp) AS grp,
+       coalesce(o.n_rows, 0)::BIGINT AS old_rows,
+       coalesce(n.n_rows, 0)::BIGINT AS new_rows,
+       coalesce(o.sum_val, 0)::BIGINT AS old_sum,
+       coalesce(n.sum_val, 0)::BIGINT AS new_sum,
+       ((coalesce(n.n_rows, 0) - coalesce(o.n_rows, 0)) * 1000000
+        // greatest(coalesce(o.n_rows, 0), 1))::BIGINT AS rows_delta_ppm
+FROM old_v o FULL OUTER JOIN new_v n ON n.grp = o.grp
+""",
+)
+def view_drift_q(spark, sf_dir):
+    """Materialized-view drift report across a CDC refresh — the
+    data-diff a pipeline logs per batch: per group, before/after row
+    and sum totals plus the signed row-count delta in ppm of the old
+    size (new/vanished groups included via the full-outer diff). The
+    new side is the INCREMENTAL refresh (cdc.incremental_view_refresh),
+    so this also continuously exercises IVM == full-recompute; the diff
+    itself is one group-keyed full-outer join of two view-sized
+    tables."""
+    from .datapipe.cdc import incremental_view_refresh
+
+    snap, chg = _ivm_inputs(spark, sf_dir)
+    new_v = incremental_view_refresh(snap, chg, "k", "grp", "val")
+    old_v = snap.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("val").cast("long").alias("sum_val"),
+    )
+    z = F.lit(0).cast("long")
+    o = old_v.select(
+        "grp", F.col("n_rows").alias("old_rows"),
+        F.col("sum_val").alias("old_sum"),
+    )
+    n = new_v.select(
+        "grp", F.col("n_rows").alias("new_rows"),
+        F.col("sum_val").alias("new_sum"),
+    )
+    return (
+        o.join(n, "grp", "full_outer")
+        .select(
+            "grp",
+            F.coalesce("old_rows", z).alias("old_rows"),
+            F.coalesce("new_rows", z).alias("new_rows"),
+            F.coalesce("old_sum", z).alias("old_sum"),
+            F.coalesce("new_sum", z).alias("new_sum"),
+        )
+        .withColumn(
+            "rows_delta_ppm",
+            F.expr(
+                "((new_rows - old_rows) * 1000000L)"
+                " div greatest(old_rows, 1L)"
+            ),
+        )
     )
 
 
