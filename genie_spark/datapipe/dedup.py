@@ -53,17 +53,41 @@ def exact_dedup(
 def minhash_signature_col(sh: Column, num_hashes: int = 16) -> Column:
     """array<string> shingles → array<bigint> MinHash signature.
     Row-local, no explode, no shuffle. Each shingle is md5-hashed ONCE
-    (h60), then the num_hashes values come from affine permutations of
-    that base hash — 16× fewer md5 evaluations than salting per hash
-    function (47s → ~4s for 260k shingles × 16 at sf0.1)."""
-    base = F.transform(sh, lambda s: h60(s))
+    (h60) into a pre-hashed array, then expanded to its num_hashes affine
+    permutations, and the signature is an elementwise-min fold over those
+    per-shingle rows. The nesting is the point: higher-order functions are
+    interpreted (no codegen, no common-subexpression elimination), so the
+    earlier form — num_hashes separate ``array_min(transform(base, ...))``
+    terms sharing a ``base`` Column — inlined the md5 into every term and
+    paid num_hashes md5 evaluations per shingle (~25 s single-task at
+    sf0.1; this form ~16× fewer md5s)."""
     params = minhash_params(num_hashes)
-    return F.array(
-        *[
-            F.array_min(F.transform(base, lambda h: minhash_perm(h, a, b, c)))
-            for (a, b, c) in params
-        ]
+    hashed = F.transform(sh, lambda s: h60(s))
+    perms = F.transform(
+        hashed,
+        lambda h: F.array(*[minhash_perm(h, a, b, c) for (a, b, c) in params]),
     )
+    zero = F.array(
+        *[F.lit((1 << 63) - 1).cast("long") for _ in range(num_hashes)]
+    )
+    return F.aggregate(
+        perms, zero, lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b))
+    )
+
+
+def spread_for_compute(docs: DataFrame, factor: int = 1) -> DataFrame:
+    """Round-robin repartition to ``defaultParallelism × factor`` when the
+    plan would otherwise run on fewer tasks. CPU-bound row-local stages
+    (hashing every shingle) need partition count to track CORES, not input
+    bytes: a single small parquet file splits into 1-2 scan tasks and
+    serializes the hash work on one core. The check reads the pre-AQE
+    partition count, so at scale — where the file scan already yields >=
+    parallelism splits — this is a no-op and no shuffle is added."""
+    spark = docs.sparkSession
+    target = spark.sparkContext.defaultParallelism * factor
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
+    return docs
 
 
 def minhash_signatures(
@@ -73,7 +97,7 @@ def minhash_signatures(
     k: int = 3,
     num_hashes: int = 16,
 ) -> DataFrame:
-    return docs.select(
+    return spread_for_compute(docs).select(
         F.col(id_col),
         minhash_signature_col(shingles_col(F.col(text_col), k), num_hashes).alias("sig"),
     )
