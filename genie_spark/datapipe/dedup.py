@@ -76,16 +76,28 @@ def minhash_signature_col(sh: Column, num_hashes: int = 16) -> Column:
 
 
 def spread_for_compute(docs: DataFrame, factor: int = 1) -> DataFrame:
-    """Round-robin repartition to ``defaultParallelism × factor`` when the
-    plan would otherwise run on fewer tasks. CPU-bound row-local stages
-    (hashing every shingle) need partition count to track CORES, not input
-    bytes: a single small parquet file splits into 1-2 scan tasks and
-    serializes the hash work on one core. The check reads the pre-AQE
-    partition count, so at scale — where the file scan already yields >=
-    parallelism splits — this is a no-op and no shuffle is added."""
+    """Round-robin repartition to ``defaultParallelism × factor`` unless
+    the plan already declares at least that partitioning. CPU-bound
+    row-local stages (hashing every shingle) need partition count to
+    track CORES, not input bytes: a single small parquet file splits into
+    1-2 scan tasks (one row group = one task) and serializes the hash
+    work on one core, and AQE coalesces byte-light shuffles the same way.
+    Same policy and probe as ``pipeline._declared_partitions`` for the
+    compute-bound decode stage: read the physical plan's DECLARED output
+    partitioning — a pure plan-analysis probe, no ``df.rdd`` (which walks
+    file listings and can execute stages under AQE), no job. Scans report
+    unknown (0) and get the balancing repartition — the safe default when
+    the downstream stage is compute-dominant, and the shuffle moves only
+    the rows this stage was going to read anyway, exactly once."""
     spark = docs.sparkSession
     target = spark.sparkContext.defaultParallelism * factor
-    if docs.rdd.getNumPartitions() < target:
+    try:
+        declared = int(
+            docs._jdf.queryExecution().sparkPlan().outputPartitioning().numPartitions()
+        )
+    except Exception:  # non-classic backends: treat as unknown
+        declared = 0
+    if declared < target:
         docs = docs.repartition(target)
     return docs
 
@@ -214,7 +226,7 @@ def ngram_jaccard_pairs(
     groupBy + left-semi join before the self-join, so the hottest key
     contributes at most max_df·(max_df−1)/2 pairs. ``max_df=None``
     preserves the exact-Jaccard semantics for small corpora."""
-    sh = docs.select(
+    sh = spread_for_compute(docs).select(
         F.col(id_col), F.explode(shingles_col(F.col(text_col), k)).alias("shingle")
     ).distinct()
     if max_df is not None:
@@ -294,7 +306,9 @@ def simhash_col(text: Column, bits: int = SIMHASH_BITS) -> Column:
 def simhash_table(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = SIMHASH_BITS
 ) -> DataFrame:
-    return docs.select(F.col(id_col), simhash_col(F.col(text_col), bits).alias("simhash"))
+    return spread_for_compute(docs).select(
+        F.col(id_col), simhash_col(F.col(text_col), bits).alias("simhash")
+    )
 
 
 def simhash_neardup_pairs(
@@ -446,7 +460,7 @@ def decontaminate(
     the (rare) colliding rows. Shingling reuses :func:`shingles_col`
     (docs shorter than ``n`` words contribute their whole text, so exact
     copies of short eval items are still caught)."""
-    tg = docs.select(
+    tg = spread_for_compute(docs).select(
         F.col(id_col), F.explode(shingles_col(F.col(text_col), n)).alias("gram")
     )
     eg = eval_docs.select(
@@ -486,7 +500,7 @@ def _positioned_grams(
             i.alias("pos"), F.concat_ws(" ", F.slice(w, i, n)).alias("gram")
         ),
     )
-    return docs.select(
+    return spread_for_compute(docs).select(
         F.col(id_col), n_tok.alias("n_tok"), F.explode(grams).alias("g")
     ).select(id_col, "n_tok", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
 
@@ -590,6 +604,7 @@ def line_dedup(
     sort."""
     lines = lines_col(F.col(text_col), line_words, split)
     joiner = split if split is not None else " "
+    docs = spread_for_compute(docs)
     ex = docs.select(
         F.col(id_col), F.posexplode(lines).alias("pos", "line")
     ).withColumn("lh", F.md5("line"))
@@ -654,6 +669,7 @@ def boilerplate_strip(
     doc id; order restored via array_sort, no global sort."""
     lines = lines_col(F.col(text_col), line_words, split)
     joiner = split if split is not None else " "
+    docs = spread_for_compute(docs)
     ex = docs.select(
         F.col(id_col), F.posexplode(lines).alias("pos", "line")
     ).withColumn("lh", F.md5("line"))
@@ -724,7 +740,7 @@ def winnow_fingerprints(
     # below references it ~4x per window, and CollapseProject would
     # otherwise inline (and codegen would re-evaluate) the md5-per-gram
     # transform inside every reference — measured 53s -> ~2s at sf0.01
-    hashed = docs.select(
+    hashed = spread_for_compute(docs).select(
         F.col(id_col), F.transform(grams, h60).alias("_hs")
     )
     hs = F.col("_hs")
@@ -777,7 +793,7 @@ def prefix_jaccard_pairs(
     from pyspark.sql import Window
 
     t = int(threshold_ppm)
-    sh = docs.select(
+    sh = spread_for_compute(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles_col(F.col(text_col), k)).alias("shingle"),
     ).distinct()
@@ -872,14 +888,14 @@ def tfidf_cosine_pairs(
     unigram score degenerates, while shingles stay rare at any scale
     (same reason the Jaccard tiers shingle)."""
     if shingle_k > 0:
-        toks = docs.select(
+        toks = spread_for_compute(docs).select(
             F.col(id_col).alias("doc_id"),
             F.explode(
                 shingles_col(F.col(text_col), shingle_k)
             ).alias("t"),
         )
     else:
-        toks = docs.select(
+        toks = spread_for_compute(docs).select(
             F.col(id_col).alias("doc_id"),
             F.explode(
                 F.filter(
@@ -1029,13 +1045,13 @@ def ngram_novelty(
     contribute their whole text as one shingle (shingles_col), so every
     doc gets a defined novelty."""
     refg = (
-        ref_docs.select(
+        spread_for_compute(ref_docs).select(
             F.explode(shingles_col(F.col(text_col))).alias("g")
         )
         .distinct()
         .withColumn("seen", F.lit(1))
     )
-    newg = new_docs.select(
+    newg = spread_for_compute(new_docs).select(
         F.col(id_col),
         F.explode(shingles_col(F.col(text_col))).alias("g"),
     )
@@ -1076,7 +1092,7 @@ def vocab_growth(
     its SinglePartition exchange is bucket-sized, never data-sized."""
     from pyspark.sql import Window
 
-    sh = docs.select(
+    sh = spread_for_compute(docs).select(
         F.col(id_col),
         F.explode(shingles_col(F.col(text_col))).alias("g"),
     )

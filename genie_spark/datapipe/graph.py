@@ -677,16 +677,52 @@ def transe_energy(
         ).cast("string"),
     )
 
-    def energy(obj):
-        return transe_energy_col(s, r, obj, dim=dim, mod=mod)
+    def emb_arr(kind, name):
+        # array<long> per-dim embedding — element formula identical to
+        # transe_energy_col's emb(), so energies are integer-identical
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: h60(
+                F.concat(
+                    F.lit(kind + "\x01"),
+                    name.cast("string"),
+                    F.lit("\x01"),
+                    d.cast("string"),
+                )
+            )
+            % mod,
+        )
 
-    return triples.select(
-        s.alias("s"),
-        r.alias("r"),
-        o.alias("o"),
-        energy(o).cast("long").alias("energy"),
-        energy(o_neg).cast("long").alias("energy_neg"),
-        (energy(o_neg) - energy(o)).cast("long").alias("margin"),
+    def l1(sr_col, e_arr):
+        # sum_d |(s_d + r_d) - e_d| folded in dim order == the
+        # transe_energy_col fold exactly (integer adds are associative)
+        return F.aggregate(
+            F.zip_with(sr_col, e_arr, lambda a, b: F.abs(a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    # Staged projections hash each slot ONCE per row. transe_energy_col
+    # is the spec form, but inlining it three times (energy, energy_neg,
+    # margin) re-evaluates every md5 inside interpreted HOFs (no CSE):
+    # ~12·dim md5/row vs 4·dim+1 here — same values, ~3× fewer md5s.
+    # _sr is multi-referenced and non-cheap, so CollapseProject keeps the
+    # barrier projections intact (same idiom as link_prediction_ranks).
+    staged = triples.select(
+        s.alias("s"), r.alias("r"), o.alias("o"),
+        F.zip_with(
+            emb_arr("e", s), emb_arr("r", r), lambda a, b: a + b
+        ).alias("_sr"),
+        emb_arr("e", o).alias("_oe"),
+        emb_arr("e", o_neg).alias("_ne"),
+    ).select(
+        "s", "r", "o",
+        l1(F.col("_sr"), F.col("_oe")).cast("long").alias("energy"),
+        l1(F.col("_sr"), F.col("_ne")).cast("long").alias("energy_neg"),
+    )
+    return staged.select(
+        "s", "r", "o", "energy", "energy_neg",
+        (F.col("energy_neg") - F.col("energy")).cast("long").alias("margin"),
     )
 
 
@@ -787,8 +823,17 @@ def link_prediction_ranks(
     # (288s -> seconds at sf0.1; values byte-identical to
     # transe_energy_col, which remains the spec and the kg_transe_energy
     # production form)
+    # The test×candidates broadcast product below is COMPUTE-bound
+    # (dim interpreted abs/add ops per candidate), so its partition count
+    # must track cores, not bytes: AQE coalesces the byte-light distinct
+    # output to 1-2 partitions and would serialize the whole product on
+    # one core (measured 12s -> <2s at sf0.1). defaultParallelism is the
+    # cluster core count in both local and cluster mode; test rows are
+    # |facts|/test_mod, so the extra exchange carries a sliver.
+    spread = triples.sparkSession.sparkContext.defaultParallelism
     test = (
         pos.filter(h60(tkey) % test_mod == 0)
+        .repartition(spread)
         .select(
             "s", "r", "o",
             F.zip_with(

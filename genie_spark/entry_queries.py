@@ -5105,11 +5105,15 @@ def kg_transe_energy_q(spark, sf_dir):
     from .datapipe.graph import transe_energy
 
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") < _CUT)
+    # repartition: the downstream scoring is compute-bound (4·dim md5 per
+    # row in interpreted HOFs); AQE coalesces the byte-light distinct to
+    # 1-2 partitions and would serialize it on one core. Partition count
+    # tracks cores (defaultParallelism), not bytes.
     triples = li.select(
         F.col("l_orderkey").cast("string").alias("s"),
         F.col("l_returnflag").alias("r"),
         F.col("l_partkey").cast("string").alias("o"),
-    ).distinct()
+    ).distinct().repartition(spark.sparkContext.defaultParallelism)
     out = transe_energy(
         triples, dim=_TRANSE_DIM, mod=_TRANSE_MOD, neg_mod=_TRANSE_NEG_MOD
     )
