@@ -47,8 +47,10 @@ def doc_tokens(
 ) -> DataFrame:
     """Distinct (doc_id, tok) mention table — the one corpus shuffle
     every alignment consumer shares."""
+    from .dedup import spread_for_compute
+
     return (
-        docs.select(
+        spread_for_compute(docs).select(
             F.col(id_col).alias("doc_id"),
             F.explode(F.split(F.lower(F.col(text_col)), _SPLIT)).alias("tok"),
         )

@@ -384,9 +384,11 @@ def embedding_neardup_lsh_pairs(
     bucketed = emb.withColumn(
         "_lshb", hyperplane_bucket_col(F.col(vec_col), planes)
     )
+    cores = emb.sparkSession.sparkContext.defaultParallelism
     return embedding_neardup_pairs(
         bucketed, vec_col=vec_col, id_col=id_col, block_col="_lshb",
         threshold=threshold,
+        salt=-(-cores // (1 << n_planes)),  # ceil: 1 (no-op) once buckets >= cores
     )
 
 
@@ -396,6 +398,7 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     block_col: Optional[str] = None,
     threshold: float = 0.95,
+    salt: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-dup: within-block all-pairs cosine ≥ threshold.
     ``block_col`` is REQUIRED: the blocking key (a cluster/label/LSH
@@ -418,7 +421,24 @@ def embedding_neardup_pairs(
         v.alias("_v"),
         norm.alias("_n"),
     )
-    a, b = base.alias("a"), base.alias("b")
+    # ``salt`` splits each block's pair generation across salt×|blocks|
+    # join keys (guide-standard salting: a-side keyed by a deterministic
+    # id hash, b-side exploded over all salts, so every within-block pair
+    # still meets exactly once). The within-block dot products are the
+    # CPU cost of this operator, and with |blocks| (e.g. 8 IVF cells or
+    # 2^n_planes buckets) below the core count the shuffle can't spread
+    # them. Callers pass ceil(cores / n_blocks); at scale, where block
+    # counts grow with the corpus and exceed the cluster's cores, salt
+    # degenerates to 1 and the plan is unchanged. Results are identical
+    # for any salt — it never appears in the output or the pair
+    # condition.
+    salt = max(1, int(salt))
+    a = base.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt))
+    ).alias("a")
+    b = base.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0).cast("long"), F.lit(salt - 1).cast("long")))
+    ).alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a._v"), F.col("b._v"), lambda x, y: x.cast("double") * y),
         F.lit(0.0),
@@ -428,6 +448,7 @@ def embedding_neardup_pairs(
         a.join(
             b,
             (F.col("a._blk") == F.col("b._blk"))
+            & (F.col("a._salt") == F.col("b._salt"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
@@ -1149,7 +1170,18 @@ def hard_negative_pairs(
         v.alias("_v"),
         norm.alias("_n"),
     )
-    a, b = base.alias("a"), base.alias("b")
+    # same salting as embedding_neardup_pairs: spread the within-block
+    # dot products over salt×|buckets| join keys; no-op once 2^n_planes
+    # exceeds the core count (result-invariant for any salt)
+    cores = emb.sparkSession.sparkContext.defaultParallelism
+    salt = max(1, -(-cores // (1 << n_planes)))
+    a = base.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt))
+    ).alias("a")
+    b = base.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.lit(salt - 1).cast("long"))),
+    ).alias("b")
     dot = F.aggregate(
         F.zip_with(
             F.col("a._v"), F.col("b._v"), lambda x, y: x.cast("double") * y
@@ -1162,6 +1194,7 @@ def hard_negative_pairs(
         a.join(
             b,
             (F.col("a._blk") == F.col("b._blk"))
+            & (F.col("a._salt") == F.col("b._salt"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .filter(cos >= F.lit(float(threshold)))

@@ -1503,6 +1503,7 @@ def hits_fixed(
     scale: int = 10**6,
     src: str = "src",
     dst: str = "dst",
+    dedup_edges: bool = True,
 ) -> DataFrame:
     """HITS hubs & authorities (Kleinberg 1999) in INTEGER fixed-point
     with L1 normalization — the float L2 norm of the original is
@@ -1514,11 +1515,12 @@ def hits_fixed(
     iteration. Returns ``(entity, hub_fp, auth_fp)`` in units of
     1/scale. ``scale`` stays at 1e6 so raw·scale fits signed-64 even at
     web in-degrees (raw ≤ scale·deg)."""
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if dedup_edges:
+        # pass dedup_edges=False when the input is already distinct —
+        # the defensive dedup is then a full redundant shuffle
+        e = e.distinct()
+    e = e.localCheckpoint(eager=True)
     verts = (
         e.select(F.col("src").alias("v"))
         .union(e.select(F.col("dst").alias("v")))

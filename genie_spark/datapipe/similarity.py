@@ -1299,8 +1299,10 @@ def semantic_dedup_survivors(
         F.col(vec_col),
         ivf_cell_col(F.col(vec_col), centroids).alias("cell"),
     )
+    cores = emb.sparkSession.sparkContext.defaultParallelism
     pairs = embedding_neardup_pairs(
-        cells, vec_col, id_col, block_col="cell", threshold=threshold
+        cells, vec_col, id_col, block_col="cell", threshold=threshold,
+        salt=-(-cores // max(1, len(centroids))),  # 1 (no-op) once cells >= cores
     )
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return cells.join(dropped, id_col, "left_anti").select(id_col, "cell")

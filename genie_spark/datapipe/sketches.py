@@ -150,13 +150,22 @@ def cms_sketch(
     then ONE partial-aggregated groupBy to ``depth*width`` rows — the
     hot-key answer without materializing the full key-frequency table.
     Mergeable by cellwise sum (union + re-sum)."""
-    base = h60(F.col(col))
-    cells = F.transform(
-        F.sequence(F.lit(0), F.lit(depth - 1)),
-        lambda j: F.struct(
-            j.cast("int").alias("j"),
-            F.pmod(affine_mix(base, j), F.lit(width)).alias("b"),
-        ),
+    # bind the base hash as a lambda variable (transform over a 1-element
+    # array) so md5 runs ONCE per item: HOF lambdas are interpreted with
+    # no CSE, and an alias in a separate projection would be re-inlined
+    # by CollapseProject (single textual use), re-evaluating h60 per row
+    # j — `depth` md5s per item instead of one
+    cells = F.flatten(
+        F.transform(
+            F.array(h60(F.col(col))),
+            lambda h: F.transform(
+                F.sequence(F.lit(0), F.lit(depth - 1)),
+                lambda j: F.struct(
+                    j.cast("int").alias("j"),
+                    F.pmod(affine_mix(h, j), F.lit(width)).alias("b"),
+                ),
+            ),
+        )
     )
     return (
         items.select(F.explode(cells).alias("c"))
@@ -218,11 +227,18 @@ cms_cells AS (
 
 
 def _bloom_positions(col: Column, bits: int, k: int) -> Column:
-    """array<long> of the ``k`` bit positions for one item."""
-    base = h60(col)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: F.pmod(affine_mix(base, i), F.lit(bits)),
+    """array<long> of the ``k`` bit positions for one item. The base
+    hash is bound as a lambda variable (transform over a 1-element
+    array) so md5 runs once per item, not once per position — HOF
+    lambdas are interpreted with no CSE (same lesson as cms_sketch)."""
+    return F.flatten(
+        F.transform(
+            F.array(h60(col)),
+            lambda h: F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda i: F.pmod(affine_mix(h, i), F.lit(bits)),
+            ),
+        )
     )
 
 

@@ -328,12 +328,30 @@ def fingerprints(
     (winnowing-lite) + full-text md5. Row-local."""
     from .dedup import shingles_col
 
-    hashes = F.transform(shingles_col(F.col(text_col), k), lambda s: h60(s))
-    return docs.select(
+    from .dedup import spread_for_compute
+
+    # min and max come out of ONE evaluation of the hash array: the
+    # hash transform is bound as a lambda variable (1-element array +
+    # explode materializes the struct once per row) — a plain local
+    # Column referenced by both array_min and array_max would be inlined
+    # twice and double every shingle md5 (interpreted HOFs get no CSE)
+    mm = F.explode(
+        F.transform(
+            F.array(F.transform(shingles_col(F.col(text_col), k), lambda s: h60(s))),
+            lambda h: F.struct(
+                F.array_min(h).alias("mn"), F.array_max(h).alias("mx")
+            ),
+        )
+    )
+    return spread_for_compute(docs).select(
         F.col(id_col),
-        F.array_min(hashes).alias("fp_min"),
-        F.array_max(hashes).alias("fp_max"),
+        mm.alias("_m"),
         F.md5(F.col(text_col)).alias("fp_md5"),
+    ).select(
+        id_col,
+        F.col("_m.mn").alias("fp_min"),
+        F.col("_m.mx").alias("fp_max"),
+        "fp_md5",
     )
 
 
@@ -400,7 +418,9 @@ def tfidf_top_terms(
     no blowup); top-k is one window partitioned by doc."""
     from pyspark.sql import Window
 
-    toks = docs.select(
+    from .dedup import spread_for_compute
+
+    toks = spread_for_compute(docs).select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
     )
     tf = toks.groupBy(id_col, "term").agg(
@@ -597,8 +617,10 @@ def bigram_counts(
             ),
         ),
     ).otherwise(F.expr("array()").cast("array<string>"))
+    from .dedup import spread_for_compute
+
     return (
-        docs.select(F.explode(pairs).alias("bigram"))
+        spread_for_compute(docs).select(F.explode(pairs).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("bigram"))
@@ -642,6 +664,9 @@ def collocation_lift(
             ),
         ),
     ).otherwise(F.expr("array()").cast("array<struct<w1:string,w2:string>>"))
+    from .dedup import spread_for_compute
+
+    docs = spread_for_compute(docs)
     toks = docs.select(F.explode(w).alias("t"))
     uc = toks.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("c"))
     ntot = toks.agg(F.count(F.lit(1)).cast("long").alias("n"))
@@ -699,7 +724,9 @@ def bm25_topk(
     broadcast onto the postings so the fact side never shuffles on
     query content; per-query top-k is a qid-keyed window over only
     the matching postings."""
-    toks = docs.select(
+    from .dedup import spread_for_compute
+
+    toks = spread_for_compute(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(
             F.filter(

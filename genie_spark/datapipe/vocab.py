@@ -37,8 +37,10 @@ from pyspark.sql import functions as F
 
 def word_freq(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, cnt) — the BPE training input. One partial-agg groupBy."""
+    from .dedup import spread_for_compute
+
     return (
-        docs.select(
+        spread_for_compute(docs).select(
             F.explode(
                 F.filter(
                     F.split(F.lower(F.col(text_col)), " "),
@@ -215,7 +217,11 @@ def bpe_encode_stats(
     document), so at 100 TB it is a pure map over the corpus; each
     merge arrives as a broadcast 1-row frame from the (tiny,
     already-checkpointed) merge table, never a driver value."""
-    seq0 = docs.select(_doc_seq(F.col(text_col)).alias("seq"))
+    from .dedup import spread_for_compute
+
+    # the merge chain below is merges × string-replaces per document —
+    # compute-bound row-local work; spread the single-split scan
+    seq0 = spread_for_compute(docs).select(_doc_seq(F.col(text_col)).alias("seq"))
     before = seq0.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(_symbol_count(F.col("seq"))).cast("long").alias("n_symbols_before"),
@@ -307,7 +313,9 @@ def kneser_ney_bigrams(
     table, never re-reading the corpus; the final assembly shuffles the
     vocab-bounded type table twice (w1, then w2) — Catalyst reuses the
     w1 partitioning from the c1 aggregate."""
-    toks = docs.select(
+    from .dedup import spread_for_compute
+
+    toks = spread_for_compute(docs).select(
         F.expr(
             f"filter(split(lower({text_col}), ' '), t -> t != '')"
         ).alias("w")

@@ -817,6 +817,9 @@ def linearize_roundtrip(spark, sf_dir):
         )
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.array_distinct(F.collect_list("t"))).alias("triples"))
+        # format+parse below are interpreted HOFs over every triple —
+        # compute-bound, so spread past AQE's byte-light coalescing
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     lin = triples.withColumn("lin", format_triples_col(F.col("triples")))
     parsed = lin.withColumn("parsed", parse_triples_col(F.col("lin")))
@@ -1664,9 +1667,25 @@ def _kg_edges_df(spark, sf_dir) -> DataFrame:
             F.concat(F.lit(tb), F.col(b).cast("string")).alias("dst"),
         )
 
+    def e_struct(a, ta, b, tb):
+        return F.struct(
+            F.concat(F.lit(ta), F.col(a).cast("string")).alias("src"),
+            F.concat(F.lit(tb), F.col(b).cast("string")).alias("dst"),
+        )
+
+    # both lineitem edge types explode from ONE struct array so lineitem
+    # (the only fact-sized input) is scanned once, not twice; same
+    # row multiset as the oracle's UNION ALL, then the same DISTINCT
+    li_edges = li.select(
+        F.explode(
+            F.array(
+                e_struct("l_orderkey", "O", "l_partkey", "P"),
+                e_struct("l_partkey", "P", "l_suppkey", "S"),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     return (
-        edge(li, "l_orderkey", "O", "l_partkey", "P")
-        .union(edge(li, "l_partkey", "P", "l_suppkey", "S"))
+        li_edges
         .union(edge(sup, "s_suppkey", "S", "s_nationkey", "N"))
         .union(edge(nat, "n_nationkey", "N", "n_regionkey", "R"))
         .distinct()
@@ -1770,7 +1789,10 @@ def kg_hits(spark, sf_dir):
     totals (datapipe/graph.py hits_fixed; unrolled CTE twin)."""
     from .datapipe.graph import hits_fixed
 
-    return hits_fixed(_kg_edges_df(spark, sf_dir), iterations=_HITS_ITERS)
+    return hits_fixed(
+        _kg_edges_df(spark, sf_dir), iterations=_HITS_ITERS,
+        dedup_edges=False,  # _kg_edges_df output is already DISTINCT
+    )
 
 
 def _kg_hits_sql() -> str:
@@ -3734,20 +3756,33 @@ def curation_report_q(spark, sf_dir):
     test_plans."""
     from pyspark.sql import Window
 
-    from .datapipe.dedup import lines_col
+    from .datapipe.dedup import lines_col, spread_for_compute
     from .datapipe.textstats import gate_passed_col
     from .datapipe.urls import normalize_url_col
 
-    variants = _url_variants_df(spark, sf_dir, with_text=True)
-    w = Window.partitionBy(normalize_url_col(F.col("url")))
+    # spread the single-split scan: URL normalization, the quality gate
+    # and the line chunking are all compute-heavy row-local expressions
+    # that would otherwise run on 1-2 scan tasks (one row group = one
+    # task); the window below shuffles by normalized URL regardless, so
+    # the extra exchange carries only the base variants once
+    variants = spread_for_compute(_url_variants_df(spark, sf_dir, with_text=True))
+    # gate + URL normalization in the projection BELOW the window: both
+    # then run in the spread pre-shuffle stage (the Window's child
+    # projection), not the post-window (AQE-coalesced) stage
+    pre = variants.select(
+        "vid", "text",
+        normalize_url_col(F.col("url")).alias("_nu"),
+        gate_passed_col(F.col("text")).alias("_gate"),
+    )
+    w = Window.partitionBy("_nu")
     tagged = (
-        variants.select(
-            "vid", "text",
+        pre.select(
+            "vid", "text", "_gate",
             (F.col("vid") == F.min("vid").over(w)).alias("is_kept"),
         )
         .select(
             "vid", "text", "is_kept",
-            (F.col("is_kept") & gate_passed_col(F.col("text"))).alias(
+            (F.col("is_kept") & F.col("_gate")).alias(
                 "survives"
             ),
         )
@@ -3814,10 +3849,15 @@ FROM g
 )
 def repetition_stats(spark, sf_dir):
     """Gopher-style intra-document repetition filters: duplicate 2/3-gram
-    fractions + top-word dominance (row-local, zero shuffle)."""
+    fractions + top-word dominance (row-local Column math; the spread
+    repartition only balances the compute over cores — see
+    spread_for_compute)."""
+    from .datapipe.dedup import spread_for_compute
     from .datapipe.textstats import repetition_features
 
-    return repetition_features(_t(spark, sf_dir, "documents"))
+    return repetition_features(
+        spread_for_compute(_t(spark, sf_dir, "documents"))
+    )
 
 
 @_register(
@@ -5785,7 +5825,9 @@ def _tok_sql() -> str:
 
 
 def _tok_df(spark, sf_dir) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    from .datapipe.dedup import spread_for_compute
+
+    docs = spread_for_compute(_t(spark, sf_dir, "documents"))
     return docs.select(F.explode(F.split("text", " ")).alias("t")).filter(
         F.col("t") != ""
     )

@@ -117,6 +117,10 @@ def _per_relation_counts(
             )
         return make
 
+    # the intersect + triple-key HOFs below are interpreted and
+    # compute-bound; spread the (byte-light, AQE-coalesced) eval frame to
+    # the core count so the per-row set logic parallelizes
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     contrib = df.select(
         F.explode(
             F.concat(
@@ -276,7 +280,11 @@ def bootstrap_micro(
     counts = _counts(df, pred, target).select(id_col, "n_correct", "n_pred", "n_target")
     # row-local run fan-out (explode of a literal sequence) — no crossJoin
     # stage, the partial agg under groupBy(run) still bounds the shuffle at
-    # n_runs × partitions counter rows
+    # n_runs × partitions counter rows. The fan-out stage is compute-bound
+    # (n_runs hashes per sample), so spread it to the core count first:
+    # AQE coalesces the byte-light upstream join output to a few
+    # partitions and would run the n×n_runs hashing nearly single-task.
+    counts = counts.repartition(df.sparkSession.sparkContext.defaultParallelism)
     runs = counts.withColumn(
         "run", F.explode(F.sequence(F.lit(0), F.lit(n_runs - 1)))
     )
@@ -390,7 +398,13 @@ def bootstrap_micro_multinomial(
     # AQE's runtime exchange reuse already deduplicates the heavy
     # subtrees, so the cache only added build + memory-store overhead.
     indexed, total = _distributed_rank(counts, id_col)
-    src = indexed.select("j")
+    # the draw fan-out below is compute-bound (one md5 per sample + the
+    # affine remix per draw, then an n×n_runs-row partial agg); spread it
+    # to the core count — AQE coalesces the byte-light rank output to a
+    # few partitions otherwise. 8-byte rows, so the shuffle is a sliver.
+    src = indexed.select("j").repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
     if hash_mode == "md5":
         from .datapipe.hashes import affine_mix, h60
 
