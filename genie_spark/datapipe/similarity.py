@@ -721,30 +721,47 @@ def pq_kmeans_codebooks(
     books = pq_codebooks(emb, m, k_sub, vec_col, id_col)
     sub = len(books[0][0])
     for _ in range(n_iters):
-        new_books = []
-        for j in range(m):
-            sl = F.slice(F.col(vec_col), j * sub + 1, sub)
-            code = _sub_code_col(sl, books[j])
-            means = (
-                emb.select(code.alias("c"), sl.alias("s"))
-                .groupBy("c")
-                .agg(
-                    *[
-                        F.round(
-                            F.avg(F.element_at(F.col("s"), d + 1).cast("double")), 9
-                        ).alias(f"m{d}")
-                        for d in range(sub)
-                    ]
-                )
-                .collect()
+        # ALL m subspace assignments ride one scan (explode over j) into
+        # one groupBy(j, c) and ONE collect — the per-subspace loop ran m
+        # sequential jobs over the same corpus for k_sub×m result rows.
+        # Per-(j, c) means are computed by the same F.avg over the same
+        # member sets, so the refined codebooks are value-identical.
+        per_j = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _sub_code_col(
+                            F.slice(F.col(vec_col), j * sub + 1, sub), books[j]
+                        ).alias("c"),
+                        F.slice(F.col(vec_col), j * sub + 1, sub).alias("s"),
+                    )
+                    for j in range(m)
+                ]
             )
-            by_code = {
-                r["c"]: [float(r[f"m{d}"]) for d in range(sub)] for r in means
-            }
-            new_books.append(
-                [by_code.get(i, books[j][i]) for i in range(k_sub)]
+        )
+        means = (
+            emb.select(per_j.alias("e"))
+            .select("e.j", "e.c", "e.s")
+            .groupBy("j", "c")
+            .agg(
+                *[
+                    F.round(
+                        F.avg(F.element_at(F.col("s"), d + 1).cast("double")), 9
+                    ).alias(f"m{d}")
+                    for d in range(sub)
+                ]
             )
-        books = new_books
+            .collect()
+        )
+        by_jc = {
+            (r["j"], r["c"]): [float(r[f"m{d}"]) for d in range(sub)]
+            for r in means
+        }
+        books = [
+            [by_jc.get((j, i), books[j][i]) for i in range(k_sub)]
+            for j in range(m)
+        ]
     return books
 
 

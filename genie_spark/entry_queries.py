@@ -1661,34 +1661,39 @@ def _kg_edges_df(spark, sf_dir) -> DataFrame:
     sup = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation")
 
-    def edge(df, a, ta, b, tb):
-        return df.select(
-            F.concat(F.lit(ta), F.col(a).cast("string")).alias("src"),
-            F.concat(F.lit(tb), F.col(b).cast("string")).alias("dst"),
-        )
-
-    def e_struct(a, ta, b, tb):
+    # Both lineitem edge types explode from ONE struct array so lineitem
+    # (the only fact-sized input) is scanned once, not twice; and the
+    # DISTINCT runs on typed (tag, long, long) rows — each edge type owns
+    # a disjoint tag, so pair-level dedup equals string-level dedup while
+    # the shuffle rows are narrower and hash/compare on longs, with the
+    # "O123"-style labels built row-locally AFTER the dedup. Same row set
+    # as the oracle's UNION ALL + DISTINCT over the concatenated labels.
+    def pair(tg, a, b):
         return F.struct(
-            F.concat(F.lit(ta), F.col(a).cast("string")).alias("src"),
-            F.concat(F.lit(tb), F.col(b).cast("string")).alias("dst"),
+            F.lit(tg).cast("int").alias("tg"),
+            F.col(a).cast("long").alias("k1"),
+            F.col(b).cast("long").alias("k2"),
         )
 
-    # both lineitem edge types explode from ONE struct array so lineitem
-    # (the only fact-sized input) is scanned once, not twice; same
-    # row multiset as the oracle's UNION ALL, then the same DISTINCT
-    li_edges = li.select(
+    li_pairs = li.select(
         F.explode(
             F.array(
-                e_struct("l_orderkey", "O", "l_partkey", "P"),
-                e_struct("l_partkey", "P", "l_suppkey", "S"),
+                pair(0, "l_orderkey", "l_partkey"),
+                pair(1, "l_partkey", "l_suppkey"),
             )
         ).alias("e")
-    ).select("e.src", "e.dst")
-    return (
-        li_edges
-        .union(edge(sup, "s_suppkey", "S", "s_nationkey", "N"))
-        .union(edge(nat, "n_nationkey", "N", "n_regionkey", "R"))
+    ).select("e.tg", "e.k1", "e.k2")
+    pairs = (
+        li_pairs
+        .union(sup.select(pair(2, "s_suppkey", "s_nationkey").alias("e")).select("e.tg", "e.k1", "e.k2"))
+        .union(nat.select(pair(3, "n_nationkey", "n_regionkey").alias("e")).select("e.tg", "e.k1", "e.k2"))
         .distinct()
+    )
+    src_tag = F.element_at(F.array(F.lit("O"), F.lit("P"), F.lit("S"), F.lit("N")), F.col("tg") + 1)
+    dst_tag = F.element_at(F.array(F.lit("P"), F.lit("S"), F.lit("N"), F.lit("R")), F.col("tg") + 1)
+    return pairs.select(
+        F.concat(src_tag, F.col("k1").cast("string")).alias("src"),
+        F.concat(dst_tag, F.col("k2").cast("string")).alias("dst"),
     )
 
 
