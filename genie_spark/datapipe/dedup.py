@@ -388,7 +388,7 @@ def embedding_neardup_lsh_pairs(
     return embedding_neardup_pairs(
         bucketed, vec_col=vec_col, id_col=id_col, block_col="_lshb",
         threshold=threshold,
-        salt=-(-cores // (1 << n_planes)),  # ceil: 1 (no-op) once buckets >= cores
+        salt=-(-cores * 8 // (1 << n_planes)),  # 8x-oversampled keys vs partitions (guide 2.5); 1 (no-op) once buckets >= 8x cores
     )
 
 
@@ -433,12 +433,21 @@ def embedding_neardup_pairs(
     # for any salt — it never appears in the output or the pair
     # condition.
     salt = max(1, int(salt))
-    a = base.withColumn(
+    a_df = base.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt))
-    ).alias("a")
-    b = base.withColumn(
+    )
+    b_df = base.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0).cast("long"), F.lit(salt - 1).cast("long")))
-    ).alias("b")
+    )
+    if salt > 1:
+        # pin the salted partitioning explicitly: the join inputs are
+        # byte-light, so AQE would coalesce them back to 1-2 partitions
+        # and serialize the per-pair dot products the salt exists to
+        # spread (user-specified repartition is exempt from coalescing)
+        cores = emb.sparkSession.sparkContext.defaultParallelism
+        a_df = a_df.repartition(cores, F.col("_blk"), F.col("_salt"))
+        b_df = b_df.repartition(cores, F.col("_blk"), F.col("_salt"))
+    a, b = a_df.alias("a"), b_df.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a._v"), F.col("b._v"), lambda x, y: x.cast("double") * y),
         F.lit(0.0),
@@ -1174,14 +1183,20 @@ def hard_negative_pairs(
     # dot products over salt×|buckets| join keys; no-op once 2^n_planes
     # exceeds the core count (result-invariant for any salt)
     cores = emb.sparkSession.sparkContext.defaultParallelism
-    salt = max(1, -(-cores // (1 << n_planes)))
-    a = base.withColumn(
+    salt = max(1, -(-cores * 8 // (1 << n_planes)))
+    a_df = base.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt))
-    ).alias("a")
-    b = base.withColumn(
+    )
+    b_df = base.withColumn(
         "_salt",
         F.explode(F.sequence(F.lit(0).cast("long"), F.lit(salt - 1).cast("long"))),
-    ).alias("b")
+    )
+    if salt > 1:
+        # pin the salted partitioning (AQE would coalesce the byte-light
+        # inputs back to one task — see embedding_neardup_pairs)
+        a_df = a_df.repartition(cores, F.col("_blk"), F.col("_salt"))
+        b_df = b_df.repartition(cores, F.col("_blk"), F.col("_salt"))
+    a, b = a_df.alias("a"), b_df.alias("b")
     dot = F.aggregate(
         F.zip_with(
             F.col("a._v"), F.col("b._v"), lambda x, y: x.cast("double") * y
