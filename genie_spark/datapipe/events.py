@@ -314,11 +314,15 @@ def sequential_patterns(
     The cubic "all event triples" join never happens: existence of a
     subsequence is equivalent to existence of the GREEDY-EARLIEST chain
     (earliest a; earliest b after it; any c after that), so the plan is
-    three user-keyed stages whose intermediates are bounded by
-    users × |type domain|^k, k <= 2 — never by per-user event counts.
-    All three stages partial-aggregate min(struct(ts, id)); the final
-    support count is one groupBy over the users × types³-bounded
-    distinct set, and the user total broadcasts onto it."""
+    three user-keyed stages. The AGGREGATE OUTPUTS are bounded by
+    users × |type domain|^k, k <= 2; the ev⋈fa / ev⋈fb join inputs
+    fan out to |events| × (per-user type combinations) rows before the
+    min(struct) partial aggregates — map-side combine bounds the shuffle
+    at the aggregate size, but the join-side intermediate itself is
+    event-count-proportional (a skewed user pays degree × types there).
+    The final support count is one groupBy over the users ×
+    types³-bounded distinct set, and the user total broadcasts onto
+    it."""
     ev = events.select(
         F.col(user_col).alias("u"),
         F.col(type_col).alias("t"),
