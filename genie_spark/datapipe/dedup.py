@@ -634,7 +634,6 @@ def line_dedup(
     sort."""
     lines = lines_col(F.col(text_col), line_words, split)
     joiner = split if split is not None else " "
-    docs = spread_for_compute(docs)
     ex = docs.select(
         F.col(id_col), F.posexplode(lines).alias("pos", "line")
     ).withColumn("lh", F.md5("line"))
@@ -699,7 +698,6 @@ def boilerplate_strip(
     doc id; order restored via array_sort, no global sort."""
     lines = lines_col(F.col(text_col), line_words, split)
     joiner = split if split is not None else " "
-    docs = spread_for_compute(docs)
     ex = docs.select(
         F.col(id_col), F.posexplode(lines).alias("pos", "line")
     ).withColumn("lh", F.md5("line"))

@@ -724,9 +724,7 @@ def bm25_topk(
     broadcast onto the postings so the fact side never shuffles on
     query content; per-query top-k is a qid-keyed window over only
     the matching postings."""
-    from .dedup import spread_for_compute
-
-    toks = spread_for_compute(docs).select(
+    toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
             F.filter(

@@ -37,10 +37,8 @@ from pyspark.sql import functions as F
 
 def word_freq(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, cnt) — the BPE training input. One partial-agg groupBy."""
-    from .dedup import spread_for_compute
-
     return (
-        spread_for_compute(docs).select(
+        docs.select(
             F.explode(
                 F.filter(
                     F.split(F.lower(F.col(text_col)), " "),
@@ -313,9 +311,7 @@ def kneser_ney_bigrams(
     table, never re-reading the corpus; the final assembly shuffles the
     vocab-bounded type table twice (w1, then w2) — Catalyst reuses the
     w1 partitioning from the c1 aggregate."""
-    from .dedup import spread_for_compute
-
-    toks = spread_for_compute(docs).select(
+    toks = docs.select(
         F.expr(
             f"filter(split(lower({text_col}), ' '), t -> t != '')"
         ).alias("w")
