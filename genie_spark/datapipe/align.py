@@ -46,11 +46,12 @@ def doc_tokens(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Distinct (doc_id, tok) mention table — the one corpus shuffle
-    every alignment consumer shares."""
-    from .dedup import spread_for_compute
-
+    every alignment consumer shares. No spread repartition here:
+    consumers reference this subtree from several join sides, so an
+    added exchange re-executes per reference (kg_cooccurrence measured
+    0.9s -> 2.2s with it)."""
     return (
-        spread_for_compute(docs).select(
+        docs.select(
             F.col(id_col).alias("doc_id"),
             F.explode(F.split(F.lower(F.col(text_col)), _SPLIT)).alias("tok"),
         )

@@ -418,9 +418,10 @@ def tfidf_top_terms(
     no blowup); top-k is one window partitioned by doc."""
     from pyspark.sql import Window
 
-    from .dedup import spread_for_compute
-
-    toks = spread_for_compute(docs).select(
+    # no spread here: tf is referenced by BOTH df_t and the final join,
+    # so the scan+explode subtree executes twice — an added repartition
+    # multiplies instead of amortizing (measured 0.6s -> 3.4s)
+    toks = docs.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
     )
     tf = toks.groupBy(id_col, "term").agg(

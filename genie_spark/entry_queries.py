@@ -1675,7 +1675,18 @@ def _kg_edges_df(spark, sf_dir) -> DataFrame:
             F.col(b).cast("long").alias("k2"),
         )
 
-    li_pairs = li.select(
+    # Spread the single-row-group lineitem scan BEFORE the explode: one
+    # scan = one task here, so the explode + map-side distinct hashing of
+    # 2x|lineitem| rows would serialize on one core (the old two-scan
+    # form at least got two). The repartition moves only the three
+    # pruned key columns, once; consumers that reference the edge
+    # subtree k times (k_hop, walks) re-execute it k times, so the map
+    # stage must be parallel.
+    from .datapipe.dedup import spread_for_compute
+
+    li_pairs = spread_for_compute(
+        li.select("l_orderkey", "l_partkey", "l_suppkey")
+    ).select(
         F.explode(
             F.array(
                 pair(0, "l_orderkey", "l_partkey"),
